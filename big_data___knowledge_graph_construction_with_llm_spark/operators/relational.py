@@ -1,0 +1,137 @@
+"""Core relational operators the reference exercises imperatively.
+
+SURVEY.md §2.2/2.3/2.6/2.7 — here as composable DataFrame functions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def union_fill(frames: list[DataFrame], fill: str = "") -> DataFrame:
+    """Union heterogeneous frames by column name, filling missing cells.
+
+    Reference: ``pd.concat(df_list, ignore_index=True).fillna("")``
+    (``Art-Knowledge-Graph-Local/ingestion/data_ingestion_batch.py:160``).
+    ``unionByName(allowMissingColumns=True)`` is a zero-shuffle operator —
+    partitions of every input are concatenated, so this is scan-speed at
+    any scale.
+    """
+    if not frames:
+        raise ValueError("union_fill needs at least one frame")
+    out = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+    string_cols = [f.name for f in out.schema.fields if f.dataType.typeName() == "string"]
+    return out.na.fill(fill, subset=string_cols)
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Top-k rows per group via window ``row_number``.
+
+    Scale note: a single hash-shuffle on the group keys; no global sort.
+    ``order_cols`` must contain a unique tiebreaker for determinism.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def is_empty(df: DataFrame) -> bool:
+    """Non-empty-frame guard without the reference's double full-scan
+    anti-pattern (``count()`` twice,
+    ``Art-Knowledge-Graph-AWS/ingestion/DataIngestionBatch.py:75-77``):
+    ``isEmpty`` looks at the first non-empty partition only."""
+    return df.isEmpty()
+
+
+def range_join_bands(
+    facts: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Theta/range join of a big fact table into small value bands.
+
+    The small side is broadcast, so the inequality predicate evaluates
+    map-side (broadcast nested-loop) — no cartesian shuffle. For
+    big×big range joins, pre-bucket both sides on ``floor(value/width)``
+    and equi-join the bucket key first.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return facts.join(F.broadcast(bands), cond, "inner")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Implemented as union + window ``last(ignoreNulls)`` — a single shuffle
+    on ``on`` and one in-partition sort, instead of a per-row lookup. This
+    is the shape that scales: the alternative (join + filter + row_number)
+    materializes the full time-cross-product per key first.
+    """
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_is_left", F.lit(1)
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.col(c) for c in right_vals],
+    )
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts => "<=" semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_vals:
+        merged = merged.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return merged.filter(F.col("_is_left") == 1).drop("_is_left", "_ts")
+
+
+def sessionize(
+    df: DataFrame, key: str, ts: str, gap_minutes: int
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event for the same key exceeds the gap.
+
+    lag + cumulative-sum over one window — single shuffle on ``key``; the
+    same algorithm works unchanged at any scale because session state never
+    leaves the partition. (Streaming twin: ``session_window`` in
+    ``streaming/events.py``.)
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    gap_s = gap_minutes * 60
+    new_sess = (
+        F.when(
+            F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+            > F.lit(gap_s),
+            1,
+        )
+        .otherwise(0)
+    )
+    run = Window.partitionBy(key).orderBy(ts).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("_new", new_sess).withColumn(
+        "session_id", F.sum("_new").over(run)
+    ).drop("_new")

@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (EXT surface).
+
+Brute-force cosine top-k as the exact baseline, an LSH/IVF-style bucketed
+variant as the 100 TB path, and a blocked string-similarity join for
+entity resolution (the deterministic version of what the reference
+delegates to its LLM prompts).
+
+The dot product is a higher-order array expression
+(``F.zip_with`` + ``F.aggregate``) so it runs JVM-side; no Python in the
+scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two array<numeric> columns (double math)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_brute_force(
+    vectors: DataFrame,
+    query: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query is a literal array (broadcast by value into the plan), so
+    this is a scan + map + global top-k: Spark's ``orderBy().limit(k)``
+    compiles to per-partition TakeOrdered + a k-row merge on the driver —
+    no full sort, no shuffle of the corpus. This is the exact-baseline at
+    any scale.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = vectors.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+    )
+    # deterministic tiebreak on id
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def sign_lsh_bucket(vec_col: F.Column, dims: list[int]) -> F.Column:
+    """Random-hyperplane-style LSH reduced to sign bits of chosen
+    dimensions — deterministic, schema-free bucketing for ANN. Buckets =
+    2^len(dims)."""
+    bits = [
+        F.when(F.element_at(vec_col, d + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    query: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """ANN top-k: probe only the query's sign-LSH bucket, then exact
+    cosine inside it. At 100 TB the vectors table is written bucketed /
+    partitioned by this key, so the probe is partition pruning — the scan
+    itself shrinks by ~2^len(dims)."""
+    dims = dims or [0, 1, 2, 3]
+    qb = 0
+    for i, d in enumerate(dims):
+        if query[d] >= 0:
+            qb |= 1 << i
+    candidates = vectors.filter(
+        sign_lsh_bucket(F.col(vec_col), dims) == F.lit(qb)
+    )
+    return knn_brute_force(candidates, query, k, id_col, vec_col)
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    block_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 2,
+) -> DataFrame:
+    """Embedding near-duplicate pairs above a cosine threshold.
+
+    Self-join blocked on (user blocks × sign-LSH bits) so the pair space
+    is bucket-local; the only shuffle key is the small block tuple. Output
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+    """
+    bucketed = vectors.withColumn(
+        "_bkt", sign_lsh_bucket(F.col(vec_col), list(range(sign_dims)))
+    )
+    keys = [*block_cols, "_bkt"]
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for c in keys:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def name_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    max_edit: int = 4,
+    block_fn=None,
+) -> DataFrame:
+    """Blocked string-similarity join for entity resolution.
+
+    ``block_fn(name_col) -> Column`` picks the blocking key (default:
+    lowercase first character); candidates only form inside a block, so
+    the pair space never goes quadratic in the table size — choose a
+    block with enough selectivity for the data (e.g. name suffix, phonetic
+    key, minhash band). Verification uses Spark's 3-arg
+    ``levenshtein(l, r, threshold)`` which early-exits at the threshold.
+    """
+    if block_fn is None:
+        block_fn = lambda c: F.lower(F.substring(c, 1, 1))  # noqa: E731
+    lb = left.withColumn("_blk", block_fn(F.col(left_name)))
+    rb = right.withColumn("_blk", block_fn(F.col(right_name)))
+    dist = F.levenshtein(
+        F.lower(F.col(left_name)), F.lower(F.col(right_name)), max_edit
+    )
+    return (
+        lb.join(rb, "_blk")
+        .withColumn("edit_distance", dist)
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_edit))
+        .drop("_blk")
+    )

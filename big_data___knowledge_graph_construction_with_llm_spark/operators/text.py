@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines (EXT surface).
+
+Language-ID (stopword/n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — all as
+column expressions so they run at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the heuristic language guesser.
+#: Deliberately small: the operator shape (map over tokens → score per
+#: language → argmax) is what matters; real deployments swap in fastText.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+_WS = r"\s+"
+#: BPE-ish token pattern: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE-like regex (counts word,
+    number, and symbol pieces separately)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char length, token count, mean token
+    length, stopword ratio, punctuation ratio, uppercase ratio."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    stop = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*stop)))
+    n_char = F.length(F.col(text_col))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[^\p{Punct}]", ""))
+    n_upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
+    return df.withColumns(
+        {
+            "n_chars_m": n_char,
+            "n_tokens": n_tok,
+            "mean_token_len": F.round(
+                (F.length(F.regexp_replace(F.col(text_col), _WS, ""))).cast("double")
+                / F.greatest(n_tok, F.lit(1)),
+                4,
+            ),
+            "stopword_ratio": F.round(
+                n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 4
+            ),
+            "punct_ratio": F.round(
+                n_punct.cast("double") / F.greatest(n_char, F.lit(1)), 4
+            ),
+            "upper_ratio": F.round(
+                n_upper.cast("double") / F.greatest(n_char, F.lit(1)), 4
+            ),
+        }
+    )
+
+
+def _marker_hits(t: Column, markers: tuple[str, ...]) -> Column:
+    # single-param lambda: pyspark passes (element, index) to 2-param lambdas
+    return F.size(F.filter(t, lambda x: F.lower(x).isin(*markers)))
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit count per language over whitespace tokens."""
+    t = tokens(col)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = _marker_hits(t, tuple(markers))
+    return out
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Argmax language by marker hits; 'und' (undetermined) when no marker
+    fires. Ties break alphabetically (deterministic)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best > 0, guess).otherwise(F.lit("und"))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Order-sensitive 64-bit document fingerprint.
+
+    Polynomial rolling hash over token xxhash64s:
+    ``fp = sum_i hash(tok_i) * 31^(i)  (wrapping int64)`` — implemented
+    with one ``aggregate`` pass (JVM-side) so it costs one scan, no
+    shuffle. Equal fingerprints ⇒ candidate exact duplicates even across
+    partition layouts.
+    """
+    t = tokens(col)
+    hashed = F.transform(t, lambda x: F.xxhash64(x))
+    init = F.struct(F.lit(0).cast("long").alias("acc"), F.lit(1).cast("long").alias("pw"))
+    folded = F.aggregate(
+        hashed,
+        init,
+        lambda s, h: F.struct(
+            (s["acc"] + h * s["pw"]).alias("acc"), (s["pw"] * F.lit(31)).alias("pw")
+        ),
+        lambda s: s["acc"],
+    )
+    return folded

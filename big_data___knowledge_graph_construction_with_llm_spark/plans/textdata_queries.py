@@ -1,0 +1,376 @@
+"""LLM-training-data queries: dedup, similarity search, text analysis,
+multimodal plumbing (the EXT surface mandated by BASELINE.json).
+
+Near-duplicate queries PLANT deterministic duplicates inside the query
+(union of the table with mutated clones) so the operators provably fire
+on the synthetic corpus — the oracle applies the identical mutation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
+from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import attach_binary_meta
+from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    knn_brute_force,
+    knn_lsh,
+    name_similarity_join,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.plans.registry import query
+from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+_STOPWORDS = sorted({w for ws in T.LANG_MARKERS.values() for w in ws})
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+# --- deduplication ------------------------------------------------------------
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    WITH full_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM full_docs GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by content hash: shuffle an 8-byte xxhash64, never the
+    document text. Clones are planted (10%) so groups >1 exist."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    full = d.unionByName(clones)
+    return (
+        full.select("doc_id", F.xxhash64("text").alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .drop("_h")
+        .select("doc_id", "n_copies")
+    )
+
+
+def _with_near_dup_clones(d: DataFrame, every: int = 20) -> DataFrame:
+    clones = d.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(clones)
+
+
+@query("q_minhash_dedup")  # LSH is probabilistic — rows-only check
+def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over planted near-clones
+    (shingle → 64-hash signature → 16 bands → bucket equi-join)."""
+    full = _with_near_dup_clones(load(spark, sf, "documents"))
+    return lsh_candidate_pairs(full, "doc_id", "text")
+
+
+@query("q_simhash_dedup")  # banded hamming blocking — rows-only check
+def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (4×16-bit bands, hamming ≤ 12 verify)."""
+    full = _with_near_dup_clones(load(spark, sf, "documents"))
+    return simhash_near_dup_pairs(full, "doc_id", "text", max_hamming=12)
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH full_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM full_docs
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    pairs AS (
+      SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS i
+      FROM pairs p
+      JOIN dsh a ON a.doc_id = p.id_a
+      JOIN dsh b ON b.doc_id = p.id_b AND b.s = a.s
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           i.i / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-3-gram Jaccard on candidate pairs (the LSH verify
+    stage): explode distinct shingles, equi-join, count / union."""
+    d = load(spark, sf, "documents")
+    full = _with_near_dup_clones(d)
+    pairs = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1000000).alias("id_b")
+    )
+    return ngram_jaccard_pairs(full, "doc_id", "text", pairs)
+
+
+@query(
+    "q_fingerprint",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Content fingerprint (md5 hex) per document — the cross-engine-stable
+    fingerprint; the rolling-hash variant is ``q_fingerprint_rolling``."""
+    return load(spark, sf, "documents").select("doc_id", F.md5("text").alias("fp"))
+
+
+@query("q_fingerprint_rolling")  # xxhash64-based — not oracle-expressible
+def q_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint over token hashes
+    (one aggregate pass, no shuffle)."""
+    return load(spark, sf, "documents").select(
+        "doc_id", T.fingerprint64("text").alias("fp64")
+    )
+
+
+# --- similarity search ----------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        load(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "q_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-k against a query vector (scan + TakeOrdered; no
+    corpus shuffle). Query vector = embedding of vec_id 0 (a parameter
+    fetch, not data movement)."""
+    vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_brute_force(vecs, _query_vec(spark, sf), 10)
+
+
+@query("q_knn_lsh")  # ANN: probes one sign-LSH bucket — rows-only check
+def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k probing the query's sign-LSH bucket (scale path: bucket =
+    partition key ⇒ partition pruning)."""
+    vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    return knn_lsh(vecs, _query_vec(spark, sf), 10)
+
+
+@query(
+    "q_cosine_sim",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+             list_concat([embedding[1]::DOUBLE + 0.05],
+                         list_slice(embedding::DOUBLE[], 2, len(embedding)))
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    b AS (
+      SELECT *,
+             (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
+              + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+              + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
+              + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+      FROM e
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 4) AS cosine
+    FROM b a JOIN b c
+      ON a.label = c.label AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.95
+    """,
+)
+def q_cosine_sim(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-duplicate pairs ≥ 0.95 cosine, blocked on
+    (label × 4 sign-LSH bits) — the pair space never goes quadratic in the
+    corpus. Clones (dim-1 perturbed) are planted so true pairs exist."""
+    e = load(spark, sf, "embeddings")
+    ed = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    clones = ed.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.05)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    full = ed.unionByName(clones)
+    return cosine_near_dup_pairs(
+        full, threshold=0.95, block_cols=["label"], sign_dims=4
+    )
+
+
+@query(
+    "q_sim_join_names",
+    oracle="""
+    WITH r AS (
+      SELECT c_custkey AS r_id, replace(c_name, 'Customer#', 'Custmer#') AS r_name
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, c_name, r_id, r_name,
+           CAST(levenshtein(lower(c_name), lower(r_name)) AS INT) AS edit_distance
+    FROM customer JOIN r ON right(c_name, 4) = right(r_name, 4)
+    WHERE levenshtein(lower(c_name), lower(r_name)) <= 2
+    """,
+)
+def q_sim_join_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked Levenshtein similarity join (entity resolution): mutated
+    clone names re-matched to their originals, blocked on name suffix."""
+    c = load(spark, sf, "customer")
+    right = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("r_id"),
+        F.regexp_replace("c_name", "Customer#", "Custmer#").alias("r_name"),
+    )
+    joined = name_similarity_join(
+        c.select("c_custkey", "c_name"),
+        right,
+        "c_name",
+        "r_name",
+        max_edit=2,
+        block_fn=lambda col: F.substring(col, -4, 4),
+    )
+    return joined.select(
+        "c_custkey", "c_name", "r_id", "r_name",
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    )
+
+
+# --- text analysis ---------------------------------------------------------------
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS INT) AS n_pieces
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_pieces"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS mean_token_len,
+           round(len(list_filter(toks, x -> list_contains([{_SQL_STOPLIST}], x)))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring features (length / mean token length / stopword
+    ratio) — pure column expressions, scan-speed."""
+    d = load(spark, sf, "documents")
+    return T.quality_features(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio"
+    )
+
+
+@query(
+    "q_lang_guess",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> list_contains([{", ".join(repr(w) for w in T.LANG_MARKERS["de"])}], lower(x)))) AS s_de,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> list_contains([{", ".join(repr(w) for w in T.LANG_MARKERS["en"])}], lower(x)))) AS s_en,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> list_contains([{", ".join(repr(w) for w in T.LANG_MARKERS["es"])}], lower(x)))) AS s_es,
+        len(list_filter(string_split_regex(trim(text), '\\s+'),
+            x -> list_contains([{", ".join(repr(w) for w in T.LANG_MARKERS["fr"])}], lower(x)))) AS s_fr
+      FROM documents
+    )
+    SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS guess,
+           count(*) AS n
+    FROM s GROUP BY 1
+    """,
+)
+def q_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic language ID (marker-lexicon argmax; ties alphabetical)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.select(T.lang_guess("text").alias("guess"))
+        .groupBy("guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- multimodal plumbing -----------------------------------------------------------
+
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-column plumbing: opaque payload (utf-8 bytes of text here;
+    image/audio bytes in production) + decoder-free metadata (length,
+    content hash). The decode stage itself is the stubbed
+    ``operators.multimodal.decode_images`` mapInPandas (unit-tested)."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return attach_binary_meta(d, "payload").select("doc_id", "byte_len", "sha256")

@@ -1,0 +1,60 @@
+"""CSV/TSV/JSON/parquet readers with the reference's all-string contract.
+
+The reference coerces every ingested column to string
+(``Art-Knowledge-Graph-Local/ingestion/data_ingestion_batch.py:16,19``;
+``Art-Knowledge-Graph-AWS/ingestion/DataIngestionBatch.py:102``) and
+infers headers/schema per source
+(``…AWS/ingestion/DataIngestionBatch.py:74,81,88``). These readers keep
+that contract but leave type inference available via ``all_string=False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stringify(df: DataFrame) -> DataFrame:
+    return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def read_csv(
+    spark: SparkSession, path: str, sep: str = ",", all_string: bool = True
+) -> DataFrame:
+    """Header-inferred CSV scan (``…AWS/ingestion/DataIngestionBatch.py:73-77``)."""
+    df = (
+        spark.read.option("header", "true")
+        .option("sep", sep)
+        .option("inferSchema", str(not all_string).lower())
+        .csv(path)
+    )
+    return _stringify(df) if all_string else df
+
+
+def read_tsv(spark: SparkSession, path: str, all_string: bool = True) -> DataFrame:
+    """Tab-separated scan (``…AWS/ingestion/DataIngestionBatch.py:80-84``)."""
+    return read_csv(spark, path, sep="\t", all_string=all_string)
+
+
+def read_json(
+    spark: SparkSession, path: str, multi_line: bool = True
+) -> DataFrame:
+    """Strict JSON scan (``…AWS/ingestion/DataIngestionBatch.py:87-91``).
+    For non-strict files (trailing commas) use
+    ``tolerant_json.read_json_tolerant``."""
+    return spark.read.option("multiLine", str(multi_line).lower()).json(path)
+
+
+def write_partitioned_json(df: DataFrame, path: str, fmt: str) -> None:
+    """Append-mode JSON sink, one subdir per source format
+    (``…AWS/ingestion/DataIngestionBatch.py:76,83,90,103``)."""
+    df.write.mode("append").json(f"{path.rstrip('/')}/{fmt}")
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """One JSON object per line — declarative version of the reference's
+    ``rdd.map(json.dumps).saveAsTextFile``
+    (``…AWS/LLM/main-llm-triplets-extraction.py:68-69``)."""
+    df.select(F.to_json(F.struct(*df.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)

@@ -1,0 +1,103 @@
+"""Structured Streaming operators (SURVEY.md §2.9 — all EXT).
+
+The reference is batch-only; its nearest analogs are the line-streaming
+S3 reader (``Art-Knowledge-Graph-AWS/GRAPH/main_neo4j_loader.py:60-75``)
+and the batched incremental Neo4j flush (``:72-75``). Each function here
+takes a *streaming* DataFrame and returns the transformed stream; batch
+twins of the window aggregations live in ``plans/`` as oracle-checked
+queries on the ``events`` table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark, path: str, schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+) -> DataFrame:
+    """File-based streaming source over a directory of JSON events."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window (gap-based) event counts per user — the streaming
+    twin of ``operators.relational.sessionize``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def stateful_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state bounded — the property
+    that makes streaming dedup viable indefinitely)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_foreach_batch(
+    stream: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    trigger_seconds: int = 10,
+):
+    """Micro-batch sink — the engine's version of the reference's batched
+    Neo4j flush (size-500 batches, ``…AWS/GRAPH/main_neo4j_loader.py:72-75``):
+    rate is controlled by trigger interval, idempotency by batch_id."""
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

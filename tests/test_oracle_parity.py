@@ -1,0 +1,74 @@
+"""Mirror of the driver's correctness gate: run every registered query on
+Spark AND its DuckDB oracle twin at sf0.001, compare row count + column
+names + order-insensitive values.
+
+Oracle-less queries get a smoke run (plan executes, schema stable).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from big_data___knowledge_graph_construction_with_llm_spark.plans import ORACLE, QUERIES
+from tests.conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if v is None:
+        return "\0NULL"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLE:
+        # rows-only smoke: plan executed, schema non-empty
+        assert s_cols
+        return
+    res = duck.execute(ORACLE[name])
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} (spark) != {len(d_rows)} (duckdb)"
+    )
+    sc, dc = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+    assert sc == dc, f"{name}: value mismatch, first diffs: {mismatches}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns
