@@ -53,12 +53,18 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
 def minhash_signature(
     shingle_col: F.Column, num_hashes: int = 64, seed: int = 7
 ) -> F.Column:
-    """MinHash signature (array<bigint>, length ``num_hashes``).
+    """MinHash signature (array<bigint>, length ``num_hashes``) as pure
+    array expressions — per-row, zero shuffle.
 
     Universal hash family h_i(x) = (a_i * xxhash64(x) + b_i) mod p, with
     fixed (a_i, b_i) derived from ``seed`` so the signature is
-    deterministic across runs and cluster sizes. Entirely higher-order
-    array expressions → JVM-side, scan-local, zero shuffle.
+    deterministic across runs and cluster sizes.
+
+    NOTE: inlining the shingle pipeline into ``num_hashes`` array passes
+    makes a huge codegen unit; for the hot path use
+    ``minhash_signatures`` (explode + partial agg) instead — same hash
+    family, same output, far cheaper. This column form is kept for
+    composability on already-small inputs.
     """
     rnd = _lcg_params(num_hashes, seed)
     base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
@@ -69,6 +75,38 @@ def minhash_signature(
         )
         sig.append(F.array_min(hashed))
     return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    seed: int = 7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures as ``(id, _m0.._m{n-1})`` via explode + hash
+    aggregation — the 100 TB path.
+
+    One pass: explode shingles → one xxhash64 per shingle → groupBy(id)
+    with ``num_hashes`` cheap ``min((h*a+b) mod p)`` aggregates. Partial
+    aggregation combines map-side, so the shuffle carries only
+    ``num_hashes`` longs per document regardless of document size, and
+    the codegen unit stays small (one arithmetic expression per hash,
+    not one full shingle pipeline per hash).
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("_s"),
+    )
+    h = tok.select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_lcg_params(num_hashes, seed))
+    ]
+    return h.groupBy("_id").agg(*aggs)
 
 
 def _lcg_params(n: int, seed: int) -> list[tuple[int, int]]:
@@ -109,22 +147,27 @@ def lsh_candidate_pairs(
     join (``max_bucket`` hook below).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("_sig"),
-    )
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n=shingle_n)
+    # band bucket = xxhash64 over that band's signature columns directly —
+    # no array assembly/slicing needed.
     banded = sig.select(
         "_id",
         F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -185,29 +228,68 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(text_col: str, shingle_n: int = 2) -> F.Column:
-    """64-bit SimHash of a text column, as pure array expressions.
+    """64-bit SimHash of a text column, as one pass of array expressions.
 
-    For each bit position, sum +1/-1 contributions of each shingle's
-    xxhash64 bit, then take the sign. Near-duplicates differ in few bits
-    (compare with ``bit_count(a ^ b) <= k``).
+    A single ``aggregate`` walks the distinct shingles once, keeping 64
+    running +1/-1 bit counters in an array accumulator; the final lambda
+    folds the counter signs into the 64-bit hash. Near-duplicates differ
+    in few bits (compare with ``bit_count(a ^ b) <= k``).
     """
     sh = F.array_distinct(shingles(text_col, shingle_n))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    bits = []
+    counters = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, i: c
+            + F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) * 2
+            - 1,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """SimHash per document as ``(id, _sim)`` via explode + partial agg —
+    the 100 TB path (same shape as ``minhash_signatures``).
+
+    Explode distinct shingles, hash each once, then groupBy(id) with 64
+    ``sum(±1)`` bit-counter aggregates (map-side combined); a final
+    projection folds the 64 signs into one 64-bit long.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s"),
+    )
+    h = tok.select("_id", F.xxhash64("_s").alias("_h"))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    counters = h.groupBy("_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
     for i in range(64):
-        contrib = F.transform(
-            hashes,
-            lambda h: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        sim = sim.bitwiseOR(
+            F.when(
+                F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
         )
-        bit_i = F.when(
-            F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x) > 0,
-            F.lit(1).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        bits.append(F.shiftleft(bit_i, i))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    return counters.select("_id", sim.alias("_sim"))
 
 
 def simhash_near_dup_pairs(
@@ -220,9 +302,7 @@ def simhash_near_dup_pairs(
     on each band, verify hamming distance inside the block. Same
     shuffle-on-small-key property as MinHash LSH.
     """
-    sigs = df.select(
-        F.col(id_col).alias("_id"), simhash64(text_col).alias("_sim")
-    )
+    sigs = simhash_signatures(df, id_col, text_col)
     banded = sigs.select(
         "_id",
         "_sim",
