@@ -14,8 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# A large Mersenne prime for universal hashing (public-domain constant).
+# Mersenne primes for universal hashing (public-domain constants).
+# The 31-bit prime is used wherever two hash-domain values are multiplied:
+# (p31-1)^2 < 2^63, so the arithmetic never overflows int64 and the
+# operators are safe under Spark's default ANSI mode.
 _MERSENNE = (1 << 61) - 1
+_P31 = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -41,13 +45,23 @@ def exact_dedup_by_hash(
 
 
 def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Token n-gram shingles of a text column as an array<string>."""
+    """Token n-gram shingles of a text column as an array<string>.
+
+    The token array is bound to a lambda variable via a one-element-array
+    ``transform`` so it is evaluated ONCE per row. Referencing the
+    ``split`` expression directly inside the per-shingle lambda would
+    re-run the regex split for every shingle — O(tokens²) per document.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), k - 1)
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+
+    def _gen(t: F.Column) -> F.Column:
+        k = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+
+    return F.flatten(F.transform(F.array(toks), _gen))
 
 
 def minhash_signature(
@@ -67,11 +81,11 @@ def minhash_signature(
     composability on already-small inputs.
     """
     rnd = _lcg_params(num_hashes, seed)
-    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    base = F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_P31)))
     sig = []
     for a, b in rnd:
         hashed = F.transform(
-            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P31))
         )
         sig.append(F.array_min(hashed))
     return F.array(*sig)
@@ -99,9 +113,9 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text_col, shingle_n)).alias("_s"),
     )
-    h = tok.select("_id", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)).alias("_h"))
+    h = tok.select("_id", F.pmod(F.xxhash64("_s"), F.lit(_P31)).alias("_h"))
     aggs = [
-        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P31))).alias(
             f"_m{i}"
         )
         for i, (a, b) in enumerate(_lcg_params(num_hashes, seed))
@@ -120,8 +134,8 @@ def _lcg_params(n: int, seed: int) -> list[tuple[int, int]]:
         z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
         z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
         z ^= z >> 31
-        a = (z % (_MERSENNE - 1)) + 1
-        b = (z >> 13) % _MERSENNE
+        a = (z % (_P31 - 1)) + 1
+        b = (z >> 13) % _P31
         out.append((a, b))
     return out
 

@@ -100,23 +100,31 @@ def lang_guess(col: Column | str) -> Column:
     return F.when(best > 0, guess).otherwise(F.lit("und"))
 
 
-def fingerprint64(col: Column | str) -> Column:
-    """Order-sensitive 64-bit document fingerprint.
+#: 31-bit Mersenne prime: (p-1)² < 2^63, so rolling-hash products never
+#: overflow int64 — safe under Spark's default ANSI mode.
+_P31 = (1 << 31) - 1
 
-    Polynomial rolling hash over token xxhash64s:
-    ``fp = sum_i hash(tok_i) * 31^(i)  (wrapping int64)`` — implemented
-    with one ``aggregate`` pass (JVM-side) so it costs one scan, no
-    shuffle. Equal fingerprints ⇒ candidate exact duplicates even across
-    partition layouts.
+
+def fingerprint64(col: Column | str) -> Column:
+    """Order-sensitive document fingerprint (polynomial rolling hash).
+
+    ``fp = sum_i hash(tok_i) * 31^i  (mod p31)`` over token xxhash64s —
+    one ``aggregate`` pass (JVM-side), one scan, no shuffle. All
+    intermediate products stay below 2^62, so the expression is exact
+    under ANSI mode (no wrapping arithmetic). Equal fingerprints ⇒
+    candidate exact duplicates even across partition layouts.
     """
     t = tokens(col)
-    hashed = F.transform(t, lambda x: F.xxhash64(x))
+    hashed = F.transform(t, lambda x: F.pmod(F.xxhash64(x), F.lit(_P31)))
     init = F.struct(F.lit(0).cast("long").alias("acc"), F.lit(1).cast("long").alias("pw"))
     folded = F.aggregate(
         hashed,
         init,
         lambda s, h: F.struct(
-            (s["acc"] + h * s["pw"]).alias("acc"), (s["pw"] * F.lit(31)).alias("pw")
+            F.pmod(s["acc"] + F.pmod(h * s["pw"], F.lit(_P31)), F.lit(_P31)).alias(
+                "acc"
+            ),
+            F.pmod(s["pw"] * F.lit(31), F.lit(_P31)).alias("pw"),
         ),
         lambda s: s["acc"],
     )
