@@ -58,8 +58,17 @@ def canonical_map_df(
     mapping = dict(CANONICAL_RELATIONS)
     if extra:
         mapping.update(extra)
-    return spark.createDataFrame(
-        sorted(mapping.items()), schema="variant string, canonical string"
+    # Build the table from a map LITERAL (explode on the JVM) instead of
+    # spark.createDataFrame(local_rows): the latter routes through the
+    # pickled-RDD path and pays a Python-worker spin-up (~1.5s first use)
+    # for a 46-row dimension table.
+    pairs = F.create_map(
+        *[F.lit(x) for kv in sorted(mapping.items()) for x in kv]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(pairs).alias("variant", "canonical"))
+        .select("variant", "canonical")
     )
 
 

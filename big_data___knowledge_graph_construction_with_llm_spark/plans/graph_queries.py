@@ -132,13 +132,17 @@ def q_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     SURVEY §2.3)."""
     o = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
+    # o_orderkey is unique ⇒ e1 is already distinct: no dedup shuffle.
     e1 = o.select(
         F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
     e2 = li.select(
         F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
     ).distinct()
     edges = e1.unionByName(e2)
-    return two_hop(edges).distinct()
+    # join output is already row-distinct: e1 has one row per order and e2
+    # is deduped, and the namespace prefixes make only c→o ⋈ o→p match —
+    # so the oracle's DISTINCT is a no-op we must not pay a shuffle for.
+    return two_hop(edges)

@@ -245,14 +245,14 @@ def q_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
 def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     """Theta/range join into broadcast value bands (no cartesian shuffle)."""
     c = load(spark, sf, "customer")
-    bands = spark.createDataFrame(
-        [
-            ("negative", -100000.0, 0.0),
-            ("low", 0.0, 3000.0),
-            ("mid", 3000.0, 7000.0),
-            ("high", 7000.0, 100000.0),
-        ],
-        schema="band string, lo double, hi double",
+    # inline VALUES relation — stays on the JVM (no pickled-RDD path)
+    bands = spark.sql(
+        """
+        SELECT * FROM VALUES
+            ('negative', -100000.0D, 0.0D), ('low', 0.0D, 3000.0D),
+            ('mid', 3000.0D, 7000.0D), ('high', 7000.0D, 100000.0D)
+            AS bands(band, lo, hi)
+        """
     )
     return (
         range_join_bands(c, bands, "c_acctbal")
