@@ -28,7 +28,9 @@ def norm_label(col: Column | str) -> Column:
     Semantics of ``normalize_label``
     (``Art-Knowledge-Graph-Local/Graph/graph_builder.py:29-32``): split on
     whitespace/underscores/hyphens, capitalize each word, concatenate.
-    Idempotent (the reference double-applies it harmlessly).
+    NOT idempotent for digit-leading words ('0-A' → '0A' → '0a') — exactly
+    like the reference's ``str.capitalize``, which lowercases the rest of
+    the word; only ``norm_relation`` carries the double-apply law.
     """
     c = F.col(col) if isinstance(col, str) else col
     spaced = F.regexp_replace(F.trim(c), "[-_\\s]+", " ")

@@ -9,6 +9,7 @@ from big_data___knowledge_graph_construction_with_llm_spark.plans import (  # no
     graph_queries,
     relational_queries,
     scalar_queries,
+    sources_queries,
     textdata_queries,
 )
 from big_data___knowledge_graph_construction_with_llm_spark.plans.registry import ORACLE, QUERIES

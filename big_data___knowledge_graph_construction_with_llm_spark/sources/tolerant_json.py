@@ -26,7 +26,9 @@ def read_json_tolerant(
     One row per object. Files are the unit of parallelism (wholetext), the
     per-object parsing is distributed.
     """
-    raw = spark.read.option("wholetext", "true").text(path)
+    # NB: must be the reader kwarg — .option("wholetext", ...) is silently
+    # ignored by the text source (verified on Spark 4.1.2)
+    raw = spark.read.text(path, wholetext=True)
     repaired = raw.select(repair_json(F.col("value")).alias("value"))
     objects = repaired.select(
         F.explode(

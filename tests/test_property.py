@@ -1,0 +1,123 @@
+"""Property-based tests (SURVEY.md §5.4): normalizer idempotence (the
+reference double-normalizes harmlessly — made a law here), tolerant-JSON
+agreement with strict parsing on valid input, dedup idempotence, and
+union-fill schema stability.
+
+Each property evaluates ONE Spark job per example set (the strings are
+batched into a single DataFrame) so hypothesis stays fast.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.functions.json_repair import tolerant_parse
+from big_data___knowledge_graph_construction_with_llm_spark.functions.normalize import (
+    norm_label,
+    norm_relation,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import exact_dedup
+from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import union_fill
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" -_"
+        ),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(vals=texts)
+@settings(**_SETTINGS)
+def test_norm_relation_idempotent(spark, vals):
+    # the double-apply law (the reference double-normalizes relations,
+    # ``…Local/Graph/graph_builder.py:58,81``); norm_label is NOT
+    # idempotent for digit-leading words — same as str.capitalize.
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    out = df.select(
+        norm_relation("s").alias("r1"),
+        norm_relation(norm_relation("s")).alias("r2"),
+    )
+    for r in out.collect():
+        assert r["r1"] == r["r2"]
+
+
+def test_norm_label_reference_semantics(spark):
+    cases = [
+        ("oil painting", "OilPainting"),
+        ("artist_name", "ArtistName"),
+        ("mixed-CASE label", "MixedCaseLabel"),
+        ("0-A", "0A"),  # digit-leading word: capitalize leaves '0', lowers rest
+    ]
+    df = spark.createDataFrame(cases, "s string, want string")
+    for r in df.select(norm_label("s").alias("got"), "want").collect():
+        assert r["got"] == r["want"]
+
+
+@given(
+    objs=st.lists(
+        st.dictionaries(
+            st.sampled_from(["k", "v", "x"]),
+            st.integers(min_value=-(10**6), max_value=10**6),
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_tolerant_parse_agrees_with_strict(spark, objs):
+    rows = [(json.dumps(o),) for o in objs]
+    df = spark.createDataFrame(rows, "js string")
+    out = df.select(
+        tolerant_parse("js", "k int, v int, x int").alias("t"),
+        F.from_json("js", "k int, v int, x int").alias("s"),
+    )
+    for r in out.collect():
+        assert r["t"] == r["s"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, s string")
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+    assert len(a) == len({tuple(r) for r in rows})
+
+
+def test_union_fill_schema_stability(spark):
+    a = spark.createDataFrame([("x", "1")], "c1 string, c2 string")
+    b = spark.createDataFrame([("y", "z")], "c1 string, c3 string")
+    out = union_fill([a, b])
+    assert set(out.columns) == {"c1", "c2", "c3"}
+    rows = {r["c1"]: (r["c2"], r["c3"]) for r in out.collect()}
+    assert rows["x"] == ("1", "")
+    assert rows["y"] == ("", "z")
+    # union again with itself: columns unchanged, fill stays ""
+    out2 = union_fill([out, out])
+    assert set(out2.columns) == {"c1", "c2", "c3"}
+    assert out2.count() == 4

@@ -1,0 +1,146 @@
+"""Golden-file tests for the source readers (SURVEY.md §5.2/§5.5):
+tolerant JSON (trailing commas, mirroring the reference's bundled
+``COLLEZIONI_PALAZZO_MADAMA.json``), all-string CSV/TSV contract, XML
+record parsing with single-record promotion, and the RDF relational core.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.sources.rdf import (
+    KEEP_PREDICATES,
+    keepset_filter,
+    local_name,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.sources.tabular import (
+    read_csv,
+    read_tsv,
+    write_jsonl,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.sources.tolerant_json import (
+    read_json_tolerant,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.sources.xml import (
+    parse_xml_records,
+    read_xml_records,
+)
+
+# mirrors the reference's trailing-comma array (SURVEY.md §1.3)
+TRAILING_COMMA_JSON = """[
+  {
+    "Inventario": "0001/B",
+    "Autore": "Maestro di Palazzo Madama",
+    "Datazione": "1490 ca.",
+  },
+  {
+    "Inventario": "0002/C",
+    "Autore": "Bottega torinese",
+    "Datazione": "1496 - 1553",
+  },
+]
+"""
+
+
+def test_tolerant_json_trailing_commas(spark, tmp_path):
+    p = tmp_path / "collezioni.json"
+    p.write_text(TRAILING_COMMA_JSON)
+    # native strict reader rejects this file (single _corrupt_record)
+    strict = spark.read.option("multiLine", "true").json(str(p))
+    assert strict.columns == ["_corrupt_record"]
+    df = read_json_tolerant(
+        spark, str(p), "Inventario string, Autore string, Datazione string"
+    )
+    rows = {r["Inventario"]: r for r in df.collect()}
+    assert set(rows) == {"0001/B", "0002/C"}
+    assert rows["0001/B"]["Autore"] == "Maestro di Palazzo Madama"
+    assert rows["0002/C"]["Datazione"] == "1496 - 1553"
+
+
+def test_csv_tsv_all_string_contract(spark, tmp_path):
+    csv = tmp_path / "artists.csv"
+    csv.write_text("Artist ID,Name,Birth Year\n1,Pablo,1881\n2,Frida,1907\n")
+    df = read_csv(spark, str(csv))
+    assert [f.dataType.typeName() for f in df.schema.fields] == ["string"] * 3
+    assert df.count() == 2
+    assert df.filter(F.col("Name") == "Pablo").head()["Birth Year"] == "1881"
+
+    tsv = tmp_path / "artists.tsv"
+    tsv.write_text("id\tname\n10\tx\n")
+    tdf = read_tsv(spark, str(tsv))
+    assert tdf.head()["id"] == "10"
+
+    # typed variant keeps inference available
+    typed = read_csv(spark, str(csv), all_string=False)
+    assert {f.dataType.typeName() for f in typed.schema.fields} >= {"integer"}
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    back = spark.read.json(out)
+    assert sorted(tuple(r) for r in back.select("id", "v").collect()) == [
+        (0, 0), (1, 2), (2, 4),
+    ]
+
+
+XML_MULTI = """<collection>
+  <record><id>1</id><title>Ritratto d&apos;uomo</title></record>
+  <record><id>2</id><title>Natura morta &amp; fiori</title></record>
+</collection>
+"""
+
+XML_SINGLE = """<collection>
+  <record><id>9</id><title>Solo</title></record>
+</collection>
+"""
+
+
+def test_parse_xml_records_pure():
+    recs = parse_xml_records(XML_MULTI, "record")
+    assert recs == [
+        {"id": "1", "title": "Ritratto d'uomo"},
+        {"id": "2", "title": "Natura morta & fiori"},
+    ]
+    # single-record dict→list promotion (reference :101-102)
+    assert parse_xml_records(XML_SINGLE, "record") == [
+        {"id": "9", "title": "Solo"}
+    ]
+    assert parse_xml_records("<collection></collection>", "record") == []
+
+
+def test_read_xml_records_spark(spark, tmp_path):
+    p = tmp_path / "coll.xml"
+    p.write_text(XML_MULTI)
+    df = read_xml_records(spark, str(p), row_tag="record")
+    got = sorted((r["id"], r["title"]) for r in df.select("id", "title").collect())
+    assert got == [(1, "Ritratto d'uomo"), (2, "Natura morta & fiori")]
+
+
+def test_rdf_local_name():
+    assert local_name("http://ex.org/a/b#prefLabel") == "prefLabel"
+    assert local_name("http://ex.org/a/creator") == "creator"
+    assert local_name("creator") == "creator"
+
+
+def test_rdf_keepset_filter(spark):
+    rows = [
+        ("Tiziano", "creator", "Ritratto", None),
+        ("Tiziano", "creator", "Ritratto", None),  # dup
+        ("Tiziano", "wasBornIn", "Venezia", None),  # not in keep-set
+        (" ", "creator", "X", None),  # blank subject
+        ("Y", "depicts", "  ", None),  # blank object
+        ("Museo", "sameAs", "museo-uri", "it"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subject string, predicate string, object string, lang string"
+    )
+    out = keepset_filter(df)
+    got = sorted(
+        (r["subject"], r["predicate"], r["object"]) for r in out.collect()
+    )
+    assert got == [("Museo", "sameAs", "museo-uri"), ("Tiziano", "creator", "Ritratto")]
+    assert "wasBornIn" not in KEEP_PREDICATES

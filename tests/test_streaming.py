@@ -1,0 +1,90 @@
+"""Structured Streaming tests (SURVEY.md §2.9): file source → windowed
+aggregation with watermark, stateful dedup, and the foreachBatch
+micro-batch sink — each checked against its batch twin.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+    read_events_stream,
+    stateful_dedup,
+    tumbling_counts,
+    write_foreach_batch,
+)
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:04:00Z", "user_id": 1, "event_type": "click", "value": 2.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T00:12:00Z", "user_id": 2, "event_type": "view", "value": 3.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T00:12:00Z", "user_id": 2, "event_type": "view", "value": 3.0, "props": "{}"},  # dup
+    {"event_id": 4, "ts": "2024-01-01T00:13:00Z", "user_id": 2, "event_type": "click", "value": 4.0, "props": "{}"},
+]
+
+
+def _write_events(tmp_path):
+    src = tmp_path / "stream-in"
+    src.mkdir()
+    (src / "part-0.json").write_text("\n".join(json.dumps(e) for e in EVENTS))
+    return str(src)
+
+
+def _run_to_memory(stream_df, name, tmp_path, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_tumbling_counts_stream_matches_batch(spark, tmp_path):
+    src = _write_events(tmp_path)
+    stream = read_events_stream(spark, src)
+    assert stream.isStreaming
+    _run_to_memory(
+        tumbling_counts(stream, window="10 minutes"), "tumbling", tmp_path, "complete"
+    )
+    got = {
+        (r["window_start"].minute, r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    # batch twin on the same rows
+    assert got[(0, "click")] == (2, 3.0)
+    assert got[(10, "view")] == (2, 6.0)
+    assert got[(10, "click")] == (1, 4.0)
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    src = _write_events(tmp_path)
+    stream = read_events_stream(spark, src)
+    deduped = stateful_dedup(stream, ["event_id"])
+    _run_to_memory(deduped, "dedup", tmp_path, "append")
+    rows = spark.sql("SELECT event_id FROM dedup").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3, 4]  # the duplicate event_id=3 collapsed
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    src = _write_events(tmp_path)
+    stream = read_events_stream(spark, src)
+    seen: list[tuple[int, int]] = []
+
+    def sink(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    q = write_foreach_batch(
+        stream.filter(F.col("event_type") == "click"),
+        sink,
+        checkpoint=str(tmp_path / "ckpt-febatch"),
+        trigger_seconds=1,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sum(n for _, n in seen) == 3  # click events (incl. none dropped)
