@@ -1,0 +1,124 @@
+"""Optional Neo4j property-graph sink (batched UNWIND MERGE).
+
+Reference behavior being re-expressed:
+
+* AWS variant: 500-row ``UNWIND $batch MERGE`` with APOC dynamic labels
+  (``Art-Knowledge-Graph-AWS/GRAPH/graph_builder.py:27-54``).
+* Local variant: per-triple ``MERGE (h:{Label} {name})-[:REL]->(t:{Label})``
+  with f-string label interpolation
+  (``Art-Knowledge-Graph-Local/Graph/graph_builder.py:41-93``).
+
+Defects NOT reproduced (SURVEY.md §2.11):
+
+* #3 — duplicate ``YIELD node`` variable in the APOC call (Cypher compile
+  error): we emit one statement per label-group instead.
+* #6 — Cypher injection via interpolated labels/rel-types: identifiers
+  cannot be parameterized in Cypher, so every interpolated identifier goes
+  through ``sanitize_identifier`` (strict allow-list) first.
+
+The sink itself runs ``foreachPartition`` with MERGE-only statements, so
+Spark task retries are idempotent (SURVEY.md §7 hard-point 4). The neo4j
+driver is optional — everything except ``write_graph`` is pure and
+unit-tested without it.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+try:  # optional; not in this container
+    import neo4j  # type: ignore  # noqa: F401
+
+    HAVE_NEO4J = True
+except Exception:  # pragma: no cover
+    HAVE_NEO4J = False
+
+_IDENT_RE = re.compile(r"[^A-Za-z0-9_]")
+
+
+def sanitize_identifier(name: str, default: str = "Entity") -> str:
+    """Strict allow-list for interpolated Cypher identifiers (labels and
+    relationship types): non ``[A-Za-z0-9_]`` chars are dropped, a leading
+    digit is prefixed, empty input falls back to ``default``. This is the
+    fix for the reference's injection-prone f-string interpolation
+    (``…Local/Graph/graph_builder.py:68,75,85-87``)."""
+    cleaned = _IDENT_RE.sub("", (name or "").strip())
+    if not cleaned:
+        return default
+    if cleaned[0].isdigit():
+        cleaned = "_" + cleaned
+    return cleaned
+
+
+def merge_nodes_cypher(label: str) -> str:
+    """Batched node upsert for one (sanitized) label group."""
+    lbl = sanitize_identifier(label)
+    return (
+        "UNWIND $batch AS row "
+        f"MERGE (n:`{lbl}` {{name: row.name}})"
+    )
+
+
+def merge_edges_cypher(rel_type: str) -> str:
+    """Batched edge upsert for one (sanitized) relationship-type group.
+
+    Node MERGE first (label-less, keyed on name — the AWS variant's
+    convention, ``…AWS/GRAPH/graph_builder.py:37-38``) then the edge."""
+    rel = sanitize_identifier(rel_type, default="RELATED")
+    return (
+        "UNWIND $batch AS row "
+        "MERGE (h {name: row.src}) "
+        "MERGE (t {name: row.dst}) "
+        f"MERGE (h)-[r:`{rel}`]->(t)"
+    )
+
+
+def _chunks(rows: Iterator, size: int):
+    buf = []
+    for r in rows:
+        buf.append(r)
+        if len(buf) >= size:
+            yield buf
+            buf = []
+    if buf:
+        yield buf
+
+
+def write_graph(
+    edges: DataFrame,
+    uri: str,
+    auth: tuple[str, str],
+    batch_size: int = 500,
+) -> None:  # pragma: no cover - needs a neo4j server
+    """Write an ``edges(src, dst, relationship)`` DataFrame to Neo4j with
+    size-``batch_size`` UNWIND batches per partition (the AWS variant's
+    bootstrap default, ``…AWS/EMR-config/EMR_bootstrap.sh:17``).
+
+    MERGE-only ⇒ re-running a failed Spark task re-applies upserts, so the
+    sink is idempotent under task retry."""
+    if not HAVE_NEO4J:
+        raise NotImplementedError(
+            "neo4j driver not installed; Neo4j sink is gated (SURVEY.md §2.1)"
+        )
+
+    def _write_partition(rows: Iterator) -> None:
+        import neo4j as _n
+
+        driver = _n.GraphDatabase.driver(uri, auth=auth)
+        try:
+            with driver.session() as session:
+                for chunk in _chunks(rows, batch_size):
+                    by_rel: dict[str, list[dict]] = {}
+                    for r in chunk:
+                        by_rel.setdefault(r["relationship"], []).append(
+                            {"src": r["src"], "dst": r["dst"]}
+                        )
+                    for rel, batch in sorted(by_rel.items()):
+                        session.run(merge_edges_cypher(rel), batch=batch)
+        finally:
+            driver.close()
+
+    edges.foreachPartition(_write_partition)
