@@ -1,0 +1,115 @@
+"""Iterative graph analytics as DataFrame loops (north-star "GraphX"
+surface, BASELINE.json).
+
+GraphX itself is Scala-only and GraphFrames is not available in this
+container, so the algorithms are expressed as the same message-passing
+joins those libraries compile to: per iteration one equi-join on the edge
+table + one aggregation, with ``localCheckpoint`` cutting lineage so the
+plan does not grow with the iteration count (the classic failure mode of
+iterative DataFrame code at scale).
+
+Scale notes: each iteration shuffles on vertex id — pre-partitioning the
+edge table by ``dst`` (bucketing at rest) makes every iteration's join
+co-located; convergence checks are ``limit(1).count()`` probes, not full
+scans of the diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected view of a directed edge list (both directions, distinct)."""
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, undirected: bool = True
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns ``(id, comp)`` where ``comp`` is the minimum vertex id in the
+    component (deterministic). Converges in O(diameter) iterations; each
+    iteration is one shuffle-join + one partial-aggregated min.
+    """
+    e = symmetrize(edges) if undirected else edges.select("src", "dst")
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))  # dst-only vertices too
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            e.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("src", "id")
+        )
+        new = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+        )
+        new = new.localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+) -> DataFrame:
+    """PageRank (simple variant: dangling mass is dropped, as in the
+    original GraphX ``staticPageRank`` formulation).
+
+    Returns ``(id, rank)``. Each iteration: join ranks onto edges, spread
+    ``rank/out_degree`` along edges, sum per destination — one shuffle on
+    vertex id per iteration, lineage cut per iteration.
+    """
+    e = edges.select("src", "dst")
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    base = (1.0 - damping) / n
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(out_deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -17,6 +17,10 @@ from big_data___knowledge_graph_construction_with_llm_spark.operators.graph impo
     two_hop,
     vertices_from_triplets,
 )
+from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+    connected_components,
+    pagerank,
+)
 from big_data___knowledge_graph_construction_with_llm_spark.plans.registry import query
 from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
 
@@ -146,3 +150,43 @@ def q_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     # is deduped, and the namespace prefixes make only c→o ⋈ o→p match —
     # so the oracle's DISTINCT is a no-op we must not pay a shuffle for.
     return two_hop(edges)
+
+
+@query(
+    "q_connected_components",
+    oracle="""
+    WITH cn AS (
+      SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    comp AS (
+      SELECT n_name, least(n_name, min(c_name)) AS comp FROM cn GROUP BY n_name
+    )
+    SELECT c_name AS id, comp FROM cn JOIN comp USING (n_name)
+    UNION ALL
+    SELECT n_name AS id, comp FROM comp
+    """,
+)
+def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components via iterative min-label propagation on the
+    bipartite customer—nation graph. Every component is one nation plus
+    its customers, so the oracle can state the fixpoint directly:
+    comp = least(n_name, min(c_name)) — exact parity proves convergence."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    edges = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("c_name").alias("src"), F.col("n_name").alias("dst")
+    )
+    return connected_components(edges)
+
+
+@query("q_pagerank")  # iterative float fixpoint — rows-only check
+def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Static PageRank (10 iterations) on the user→event_type bipartite
+    graph; ranks rounded for cross-run determinism."""
+    ev = load(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    pr = pagerank(edges, iterations=10)
+    return pr.select("id", F.round("rank", 8).alias("rank"))

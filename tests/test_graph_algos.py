@@ -1,0 +1,44 @@
+"""Unit tests for the iterative DataFrame graph algorithms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+    connected_components,
+    pagerank,
+    symmetrize,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_symmetrize(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("b", "c")])
+    got = sorted(tuple(r) for r in symmetrize(e).collect())
+    assert got == [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")]
+
+
+def test_connected_components_two_islands(spark):
+    # chain a-b-c-d (diameter 3, needs >1 iteration) and island x-y
+    e = _edges(spark, [("b", "a"), ("c", "b"), ("d", "c"), ("y", "x")])
+    comp = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_directed_mode(spark):
+    # directed: no back-propagation from dst to src
+    e = _edges(spark, [("b", "a")])
+    comp = {r["id"]: r["comp"] for r in connected_components(e, undirected=False).collect()}
+    assert comp == {"a": "a", "b": "a"}
+
+
+def test_pagerank_star(spark):
+    # hub-and-spoke: the hub receives all spoke mass
+    e = _edges(spark, [("s1", "hub"), ("s2", "hub"), ("s3", "hub")])
+    pr = {r["id"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert pr["hub"] > pr["s1"] == pr["s2"] == pr["s3"]
+    # simple variant drops dangling mass: total stays <= 1
+    assert sum(pr.values()) <= 1.0 + 1e-9
