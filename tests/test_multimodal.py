@@ -1,0 +1,65 @@
+"""Tests for the multimodal column plumbing: the Spark-side contract
+(schema, Arrow batch shape, one-row→many-rows explode) is real even
+though the codec itself is a deterministic stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+    attach_binary_meta,
+    decode_image_stub,
+    decode_images,
+    frame_sample_stub,
+)
+
+
+def _payloads(spark):
+    return spark.createDataFrame(
+        [(1, b"x" * 150), (2, b"hello world"), (3, b"")],
+        "doc_id bigint, payload binary",
+    )
+
+
+def test_attach_binary_meta_jvm_side(spark):
+    df = attach_binary_meta(_payloads(spark))
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[1]["byte_len"] == 150
+    assert rows[2]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert rows[3]["byte_len"] == 0
+    # stays a pure expression plan — no Python boundary
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="extended")
+    assert "mapInPandas" not in buf.getvalue().lower()
+
+
+def test_decode_images_contract(spark):
+    out = decode_images(_payloads(spark), batch_partitions=2)
+    assert out.columns == ["doc_id", "byte_len", "sha256", "width", "height", "n_channels"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    w, h, c = decode_image_stub(b"x" * 150)
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (w, h, c)
+    assert rows[2]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+    assert rows[3]["byte_len"] == 0  # empty payload survives the stage
+
+
+def test_frame_sample_explodes(spark):
+    df = spark.createDataFrame(
+        [(1, b"v" * 2500), (2, b"v" * 50)], "doc_id bigint, payload binary"
+    )
+    out = frame_sample_stub(df, every_n=10)
+    per_doc = (
+        out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    n = {r["doc_id"]: r["n"] for r in per_doc}
+    assert n[1] == 3  # 25 fake frames, every 10th → frames 0,10,20
+    assert n[2] == 1  # tiny payload → 1 frame
+    # deterministic frame hashes
+    a = sorted(tuple(r) for r in out.filter("doc_id = 1").collect())
+    b = sorted(tuple(r) for r in frame_sample_stub(df, every_n=10).filter("doc_id = 1").collect())
+    assert a == b

@@ -88,3 +88,48 @@ def test_foreach_batch_sink(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sum(n for _, n in seen) == 3  # click events (incl. none dropped)
+
+
+def test_custom_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    two files forced into separate batches via maxFilesPerTrigger."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "stateful-in"
+    src.mkdir()
+    batch1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 1, "event_type": "view", "value": 2.0, "props": "{}"},
+    ]
+    batch2 = [
+        {"event_id": 3, "ts": "2024-01-01T00:03:00Z", "user_id": 1, "event_type": "click", "value": 4.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:04:00Z", "user_id": 2, "event_type": "click", "value": 8.0, "props": "{}"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(e) for e in batch1))
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in batch2))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-state"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    # last emission per user reflects cumulative state across batches
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = (r["n"], r["total"])
+    assert last[1] == (3, 7.0)  # 1+2 from batch1, +4 from batch2
+    assert last[2] == (1, 8.0)
