@@ -100,6 +100,107 @@ def knn_lsh(
     return knn_brute_force(candidates, query, k, id_col, vec_col)
 
 
+def ivf_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids ``(cluster, centroid)``
+    trained with Lloyd iterations as DataFrame ops.
+
+    Deterministic init: cluster seed = ``xxhash64(id) pmod k`` (no RNG, so
+    executors/driver and re-runs agree). Each iteration: assign every
+    vector to its nearest centroid (broadcast of k centroid arrays —
+    tiny), then average per cluster (one partial-aggregated shuffle of k
+    groups). At 100 TB train on a sample; assignment stays a full scan
+    with a broadcast, which is the scalable part that matters.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # init: hash-partitioned seeds -> mean per seed bucket
+    assigned = v.withColumn("cluster", F.pmod(F.xxhash64(F.col("_id")), F.lit(k)))
+    centroids = None
+    for _ in range(iterations):
+        centroids = _cluster_means(assigned)
+        assigned = _assign_nearest(v, centroids)
+    return centroids if centroids is not None else _cluster_means(assigned)
+
+
+def _cluster_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean vector per cluster: explode (pos, val), average,
+    re-assemble — partial aggregation keeps the shuffle at
+    O(k × dims) rows."""
+    pos = assigned.select(
+        "cluster", F.posexplode("_v").alias("pos", "val")
+    )
+    means = pos.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cluster",
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
+def _assign_nearest(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast cross join + min_by on
+    squared L2 — k dot products per row, all JVM-side."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "_id", "_v", "cluster", d2.alias("_d2")
+    )
+    return scored.groupBy("_id").agg(
+        F.min_by("cluster", "_d2").alias("cluster"),
+        F.first("_v").alias("_v"),
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k, IVF style: rank centroids against the query on the
+    driver (k_centroids rows — a parameter, not data), probe only the
+    ``n_probe`` nearest clusters, exact cosine inside them.
+
+    At rest the vectors table is partitioned by ``cluster``, so the probe
+    is partition pruning: the scan shrinks by ~k/n_probe.
+    """
+    cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
+
+    def _d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query, c))
+
+    probe = sorted(cents, key=lambda t: _d2(t[1]))[:n_probe]
+    probe_ids = [c for c, _ in probe]
+    # membership must match indexing-time assignment: nearest centroid.
+    # (A materialized IVF table carries `cluster` at rest — partitioned by
+    # it — and skips this recompute; the probe filter then prunes files.)
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    assigned = _assign_nearest(v, centroids).withColumnRenamed("_id", id_col)
+    candidates = assigned.filter(F.col("cluster").isin(probe_ids)).select(
+        id_col, F.col("_v").alias(vec_col)
+    )
+    return knn_brute_force(candidates, query, k, id_col, vec_col)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

@@ -508,3 +508,33 @@ def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     sess = sessionize(ev, "user_id", "ts", 30)
     return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS user_band,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_band), (event_type, user_band), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS (SURVEY §2.4 rollup/cube/grouping-sets row): one pass
+    producing all four aggregation granularities — Catalyst expands this
+    with a single Expand node, not four scans."""
+    ev = load(spark, sf, "events")
+    ev.select(
+        "event_type", (F.col("user_id") % 4).alias("user_band"), "value"
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_band, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_band),
+                                (event_type, user_band), ())
+        """
+    )

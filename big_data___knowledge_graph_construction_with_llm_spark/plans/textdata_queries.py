@@ -374,3 +374,18 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return attach_binary_meta(d, "payload").select("doc_id", "byte_len", "sha256")
+
+
+@query("q_knn_ivf")  # k-means quantizer is engine-specific — rows-only check
+def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-k, IVF-style: deterministic k-means coarse quantizer
+    (DataFrame Lloyd iterations), probe the 2 nearest clusters, exact
+    cosine inside — the scale path next to q_knn_bruteforce/q_knn_lsh."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ivf_centroids,
+        knn_ivf,
+    )
+
+    vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(vecs, k=8, iterations=2)
+    return knn_ivf(vecs, cents, _query_vec(spark, sf), 10, n_probe=2)

@@ -1,0 +1,98 @@
+"""Scale-layout tests: bucketed tables make the big⋈big join co-located
+(no Exchange before the join), and IVF/ANN operators honor their
+contracts. These encode the at-rest decisions the 100 TB design relies
+on (SURVEY.md §4, q_join_orders_customer docstring).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+    ivf_centroids,
+    knn_brute_force,
+    knn_ivf,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktest LOCATION '{wh}'")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("bktest.li_b")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bktest.o_b")
+    )
+    yield "bktest"
+    spark.sql("DROP DATABASE bktest CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    li = spark.table("bktest.li_b")
+    o = spark.table("bktest.o_b")
+    # hint forces SMJ (at test scale AQE would broadcast); at real scale
+    # both sides are too big to broadcast and SMJ is what happens anyway
+    joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    p = _plan(joined)
+    # co-located: the sort-merge join reads bucket files directly
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p, p
+    # and it still returns the right rows
+    expected = (
+        load(spark, SF_DIR, "lineitem")
+        .join(
+            load(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == expected
+
+
+def test_unbucketed_same_join_does_exchange(spark):
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    # force SMJ so the comparison is apples-to-apples with the bucketed plan
+    p = _plan(li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey))
+    assert "Exchange" in p
+
+
+def test_ivf_centroids_contract(spark):
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(vecs, k=4, iterations=1)
+    rows = cents.collect()
+    assert {r["cluster"] for r in rows} <= set(range(4))
+    dim = len(vecs.head()["embedding"])
+    assert all(len(r["centroid"]) == dim for r in rows)
+
+
+def test_knn_ivf_returns_ranked_topk(spark):
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    q = [float(x) for x in load(spark, SF_DIR, "embeddings").filter("vec_id = 0").head()["embedding"]]
+    cents = ivf_centroids(vecs, k=4, iterations=1)
+    got = knn_ivf(vecs, cents, q, 5, n_probe=4).collect()
+    assert len(got) == 5
+    cos = [r["cosine"] for r in got]
+    assert cos == sorted(cos, reverse=True)
+    # probing ALL clusters must equal brute force exactly
+    brute = knn_brute_force(vecs, q, 5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
