@@ -39,6 +39,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM (codegen, shuffle, parquet reader, noop sink) so the
+    # first measured query doesn't absorb one-time session init
+    spark.range(10_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in sorted(queries):

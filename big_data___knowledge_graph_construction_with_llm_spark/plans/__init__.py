@@ -7,6 +7,7 @@ modules register themselves on import.
 
 from big_data___knowledge_graph_construction_with_llm_spark.plans import (  # noqa: F401
     graph_queries,
+    pipeline_queries,
     relational_queries,
     scalar_queries,
     sources_queries,

@@ -538,3 +538,82 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
                                 (event_type, user_band), ())
         """
     )
+
+
+@query(
+    "q_sliding_count",
+    oracle="""
+    -- every event lies in exactly two 10-min/5-min-slide windows:
+    -- its 5-min bucket and the bucket 5 minutes before it
+    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
+                    - off * INTERVAL '1 second', '%Y-%m-%d %H:%M:%S') AS ws,
+           event_type, count(*) AS n
+    FROM events, (SELECT unnest([0, 300]) AS off) offs
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window counts (10 min window, 5 min slide) — each event in
+    two windows; one Expand + one aggregation, no self-join
+    (SURVEY §2.9 sliding row, batch analog)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           round(max(o_totalprice), 2) AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles per group (the sketch-free baseline; at 100 TB
+    swap percentile_approx — same query shape, bounded memory)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+
+
+@query(
+    "q_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+    FROM orders
+    """,
+)
+def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame running aggregate (30-day trailing spend per customer)
+    — rangeBetween on epoch seconds (SURVEY §2.5 rangeBetween row)."""
+    o = load(spark, sf, "orders")
+    # o_orderdate arrives as TIMESTAMP_NTZ; route through ltz (session tz
+    # is UTC) to get the same naive-UTC epoch DuckDB's epoch() computes
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
