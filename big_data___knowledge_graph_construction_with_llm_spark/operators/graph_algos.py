@@ -110,6 +110,9 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
+            # per-iteration lineage cut: measured faster than checkpointing
+            # every 3rd iteration (deeper plans cost more in re-analysis /
+            # codegen than the extra materializations save)
             .localCheckpoint()
         )
     return ranks

@@ -108,6 +108,37 @@ def asof_join(
     return merged.filter(F.col("_is_left") == 1).drop("_is_left", "_ts")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side, replicate the other.
+
+    A hot key that would land one monster partition is split across
+    ``num_salts`` partitions: the skewed side gets a deterministic salt
+    (hash of the whole row, so duplicates also spread), the other side is
+    replicated once per salt value, and the join key becomes
+    ``(key, salt)``. Result is row-identical to the plain join.
+
+    AQE's skew-join splitting (on in ``session.get_spark``) handles
+    moderate skew automatically; this is the manual tool for pathological
+    keys or for non-AQE paths. Replication multiplies the other side by
+    ``num_salts`` — use only when that side is much smaller than the hot
+    partition it removes.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
+    )
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return left.join(right, [key, "_salt"], how).drop("_salt")
+
+
 def sessionize(
     df: DataFrame, key: str, ts: str, gap_minutes: int
 ) -> DataFrame:

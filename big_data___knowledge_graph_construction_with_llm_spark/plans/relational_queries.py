@@ -617,3 +617,42 @@ def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
     )
+
+
+@query(
+    "q_skew_join",
+    oracle="""
+    WITH skewed AS (
+      SELECT event_id,
+             CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS k,
+             value
+      FROM events
+    ),
+    dim AS (SELECT DISTINCT user_id AS k, user_id * 10 AS dim_val FROM events)
+    SELECT count(*) AS n, round(sum(value), 2) AS sum_value,
+           CAST(sum(dim_val) AS BIGINT) AS sum_dim
+    FROM skewed JOIN dim USING (k)
+    """,
+)
+def q_skew_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted join under a manufactured hot key (a third of events collapse
+    onto k=0): the salt spreads the hot partition across 8 shuffle
+    partitions while staying row-identical to the plain join — the oracle
+    IS the plain join."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import salted_join
+
+    ev = load(spark, sf, "events")
+    skewed = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 3 == 0, 0).otherwise(F.col("user_id")).alias("k"),
+        "value",
+    )
+    dim = ev.select(F.col("user_id").alias("k")).distinct().withColumn(
+        "dim_val", F.col("k") * 10
+    )
+    joined = salted_join(skewed, dim, "k", num_salts=8)
+    return joined.agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum("dim_val").cast("bigint").alias("sum_dim"),
+    )

@@ -53,8 +53,9 @@ def get_spark(
         # rejects; read as long and convert in the table loader
         # (plans/tables.py) — DuckDB truncates nanos→micros the same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Hash/fingerprint arithmetic (xxhash64 polynomial rolling hashes)
-        # relies on wrapping int64 semantics; Spark 4 defaults ANSI on.
+        # DuckDB-oracle parity: permissive casts/overflow like the oracle
+        # (the engine's own hash arithmetic is mod-p and ANSI-safe either
+        # way; see operators/dedup.py).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
