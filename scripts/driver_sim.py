@@ -66,6 +66,22 @@ for name in sorted(qs):
             orows = res.fetchall()
             sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
             match = len(srows) == len(orows) and sorted(scols) == sorted(ocols) and sh == oh
+            # latent-type-skew check: int-vs-float per column hashes the same
+            # below 7 significant digits and diverges above — catch it now
+            if srows and orows:
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                for a, b in zip(so, oo):
+                    sv = next((r[a] for r in srows if r[a] is not None), None)
+                    ov = next((r[b] for r in orows if r[b] is not None), None)
+                    if sv is not None and ov is not None:
+                        s_num = isinstance(sv, (int, float)) and not isinstance(sv, bool)
+                        o_num = isinstance(ov, (int, float)) and not isinstance(ov, bool)
+                        if s_num and o_num and isinstance(sv, float) != isinstance(ov, float):
+                            print(
+                                f"TYPE-SKEW {name}.{scols[a]}: spark {type(sv).__name__} "
+                                f"vs oracle {type(ov).__name__}"
+                            )
             status = "OK " if match else "FAIL"
             if match:
                 ok += 1
