@@ -19,12 +19,21 @@ from pyspark.sql import functions as F
 
 
 def repair_json(col: Column | str) -> Column:
-    """Fix the common non-strict JSON defects: trailing commas before
-    ``}``/``]`` and single-quoted keys at object start. Returns the
-    repaired string (unparsed)."""
+    """Fix common non-strict JSON defects, as expressions:
+
+    * trailing commas before ``}``/``]`` (the defect in the reference's
+      bundled ``COLLEZIONI_PALAZZO_MADAMA.json``),
+    * single-quoted object keys (``{'k': 1}`` → ``{"k": 1}``) — matched
+      only in key position (after ``{`` or ``,``) so apostrophes inside
+      double-quoted values are never touched.
+
+    Returns the repaired string (unparsed).
+    """
     c = F.col(col) if isinstance(col, str) else col
     # trailing comma before a closing brace/bracket
     c = F.regexp_replace(c, r",\s*([}\]])", r"$1")
+    # single-quoted key right after { or , → double-quoted
+    c = F.regexp_replace(c, r"([{,]\s*)'([^'\"]*)'(\s*:)", r'$1"$2"$3')
     return c
 
 

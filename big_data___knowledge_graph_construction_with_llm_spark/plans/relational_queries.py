@@ -656,3 +656,17 @@ def q_skew_join(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.sum("dim_val").cast("bigint").alias("sum_dim"),
     )
+
+
+@query("q_approx_sketches")  # HLL++/KLL internals are engine-specific — rows-only
+def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based aggregates (the bounded-memory path the exact
+    q_count_distinct / q_percentile swap to at 100 TB):
+    approx_count_distinct (HLL++) and percentile_approx (KLL-ish).
+    Accuracy bounds are unit-tested against the exact values."""
+    o = load(spark, sf, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("acd_cust"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("ap95"),
+    )

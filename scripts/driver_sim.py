@@ -25,8 +25,8 @@ rows = df.collect()
 print(f"entry(): {len(rows)} rows in {time.time()-t0:.1f}s; schema={[f.name for f in df.schema.fields]}")
 print("  first:", rows[0] if rows else None)
 
-# --- correctness: queries vs oracle at sf0.01 ---
-SF = "/root/testdata/sf0.01"
+# --- correctness: queries vs oracle (sf0.01 = the driver's gate) ---
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

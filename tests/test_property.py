@@ -121,3 +121,47 @@ def test_union_fill_schema_stability(spark):
     out2 = union_fill([out, out])
     assert set(out2.columns) == {"c1", "c2", "c3"}
     assert out2.count() == 4
+
+
+def test_approx_sketches_error_bounds(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    row = QUERIES["q_approx_sketches"](spark, SF_DIR).head()
+    o = load(spark, SF_DIR, "orders")
+    exact_n = o.select(F.countDistinct("o_custkey")).head()[0]
+    exact_p = o.selectExpr(
+        "percentile(o_totalprice, 0.5) AS p50",
+        "percentile(o_totalprice, 0.95) AS p95",
+    ).head()
+    assert abs(row["acd_cust"] - exact_n) / exact_n < 0.05  # 2% rsd, 5% slack
+    assert abs(row["ap50"] - exact_p["p50"]) / exact_p["p50"] < 0.02
+    assert abs(row["ap95"] - exact_p["p95"]) / exact_p["p95"] < 0.02
+
+
+def test_exact_dedup_by_hash_keeps_min_id(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import exact_dedup_by_hash
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc"), (6, "bb")],
+        "doc_id int, text string",
+    )
+    out = exact_dedup_by_hash(df, "text", "doc_id")
+    got = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    assert got == [(1, "aa"), (2, "bb"), (5, "cc")]
+
+
+def test_repair_json_single_quoted_keys(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.functions.json_repair import repair_json
+
+    rows = [
+        ("{'k': 1, 'v': \"it's fine\"}",),   # single-quoted keys, apostrophe value
+        ('{"k": 2, "note": "don\'t touch",}',),  # trailing comma + apostrophe
+    ]
+    df = spark.createDataFrame(rows, "js string")
+    out = df.select(
+        F.from_json(repair_json("js"), "k int, v string, note string").alias("o")
+    ).collect()
+    assert out[0]["o"]["k"] == 1 and out[0]["o"]["v"] == "it's fine"
+    assert out[1]["o"]["k"] == 2 and out[1]["o"]["note"] == "don't touch"
