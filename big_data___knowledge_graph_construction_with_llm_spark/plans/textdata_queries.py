@@ -389,3 +389,72 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     cents = ivf_centroids(vecs, k=8, iterations=2)
     return knn_ivf(vecs, cents, _query_vec(spark, sf), 10, n_probe=2)
+
+
+@query(
+    "q_ngram_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+             i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      FROM tok
+      WHERE len(t) >= 2
+    )
+    SELECT g AS bigram, count(*) AS n
+    FROM bg GROUP BY g
+    ORDER BY n DESC, g LIMIT 20
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide top-k bigram frequency (training-data analysis staple):
+    explode bigrams → count → global top-k (TakeOrdered, no full sort)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import shingles
+
+    d = load(spark, sf, "documents")
+    lowered = d.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 2
+    ).select(F.lower("text").alias("text"))
+    bg = lowered.select(F.explode(shingles("text", 2)).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_quality_filter",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks, text
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+               / greatest(len(toks), 1) AS mtl,
+             len(list_filter(toks, x -> list_contains([{_SQL_STOPLIST}], x)))::DOUBLE
+               / greatest(len(toks), 1) AS sw
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens
+    FROM feat
+    WHERE n_tokens BETWEEN 20 AND 1000 AND mtl BETWEEN 3 AND 12 AND sw >= 0.01
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style quality gate: token count, mean token length and stopword
+    ratio band-pass — the filter stage of a training-data pipeline, pure
+    expressions at scan speed."""
+    d = load(spark, sf, "documents")
+    feat = T.quality_features(d)
+    return feat.filter(
+        (F.col("n_tokens").between(20, 1000))
+        & (F.col("mean_token_len").between(3, 12))
+        & (F.col("stopword_ratio") >= 0.01)
+    ).select("doc_id", "lang", F.col("n_tokens").cast("int").alias("n_tokens"))

@@ -133,3 +133,39 @@ def test_custom_stateful_running_totals(spark, tmp_path):
         last[r["user_id"]] = (r["n"], r["total"])
     assert last[1] == (3, 7.0)  # 1+2 from batch1, +4 from batch2
     assert last[2] == (1, 8.0)
+
+
+def test_sliding_counts_stream(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import sliding_counts
+
+    src = _write_events(tmp_path)
+    stream = read_events_stream(spark, src)
+    _run_to_memory(
+        sliding_counts(stream, window="10 minutes", slide="5 minutes"),
+        "sliding", tmp_path, "complete",
+    )
+    got = {
+        (r["window_start"].minute, r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM sliding").collect()
+    }
+    # events at :01 and :04 (click) fall in windows starting 55 and 00
+    assert got[(0, "click")] == 2 and got[(55, "click")] == 2
+    # events at :12 (view x2, deduped? no — both rows count) in 05 and 10
+    assert got[(5, "view")] == 2 and got[(10, "view")] == 2
+    assert got[(10, "click")] == 1 and got[(5, "click")] == 1
+
+
+def test_session_window_stream(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import session_counts
+
+    src = _write_events(tmp_path)
+    stream = read_events_stream(spark, src)
+    _run_to_memory(
+        session_counts(stream, gap="5 minutes"), "sessions", tmp_path, "complete"
+    )
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    got = {(r["user_id"], r["session_start"].minute): r["n"] for r in rows}
+    # user 1: events at :01 and :04 merge into one session (gap < 5m)
+    assert got[(1, 1)] == 2
+    # user 2: events at :12,:12,:13 merge into one 3-event session
+    assert got[(2, 12)] == 3
