@@ -242,36 +242,38 @@ def ngram_jaccard_pairs(
 
 
 def simhash64(text_col: str, shingle_n: int = 2) -> F.Column:
-    """64-bit SimHash of a text column, as one pass of array expressions.
+    """64-bit SimHash of a text column as array expressions (per-row, no
+    shuffle). Near-duplicates differ in few bits (compare with
+    ``bit_count(a ^ b) <= k``).
 
-    A single ``aggregate`` walks the distinct shingles once, keeping 64
-    running +1/-1 bit counters in an array accumulator; the final lambda
-    folds the counter signs into the 64-bit hash. Near-duplicates differ
-    in few bits (compare with ``bit_count(a ^ b) <= k``).
+    The shingle-hash array is bound to a lambda variable via the
+    one-element-array ``transform`` trick so it is computed ONCE per row;
+    the 64 per-bit counter folds then walk that bound array. (``F.shiftright``
+    takes a Python int, so the bit index must be a driver-side loop, not a
+    ``sequence``/``zip_with`` column.) For the hot path use
+    ``simhash_signatures`` — same output, explode + partial agg.
     """
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    counters = F.aggregate(
-        sh,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, i: c
-            + F.shiftright(F.xxhash64(s), i).bitwiseAND(F.lit(1)) * 2
-            - 1,
-        ),
+    hashes = F.transform(
+        F.array_distinct(shingles(text_col, shingle_n)), lambda s: F.xxhash64(s)
     )
-    return F.aggregate(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc.bitwiseOR(b),
-    )
+
+    def _fold(hs: F.Column) -> F.Column:
+        out = F.lit(0).cast("long")
+        for i in range(64):
+            cnt = F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+            out = out.bitwiseOR(
+                F.when(
+                    cnt > 0, F.shiftleft(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return out
+
+    return F.element_at(F.transform(F.array(hashes), _fold), 1)
 
 
 def simhash_signatures(

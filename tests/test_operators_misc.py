@@ -1,0 +1,104 @@
+"""Tests for operators not exercised by the query registry: the
+two-table as-of join, emptiness guard, literal-map lookup, partitioned
+JSON sink, the gated RDF reader, and the equivalence of the column-form
+MinHash/SimHash signatures with their explode+aggregate twins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.functions.canonical import lookup_expr
+from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+    minhash_signature,
+    minhash_signatures,
+    shingles,
+    simhash64,
+    simhash_signatures,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+    asof_join,
+    is_empty,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.sources import rdf
+from big_data___knowledge_graph_construction_with_llm_spark.sources.tabular import (
+    write_partitioned_json,
+)
+
+
+def test_asof_join_nearest_leq(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 25, "b"), ("u2", 5, "c")],
+        "k string, lts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1.0), ("u1", 20, 2.0), ("u1", 30, 3.0), ("u3", 1, 9.0)],
+        "k string, rts int, px double",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts", right_vals=["px"])
+    got = {r["tag"]: r["px"] for r in out.collect()}
+    assert got["a"] == 1.0  # equal ts is inclusive (<=)
+    assert got["b"] == 2.0  # 20 is the latest <= 25
+    assert got["c"] is None  # u2 has no right rows
+
+
+def test_is_empty_guard(spark):
+    df = spark.range(3)
+    assert not is_empty(df)
+    assert is_empty(df.filter("id > 99"))
+
+
+def test_lookup_expr_literal_map(spark):
+    df = spark.createDataFrame(
+        [("Painted_By",), ("IS_RELATED_TO",), ("unknown_x",)], "rel string"
+    )
+    out = df.select(
+        lookup_expr("rel", {"painted by": "created", "is related to": "isRelatedTo"}).alias("c")
+    )
+    assert [r["c"] for r in out.collect()] == ["created", "isRelatedTo", "unknown x"]
+
+
+def test_write_partitioned_json(spark, tmp_path):
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("v"))
+    write_partitioned_json(df, str(tmp_path), "csv")
+    write_partitioned_json(df, str(tmp_path), "csv")  # append mode
+    back = spark.read.json(str(tmp_path / "csv"))
+    assert back.count() == 6
+
+
+def test_rdf_reader_gated_without_rdflib(spark):
+    if rdf.HAVE_RDFLIB:
+        pytest.skip("rdflib present; gate not applicable")
+    with pytest.raises(NotImplementedError):
+        rdf.read_rdfxml_triples(spark, "/nonexistent/*.xml")
+
+
+def test_minhash_column_form_equals_agg_form(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id int, text string",
+    )
+    col_form = df.select(
+        "doc_id", minhash_signature(shingles("text", 3), 16).alias("sig")
+    )
+    agg_form = minhash_signatures(df, "doc_id", "text", num_hashes=16)
+    a = {r["doc_id"]: list(r["sig"]) for r in col_form.collect()}
+    b = {
+        r["_id"]: [r[f"_m{i}"] for i in range(16)] for r in agg_form.collect()
+    }
+    assert a == b
+
+
+def test_simhash_column_form_equals_agg_form(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id int, text string",
+    )
+    col_form = df.select("doc_id", simhash64("text").alias("s"))
+    agg_form = simhash_signatures(df, "doc_id", "text")
+    a = {r["doc_id"]: r["s"] for r in col_form.collect()}
+    b = {r["_id"]: r["_sim"] for r in agg_form.collect()}
+    assert a == b
