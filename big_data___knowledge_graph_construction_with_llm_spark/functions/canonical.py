@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from big_data___knowledge_graph_construction_with_llm_spark.functions.normalize import relation_fallback
+
 # variant (already lowercased, de-underscored) -> canonical relation
 CANONICAL_RELATIONS: dict[str, str] = {
     "painted by": "created by",
@@ -83,7 +85,7 @@ def canonicalize_relations(
     underscores → spaces). The big side never shuffles — ``mapping`` is
     broadcast, which is the only sane plan at 100 TB.
     """
-    cleaned = F.lower(F.regexp_replace(F.trim(F.col(relation_col)), "_", " "))
+    cleaned = relation_fallback(F.col(relation_col))
     out = (
         triplets.withColumn("_cleaned_rel", cleaned)
         .join(
@@ -108,5 +110,5 @@ def lookup_expr(col: Column | str, mapping: dict[str, str]) -> Column:
         pairs.append(F.lit(k))
         pairs.append(F.lit(v))
     m = F.create_map(*pairs)
-    cleaned = F.lower(F.regexp_replace(F.trim(c), "_", " "))
+    cleaned = relation_fallback(c)
     return F.coalesce(m[cleaned], cleaned)

@@ -47,13 +47,24 @@ def scrape_first_object(col: Column | str) -> Column:
 
 
 def tolerant_parse(col: Column | str, schema: str) -> Column:
-    """Strict ``from_json`` first; on failure repair then re-parse; on
-    failure scrape the first object and parse that; else NULL.
+    """Strict parse first; on failure repair then re-parse; on failure
+    scrape the first object and parse that; else NULL.
 
     ``schema`` is a DDL string, e.g. ``"k INT"`` or ``"map<string,string>"``.
+
+    Failure detection must NOT rely on ``from_json`` returning NULL: in
+    PERMISSIVE mode it returns a non-null all-null struct for malformed
+    input, which would make a ``coalesce`` of parse attempts always pick
+    the broken strict branch. Instead the first *candidate string* that
+    is valid JSON (``try_parse_json`` non-null) is chosen, then parsed
+    once.
     """
     c = F.col(col) if isinstance(col, str) else col
-    strict = F.from_json(c, schema)
-    repaired = F.from_json(repair_json(c), schema)
-    scraped = F.from_json(repair_json(scrape_first_object(c)), schema)
-    return F.coalesce(strict, repaired, scraped)
+    repaired = repair_json(c)
+    scraped = repair_json(scrape_first_object(c))
+    candidate = F.coalesce(
+        F.when(F.try_parse_json(c).isNotNull(), c),
+        F.when(F.try_parse_json(repaired).isNotNull(), repaired),
+        F.when(F.try_parse_json(scraped).isNotNull(), scraped),
+    )
+    return F.from_json(candidate, schema)

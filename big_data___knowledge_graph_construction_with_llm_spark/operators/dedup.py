@@ -36,11 +36,20 @@ def exact_dedup_by_hash(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """Keep one representative (min id) per distinct text, shuffling only
-    a 64-bit content hash + id — the document bytes never shuffle."""
+    a content fingerprint + id — the document bytes never shuffle.
+
+    The fingerprint is (xxhash64, md5) = 192 bits: a single 64-bit hash
+    has expected birthday collisions at corpus sizes this module targets
+    (~40% chance of one at 2^32 docs), which would silently merge two
+    DIFFERENT documents; at 192 bits the collision probability is
+    negligible at any physical corpus size.
+    """
     h = df.select(
-        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_content_hash")
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("_h64"),
+        F.md5(F.col(text_col).cast("string")).alias("_h128"),
     )
-    keep = h.groupBy("_content_hash").agg(F.min(id_col).alias(id_col))
+    keep = h.groupBy("_h64", "_h128").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
 
@@ -160,6 +169,11 @@ def lsh_candidate_pairs(
     skew; for pathological buckets add a bucket-size cap filter before the
     join (``max_bucket`` hook below).
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); a remainder "
+            "would silently drop signature columns and change LSH recall"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n=shingle_n)
     # band bucket = xxhash64 over that band's signature columns directly —
@@ -311,13 +325,23 @@ def simhash_signatures(
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs blocked on 16-bit prefix bands.
+    """SimHash near-dup pairs blocked on simhash bit-bands.
 
-    Split the 64-bit simhash into 4 bands of 16 bits; by pigeonhole, any
-    pair within hamming distance 3 shares at least one exact band → block
-    on each band, verify hamming distance inside the block. Same
+    Pigeonhole guarantee: with ``max_hamming + 1`` bands, any pair within
+    the requested hamming distance must share at least one exact band —
+    so the band count is DERIVED from ``max_hamming``, never fixed (a
+    fixed 4x16-bit split silently loses recall for ``max_hamming > 3``).
+    Trade-off: larger ``max_hamming`` ⇒ more, narrower bands ⇒ bigger
+    candidate buckets; keep it small (≤ 3-4) at scale. Same
     shuffle-on-small-key property as MinHash LSH.
     """
+    n_bands = max_hamming + 1
+    if n_bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    # split 64 bits into n_bands contiguous bands, widths as even as possible
+    base_w, extra = divmod(64, n_bands)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sigs = simhash_signatures(df, id_col, text_col)
     banded = sigs.select(
         "_id",
@@ -327,11 +351,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("_sim"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("_sim"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("bucket"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),

@@ -27,16 +27,17 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).distinct()
 
 
-def connected_components(
-    edges: DataFrame, max_iter: int = 20, undirected: bool = True
-) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components (weak/undirected) by iterative min-label
+    propagation — edges are always symmetrized first. One-directional
+    propagation would compute neither weakly- nor strongly-connected
+    components (strong CC needs a different algorithm entirely).
 
     Returns ``(id, comp)`` where ``comp`` is the minimum vertex id in the
     component (deterministic). Converges in O(diameter) iterations; each
     iteration is one shuffle-join + one partial-aggregated min.
     """
-    e = symmetrize(edges) if undirected else edges.select("src", "dst")
+    e = symmetrize(edges)
     labels = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))  # dst-only vertices too
@@ -88,6 +89,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))  # empty graph, empty result
     base = (1.0 - damping) / n
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

@@ -128,7 +128,16 @@ def salted_join(
     keys or for non-AQE paths. Replication multiplies the other side by
     ``num_salts`` — use only when that side is much smaller than the hot
     partition it removes.
+
+    Only join types that never emit unmatched ``other`` rows are allowed:
+    a right/full join would emit each unmatched replicated row
+    ``num_salts`` times.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "unmatched rows of the replicated side would appear num_salts times"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
     )

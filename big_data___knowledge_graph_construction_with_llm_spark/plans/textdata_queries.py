@@ -80,9 +80,11 @@ def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("q_simhash_dedup")  # banded hamming blocking — rows-only check
 def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (4×16-bit bands, hamming ≤ 12 verify)."""
+    """SimHash near-dup pairs (7 derived bands, hamming ≤ 6 verify — the
+    band count follows max_hamming so the pigeonhole recall guarantee
+    holds)."""
     full = _with_near_dup_clones(load(spark, sf, "documents"))
-    return simhash_near_dup_pairs(full, "doc_id", "text", max_hamming=12)
+    return simhash_near_dup_pairs(full, "doc_id", "text", max_hamming=6)
 
 
 @query(
@@ -436,10 +438,12 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     feat AS (
       SELECT doc_id, lang,
              len(toks) AS n_tokens,
-             length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-               / greatest(len(toks), 1) AS mtl,
-             len(list_filter(toks, x -> list_contains([{_SQL_STOPLIST}], x)))::DOUBLE
-               / greatest(len(toks), 1) AS sw
+             -- round like quality_features does: the Spark side filters on
+             -- 4-dp-rounded features, so boundary docs must agree
+             round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+               / greatest(len(toks), 1), 4) AS mtl,
+             round(len(list_filter(toks, x -> list_contains([{_SQL_STOPLIST}], x)))::DOUBLE
+               / greatest(len(toks), 1), 4) AS sw
       FROM t
     )
     SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens

@@ -28,11 +28,11 @@ def test_connected_components_two_islands(spark):
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
 
 
-def test_connected_components_directed_mode(spark):
-    # directed: no back-propagation from dst to src
-    e = _edges(spark, [("b", "a")])
-    comp = {r["id"]: r["comp"] for r in connected_components(e, undirected=False).collect()}
-    assert comp == {"a": "a", "b": "a"}
+def test_connected_components_always_weak(spark):
+    # edges are symmetrized internally: a->b, c->b is ONE weak component
+    e = _edges(spark, [("a", "b"), ("c", "b")])
+    comp = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a"}
 
 
 def test_pagerank_star(spark):

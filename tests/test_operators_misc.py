@@ -102,3 +102,48 @@ def test_simhash_column_form_equals_agg_form(spark):
     a = {r["doc_id"]: r["s"] for r in col_form.collect()}
     b = {r["_id"]: r["_sim"] for r in agg_form.collect()}
     assert a == b
+
+
+def test_simhash_bands_follow_max_hamming(spark):
+    """Pigeonhole recall: a pair within max_hamming must be found even
+    when its differing bits are spread to defeat a fixed 4-band split."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import simhash_near_dup_pairs
+
+    # construct two short docs and measure their true hamming distance
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota")],
+        "doc_id int, text string",
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import simhash_signatures
+
+    sigs = {r["_id"]: r["_sim"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    d = bin(sigs[1] ^ sigs[2]).count("1")
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=d).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, d)]
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest as _pytest
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import salted_join
+
+    a = spark.range(3).withColumnRenamed("id", "k")
+    b = spark.range(3).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="num_salts times"):
+        salted_join(a, b, "k", how="full")
+
+
+def test_lsh_bands_divisibility_check(spark):
+    import pytest as _pytest
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    with _pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(df, "doc_id", "text", num_hashes=64, bands=10)
+
+
+def test_pagerank_empty_edges(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import pagerank
+
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e, iterations=2).count() == 0

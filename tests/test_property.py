@@ -165,3 +165,22 @@ def test_repair_json_single_quoted_keys(spark):
     ).collect()
     assert out[0]["o"]["k"] == 1 and out[0]["o"]["v"] == "it's fine"
     assert out[1]["o"]["k"] == 2 and out[1]["o"]["note"] == "don't touch"
+
+
+def test_tolerant_parse_repairs_and_scrapes(spark):
+    """The repair/scrape fallbacks must actually fire (from_json PERMISSIVE
+    returns an all-null struct on failure, which must NOT win)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.functions.json_repair import tolerant_parse
+
+    rows = [
+        ('{"k": 1}',),              # strict
+        ('{"k": 2,}',),             # needs trailing-comma repair
+        ('text before {"k": 4} after',),  # needs object scrape
+        ("utter garbage",),         # unparseable -> NULL
+    ]
+    df = spark.createDataFrame(rows, "js string")
+    out = [r["o"] for r in df.select(tolerant_parse("js", "k int").alias("o")).collect()]
+    assert out[0]["k"] == 1
+    assert out[1]["k"] == 2
+    assert out[2]["k"] == 4
+    assert out[3] is None or out[3]["k"] is None

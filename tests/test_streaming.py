@@ -116,15 +116,20 @@ def test_custom_stateful_running_totals(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .json(str(src))
     )
+    # availableNow: process every pending file (still one per micro-batch),
+    # then terminate. processAllAvailable() instead never settles under
+    # ProcessingTimeTimeout — the engine keeps scheduling no-data batches
+    # to check for evictable state.
     q = (
         running_totals(stream)
         .writeStream.format("memory")
         .queryName("running_totals")
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt-state"))
+        .trigger(availableNow=True)
         .start()
     )
-    q.processAllAvailable()
+    q.awaitTermination(120)
     q.stop()
     rows = spark.sql("SELECT * FROM running_totals").collect()
     # last emission per user reflects cumulative state across batches
