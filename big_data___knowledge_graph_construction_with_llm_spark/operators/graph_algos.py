@@ -37,7 +37,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     component (deterministic). Converges in O(diameter) iterations; each
     iteration is one shuffle-join + one partial-aggregated min.
     """
-    e = symmetrize(edges)
+    # materialize the symmetrized edge table ONCE — without this the
+    # union+distinct (a full shuffle of the edge table) re-executes every
+    # iteration, which at scale dominates the whole algorithm
+    e = symmetrize(edges).localCheckpoint()
     labels = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))  # dst-only vertices too
@@ -52,19 +55,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .agg(F.min("comp").alias("ncomp"))
             .withColumnRenamed("src", "id")
         )
+        # fold the convergence flag into the update itself: the label only
+        # changes when ncomp < comp, so no second join against the old
+        # labels is needed to detect progress
         new = labels.join(prop, "id", "left").select(
             "id",
             F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
+            F.coalesce(F.col("ncomp") < F.col("comp"), F.lit(False)).alias("_chg"),
         )
         new = new.localCheckpoint()
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.filter("_chg").limit(1).count()
+        labels = new.drop("_chg")
         if changed == 0:
             break
     return labels
@@ -82,9 +83,17 @@ def pagerank(
     """
     e = edges.select("src", "dst")
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # fuse 1/out_degree into the edge table ONCE and materialize it: the
+    # loop then does a single join + aggregation per iteration instead of
+    # re-scanning the source and re-joining out_deg every time
+    e_w = (
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
     verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        e_w.select(F.col("src").alias("id"))
+        .unionByName(e_w.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )
@@ -95,11 +104,10 @@ def pagerank(
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(out_deg, "src")
+            e_w.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+                (F.col("rank") * F.col("w")).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
