@@ -82,7 +82,13 @@ def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
 def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (7 derived bands, hamming ≤ 6 verify — the
     band count follows max_hamming so the pigeonhole recall guarantee
-    holds)."""
+    holds).
+
+    max_hamming=6 is a measured recall point for the planted clones: the
+    " qq ww ee" suffix moves short docs' simhash by a median of 5 bits
+    (17/25 clones within 6, only 7/25 within 4) — tightening the radius
+    to buy back bucket size would silently halve what this query finds.
+    """
     full = _with_near_dup_clones(load(spark, sf, "documents"))
     return simhash_near_dup_pairs(full, "doc_id", "text", max_hamming=6)
 
