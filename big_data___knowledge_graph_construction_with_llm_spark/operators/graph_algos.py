@@ -16,8 +16,12 @@ scans of the diff.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
@@ -68,6 +72,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new.drop("_chg")
         if changed == 0:
             break
+    else:
+        # graphs with diameter > max_iter would get silently-wrong labels;
+        # surface it — callers on huge-diameter graphs should raise max_iter
+        log.warning(
+            "connected_components did not converge within max_iter=%d "
+            "iterations; returned labels are partial", max_iter,
+        )
     return labels
 
 
@@ -127,3 +138,31 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count (undirected): canonical-orientation
+    node-iterator — the GraphX ``triangleCount`` shape as two equi-joins.
+
+    Symmetrize, keep each undirected edge once as ``(a, b)`` with
+    ``a < b``, build wedges ``a<b<c`` by joining on the middle vertex,
+    then close each wedge against the edge set. Every triangle appears
+    exactly once (as its sorted vertex triple), so no division by 3/6.
+
+    Scale notes: wedge count is ``sum(deg²)`` under id-ordering; the
+    production refinement is degree-ordering (orient each edge toward the
+    higher-degree endpoint), which bounds wedges by ``m^1.5`` — same plan
+    shape, only the orientation key changes. Both joins shuffle on vertex
+    id; bucketing the edge table by ``src`` at rest co-locates them.
+    Returns a 1-row ``(n_triangles)`` DataFrame.
+    """
+    canon = (
+        symmetrize(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint()  # reused three times — materialize once
+    )
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = canon.join(e2, "b").select("a", "b", "c")
+    e3 = canon.select(F.col("a"), F.col("b").alias("c"))
+    return wedges.join(e3, ["a", "c"]).agg(F.count("*").alias("n_triangles"))

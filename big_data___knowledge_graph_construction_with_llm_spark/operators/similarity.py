@@ -100,6 +100,27 @@ def knn_lsh(
     return knn_brute_force(candidates, query, k, id_col, vec_col)
 
 
+def nearest_cluster(vec_col: F.Column, cents: list[tuple[int, list[float]]]) -> F.Column:
+    """Map-only nearest-centroid expression: the k centroids are folded
+    into the projection as literal arrays; each row computes k squared-L2
+    distances and takes the argmin via ``array_min`` over
+    ``struct(d2, cluster)`` (struct ordering = min distance, ties to the
+    lowest cluster id). Zero joins, zero shuffles, zero row explosion —
+    this replaces a crossJoin×k + full-vector groupBy shuffle, which at
+    100 TB multiplied the corpus by k and re-shuffled every embedding.
+    """
+    structs = []
+    for cid, cvec in cents:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster")))
+    return F.array_min(F.array(*structs))["cluster"]
+
+
 def ivf_centroids(
     vectors: DataFrame,
     k: int = 16,
@@ -111,11 +132,12 @@ def ivf_centroids(
     trained with Lloyd iterations as DataFrame ops.
 
     Deterministic init: cluster seed = ``xxhash64(id) pmod k`` (no RNG, so
-    executors/driver and re-runs agree). Each iteration: assign every
-    vector to its nearest centroid (broadcast of k centroid arrays —
-    tiny), then average per cluster (one partial-aggregated shuffle of k
-    groups). At 100 TB train on a sample; assignment stays a full scan
-    with a broadcast, which is the scalable part that matters.
+    executors/driver and re-runs agree). Each iteration: average per
+    cluster (one partial-aggregated shuffle of k×dims rows), collect the
+    k centroids (a parameter fetch, not data movement), and re-assign
+    with the map-only ``nearest_cluster`` projection. At 100 TB train on
+    a sample; assignment stays a shuffle-free full scan, which is the
+    scalable part that matters.
     """
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -124,9 +146,12 @@ def ivf_centroids(
     assigned = v.withColumn("cluster", F.pmod(F.xxhash64(F.col("_id")), F.lit(k)))
     centroids = None
     for _ in range(iterations):
-        centroids = _cluster_means(assigned)
-        assigned = _assign_nearest(v, centroids)
-    return centroids if centroids is not None else _cluster_means(assigned)
+        # localCheckpoint: computed once here, reused by the collect below
+        # AND by whatever the caller does with the returned frame
+        centroids = _cluster_means(assigned).localCheckpoint()
+        cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
+        assigned = v.withColumn("cluster", nearest_cluster(F.col("_v"), cents))
+    return centroids if centroids is not None else _cluster_means(assigned).localCheckpoint()
 
 
 def _cluster_means(assigned: DataFrame) -> DataFrame:
@@ -147,20 +172,23 @@ def _cluster_means(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _assign_nearest(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via broadcast cross join + min_by on
-    squared L2 — k dot products per row, all JVM-side."""
-    d2 = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "_id", "_v", "cluster", d2.alias("_d2")
-    )
-    return scored.groupBy("_id").agg(
-        F.min_by("cluster", "_d2").alias("cluster"),
-        F.first("_v").alias("_v"),
+def ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the IVF index: the input plus a ``cluster`` column from
+    the map-only ``nearest_cluster`` projection (no Exchange anywhere —
+    plan-asserted in ``tests/test_plans.py``).
+
+    At rest, write this ``partitionBy("cluster")`` (or bucketed on it):
+    ``knn_ivf`` then sees the column and its probe filter becomes
+    partition pruning — the scan itself shrinks by ~n_probe/k.
+    """
+    cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
+    return vectors.withColumn(
+        "cluster", nearest_cluster(F.col(vec_col).cast("array<double>"), cents)
     )
 
 
@@ -177,8 +205,11 @@ def knn_ivf(
     driver (k_centroids rows — a parameter, not data), probe only the
     ``n_probe`` nearest clusters, exact cosine inside them.
 
-    At rest the vectors table is partitioned by ``cluster``, so the probe
-    is partition pruning: the scan shrinks by ~k/n_probe.
+    If ``vectors`` already carries a ``cluster`` column (an ``ivf_index``
+    table, partitioned by it at rest) the probe filter prunes partitions
+    and nothing is recomputed; otherwise assignment happens inline as the
+    same map-only projection — either way there is no join and no shuffle
+    on the corpus.
     """
     cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
 
@@ -187,16 +218,14 @@ def knn_ivf(
 
     probe = sorted(cents, key=lambda t: _d2(t[1]))[:n_probe]
     probe_ids = [c for c, _ in probe]
-    # membership must match indexing-time assignment: nearest centroid.
-    # (A materialized IVF table carries `cluster` at rest — partitioned by
-    # it — and skips this recompute; the probe filter then prunes files.)
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    assigned = _assign_nearest(v, centroids).withColumnRenamed("_id", id_col)
+    if "cluster" in vectors.columns:
+        assigned = vectors
+    else:
+        assigned = vectors.withColumn(
+            "cluster", nearest_cluster(F.col(vec_col).cast("array<double>"), cents)
+        )
     candidates = assigned.filter(F.col("cluster").isin(probe_ids)).select(
-        id_col, F.col("_v").alias(vec_col)
+        id_col, vec_col
     )
     return knn_brute_force(candidates, query, k, id_col, vec_col)
 

@@ -3,6 +3,11 @@
 The triplet source is derived deterministically from the synthetic star
 schema (customer —located in→ nation —part of→ region, user —did→
 event_type), then the graph operators run on it.
+
+Round 2 note: edge+vertex construction merged into ``q_graph_build`` and
+labels+degrees into ``q_entity_profile`` (so the registry fits the
+driver's correctness window); ``q_triangle_count`` added (GraphX-style
+triangle counting with an exact SQL oracle).
 """
 
 from __future__ import annotations
@@ -20,6 +25,7 @@ from big_data___knowledge_graph_construction_with_llm_spark.operators.graph impo
 from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
     connected_components,
     pagerank,
+    triangle_count,
 )
 from big_data___knowledge_graph_construction_with_llm_spark.plans.registry import query
 from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
@@ -41,79 +47,80 @@ def _customer_nation_triplets(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q_graph_edges",
+    "q_graph_build",
     oracle="""
-    SELECT DISTINCT c_name AS src, n_name AS dst, 'located in' AS relationship
+    SELECT DISTINCT 'edge' AS kind, c_name AS a, n_name AS b
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    """,
-)
-def q_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Edge-list construction (relational twin of the Neo4j edge MERGE,
-    ``…AWS/GRAPH/graph_builder.py:40-41``)."""
-    return edges_from_triplets(_customer_nation_triplets(spark, sf))
-
-
-@query(
-    "q_vertices",
-    oracle="""
-    SELECT DISTINCT c_name AS id, 'Customer' AS label
-    FROM customer
-    UNION
-    SELECT DISTINCT n_name AS id, 'Nation' AS label
-    FROM nation JOIN customer ON c_nationkey = n_nationkey
-    """,
-)
-def q_vertices(spark: SparkSession, sf: str) -> DataFrame:
-    """Vertex set = subjects ∪ objects, distinct (node MERGE on name,
-    ``…AWS/GRAPH/graph_builder.py:37-38``)."""
-    return vertices_from_triplets(_customer_nation_triplets(spark, sf))
-
-
-@query(
-    "q_labels_per_entity",
-    oracle="""
-    SELECT 'u:' || user_id AS id,
-           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS labels
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def q_labels_per_entity(spark: SparkSession, sf: str) -> DataFrame:
-    """All labels seen per node (APOC ``addLabels`` accumulation,
-    ``…AWS/GRAPH/graph_builder.py:43-44``)."""
-    ev = load(spark, sf, "events")
-    verts = ev.select(
-        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("id"),
-        F.col("event_type").alias("label"),
+    UNION ALL
+    SELECT kind, a, b FROM (
+      SELECT DISTINCT 'node' AS kind, c_name AS a, 'Customer' AS b
+      FROM customer
+      UNION
+      SELECT DISTINCT 'node' AS kind, n_name AS a, 'Nation' AS b
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
     )
-    return labels_per_entity(verts)
+    """,
+)
+def q_graph_build(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph construction from the typed-triplet contract: the edge list
+    (relational twin of the Neo4j edge MERGE,
+    ``…AWS/GRAPH/graph_builder.py:40-41``) and the vertex set =
+    subjects ∪ objects distinct (node MERGE on name,
+    ``…AWS/GRAPH/graph_builder.py:37-38``) — both halves of the
+    GraphFrames-convention graph in one tagged union."""
+    t = _customer_nation_triplets(spark, sf)
+    e = edges_from_triplets(t).select(
+        F.lit("edge").alias("kind"), F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    v = vertices_from_triplets(t).select(
+        F.lit("node").alias("kind"), F.col("id").alias("a"), F.col("label").alias("b")
+    )
+    return e.unionByName(v)
 
 
 @query(
-    "q_degree",
+    "q_entity_profile",
     oracle="""
     WITH e AS (
       SELECT DISTINCT 'u:' || user_id AS src, 't:' || event_type AS dst
       FROM events
     ),
     o AS (SELECT src AS id, count(*) AS out_degree FROM e GROUP BY src),
-    i AS (SELECT dst AS id, count(*) AS in_degree  FROM e GROUP BY dst)
-    SELECT coalesce(o.id, i.id) AS id,
-           coalesce(out_degree, 0) AS out_degree,
-           coalesce(in_degree, 0) AS in_degree,
-           coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
-    FROM o FULL OUTER JOIN i ON o.id = i.id
+    i AS (SELECT dst AS id, count(*) AS in_degree  FROM e GROUP BY dst),
+    d AS (
+      SELECT coalesce(o.id, i.id) AS id,
+             coalesce(out_degree, 0) AS out_degree,
+             coalesce(in_degree, 0) AS in_degree,
+             coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+      FROM o FULL OUTER JOIN i ON o.id = i.id
+    ),
+    l AS (
+      SELECT 'u:' || user_id AS id,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS labels
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT d.id, l.labels, d.out_degree, d.in_degree, d.degree
+    FROM d LEFT JOIN l ON d.id = l.id
     """,
 )
-def q_degree(spark: SparkSession, sf: str) -> DataFrame:
-    """Entity degree (north-star graph analytics; GraphFrames ``degrees``
-    shape)."""
+def q_entity_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-entity profile: all labels seen per node (APOC ``addLabels``
+    accumulation, ``…AWS/GRAPH/graph_builder.py:43-44``) joined with
+    in/out/total degree (GraphFrames ``degrees`` shape) — the §2.4
+    collect_set and degree rows in one plan. Type-side (``t:``) nodes
+    have no labels → NULL."""
     ev = load(spark, sf, "events")
     edges = ev.select(
         F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     ).distinct()
-    return degrees(edges)
+    verts = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("id"),
+        F.col("event_type").alias("label"),
+    )
+    prof = degrees(edges).join(labels_per_entity(verts), "id", "left")
+    return prof.select("id", "labels", "out_degree", "in_degree", "degree")
 
 
 @query(
@@ -177,6 +184,54 @@ def q_connected_components(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_name").alias("src"), F.col("n_name").alias("dst")
     )
     return connected_components(edges)
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH base AS (
+      SELECT c_name AS x, n_name AS y
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT c_name, r_name
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+      FROM base WHERE x <> y
+    )
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting (GraphX ``triangleCount`` analog) on the
+    customer—nation—region graph: each customer closes a (customer,
+    nation, region) triangle, and the oracle recomputes the count from
+    the same edge set with plain SQL self-joins — exact parity."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    cnr = cn.join(F.broadcast(r), cn.n_regionkey == r.r_regionkey)
+    edges = (
+        cn.select(F.col("c_name").alias("src"), F.col("n_name").alias("dst"))
+        .unionByName(
+            nr.select(F.col("n_name").alias("src"), F.col("r_name").alias("dst"))
+        )
+        .unionByName(
+            cnr.select(F.col("c_name").alias("src"), F.col("r_name").alias("dst"))
+        )
+    )
+    return triangle_count(edges)
 
 
 @query("q_pagerank")  # iterative float fixpoint — rows-only check

@@ -4,10 +4,18 @@ Every query has a DuckDB oracle twin with identical column aliases.
 Float aggregates are rounded identically on both sides; timestamps are
 emitted as formatted strings / epoch seconds so both engines hash the
 same values.
+
+Round 2 note: near-duplicate queries were consolidated (scan+events,
+count/distinct/percentile, rows+range frames, global+grouped top-k,
+semi/anti+intersect/except, tumbling+sliding+session windows) so the
+whole registry fits the driver's correctness window — each merged query
+still exercises every SURVEY §2 row it absorbed, and the oracle is the
+union of the original oracles.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -24,37 +32,35 @@ from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import 
 # --- scans ---------------------------------------------------------------
 
 @query(
-    "q_scan_csv",
+    "q_scan_stats",
     oracle="""
-    SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    SELECT 'lineitem' AS source_key, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_val
     FROM lineitem
-    """,
-)
-def q_scan_csv(spark: SparkSession, sf: str) -> DataFrame:
-    """Plain scan + count (parquet analog of the reference's CSV scan+count
-    gate, ``…AWS/ingestion/DataIngestionBatch.py:73-77``)."""
-    return load(spark, sf, "lineitem").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
-    )
-
-
-@query(
-    "q_events_scan",
-    oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    UNION ALL
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_val
     FROM events
     WHERE event_type <> 'error'
     GROUP BY event_type
     """,
 )
-def q_events_scan(spark: SparkSession, sf: str) -> DataFrame:
-    """Filtered scan of the stream-shaped table (filter pushed to parquet)."""
-    return (
+def q_scan_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan + count gates (parquet analog of the reference's CSV scan+count
+    gate, ``…AWS/ingestion/DataIngestionBatch.py:73-77``): a full-table
+    sum/count over lineitem plus a filtered per-type scan of the
+    stream-shaped events table (filter pushed to parquet)."""
+    li = load(spark, sf, "lineitem").agg(
+        F.lit("lineitem").alias("source_key"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_val"),
+    )
+    ev = (
         load(spark, sf, "events")
         .filter(F.col("event_type") != "error")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .groupBy(F.col("event_type").alias("source_key"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
     )
+    return li.unionByName(ev)
 
 
 # --- filters / projections ------------------------------------------------
@@ -119,52 +125,90 @@ def q_agg_basic(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q_count_by",
-    oracle="SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority",
-)
-def q_count_by(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "orders").groupBy("o_orderpriority").agg(
-        F.count("*").alias("n")
-    )
-
-
-@query(
-    "q_count_distinct",
+    "q_order_stats",
     oracle="""
-    SELECT count(DISTINCT o_custkey) AS n_cust,
-           count(DISTINCT o_orderpriority) AS n_prio,
-           count(*) AS n
-    FROM orders
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS n_cust,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           round(max(o_totalprice), 2) AS mx
+    FROM orders GROUP BY o_orderpriority
     """,
 )
-def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "orders").agg(
-        F.countDistinct("o_custkey").alias("n_cust"),
-        F.countDistinct("o_orderpriority").alias("n_prio"),
+def q_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group count + exact count-distinct + exact percentiles in one
+    aggregation pass (SURVEY §2.4 count-per-group and count-distinct rows,
+    plus the sketch-free percentile baseline; at 100 TB swap
+    approx_count_distinct / percentile_approx — same shape, bounded
+    memory: that path is ``q_approx_sketches``)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
     )
 
 
 @query(
-    "q_rollup",
+    "q_grouping_sets",
     oracle="""
-    SELECT n_name, CAST(grouping(n_name) AS INT) AS g,
-           count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY ROLLUP(n_name)
+    SELECT event_type,
+           CAST(user_id % 4 AS BIGINT) AS user_band,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_band), (event_type, user_band), ())
     """,
 )
-def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
-    c = load(spark, sf, "customer")
-    n = load(spark, sf, "nation")
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS (SURVEY §2.4 rollup/cube/grouping-sets row): one pass
+    producing all four aggregation granularities — Catalyst expands this
+    with a single Expand node, not four scans. ROLLUP(a) ≡ SETS ((a),()),
+    a strict subset of what this query produces."""
+    ev = load(spark, sf, "events")
+    ev.select(
+        "event_type", (F.col("user_id") % 4).alias("user_band"), "value"
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_band, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (user_band),
+                                (event_type, user_band), ())
+        """
+    )
+
+
+@query(
+    "q_weighted_mean",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (user_id % 5 + 1)) / sum(user_id % 5 + 1), 4)
+               AS wmean
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_weighted_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped weighted mean via a pandas GROUPED_AGG UDAF (SURVEY §2.10
+    UDAF row): the vectorized custom-aggregate surface — Arrow ships each
+    group's columns as pandas Series, one Python call per group, never
+    per row. The oracle states the same aggregate in plain SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    ev = load(spark, sf, "events")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .rollup("n_name")
-        .agg(
-            F.grouping("n_name").cast("int").alias("g"),
-            F.count("*").alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-        )
+        ev.select("event_type", "value", (F.col("user_id") % 5 + 1).alias("w"))
+        .groupBy("event_type")
+        .agg(F.round(_wmean("value", "w"), 4).alias("wmean"))
     )
 
 
@@ -209,25 +253,40 @@ def q_join_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q_semi_anti",
+    "q_membership",
     oracle="""
-    SELECT c_custkey, 'semi' AS tag FROM customer
+    SELECT c_custkey AS k, 'semi' AS tag FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders)
     UNION ALL
-    SELECT c_custkey, 'anti' AS tag FROM customer
+    SELECT c_custkey AS k, 'anti' AS tag FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT nationkey AS k, 'both' AS tag FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey AS k, 'customer_only' AS tag FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT SELECT s_nationkey FROM supplier)
     """,
 )
-def q_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+def q_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Set-membership surface in one query: left-semi / left-anti joins
+    (SURVEY §2.3) plus INTERSECT / EXCEPT (SURVEY §2.7). Semi/anti compile
+    to broadcast-able hash joins that never materialize the probe side."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders").select("o_custkey")
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-        "c_custkey", F.lit("semi").alias("tag")
+        F.col("c_custkey").alias("k"), F.lit("semi").alias("tag")
     )
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", F.lit("anti").alias("tag")
+        F.col("c_custkey").alias("k"), F.lit("anti").alias("tag")
     )
-    return semi.unionByName(anti)
+    cn = c.select(F.col("c_nationkey").alias("k"))
+    sn = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = cn.intersect(sn).select("k", F.lit("both").alias("tag"))
+    only = cn.subtract(sn).select("k", F.lit("customer_only").alias("tag"))
+    return semi.unionByName(anti).unionByName(both).unionByName(only)
 
 
 @query(
@@ -269,31 +328,37 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
            last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
                  OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS last_click_value
+               AS last_click_value,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_type, event_id)
+               AS gap_s
     FROM events
     QUALIFY event_type = 'purchase'
     """,
 )
 def q_asof(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of enrichment: each purchase sees the latest click value at-or-
-    before its timestamp, per user — one shuffle + one sort, no join."""
+    """As-of enrichment + lag in one pass: each purchase sees the latest
+    click value at-or-before its timestamp, per user, plus the seconds
+    since the previous event (SURVEY §2.3 as-of row and §2.5 lag/lead
+    row) — one shuffle + one sort, no join."""
     ev = load(spark, sf, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_type", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     asof_click = F.last(
         F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
-    ).over(w)
+    ).over(wf)
+    epoch = F.unix_timestamp("ts")
     return (
         ev.withColumn("last_click_value", asof_click)
+        .withColumn("gap_s", epoch - F.lag(epoch).over(w))
         .filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
             "user_id",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
             "last_click_value",
+            "gap_s",
         )
     )
 
@@ -323,86 +388,84 @@ def q_rank_in_group(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
-    "q_running_sum",
+    "q_window_frames",
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-               AS running_total
+               AS running_total,
+           round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS sum_30d
     FROM orders
     """,
 )
-def q_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+def q_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Both window-frame kinds in one pass (SURVEY §2.5 running-agg rows):
+    a ROWS-frame running total and a RANGE-frame 30-day trailing spend per
+    customer — same partition, one shuffle serves both frames."""
     o = load(spark, sf, "orders")
-    w = (
+    w_rows = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # o_orderdate arrives as TIMESTAMP_NTZ; route through ltz (session tz
+    # is UTC) to get the same naive-UTC epoch DuckDB's epoch() computes
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-@query(
-    "q_lag_events",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(floor(epoch(ts)) AS BIGINT)
-             - lag(CAST(floor(epoch(ts)) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
-    FROM events
-    """,
-)
-def q_lag_events(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp("ts")
-    return ev.select(
-        "event_id", "user_id", (epoch - F.lag(epoch).over(w)).alias("gap_s")
+        F.round(F.sum("o_totalprice").over(w_rows), 2).alias("running_total"),
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("sum_30d"),
     )
 
 
 # --- sorts / top-k -----------------------------------------------------------
 
 @query(
-    "q_topk_global",
+    "q_topk",
     oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-)
-def q_topk_global(spark: SparkSession, sf: str) -> DataFrame:
-    """Global top-k: compiles to per-partition TakeOrdered + k-row driver
-    merge — no full sort at any scale."""
-    return (
-        load(spark, sf, "orders")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")
+    SELECT 'global' AS tag, o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT * FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     )
-
-
-@query(
-    "q_topk_per_group",
-    oracle="""
-    SELECT o_orderpriority, o_orderkey, o_totalprice
+    UNION ALL
+    SELECT 'group' AS tag, o_orderpriority, o_orderkey, o_totalprice
     FROM orders
     QUALIFY row_number() OVER (PARTITION BY o_orderpriority
                                ORDER BY o_totalprice DESC, o_orderkey) <= 3
     """,
 )
-def q_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+def q_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k both ways (SURVEY §2.6): global orderBy+limit compiles to
+    per-partition TakeOrdered + a k-row driver merge (no full sort at any
+    scale); per-group top-k is a rank window + filter."""
     o = load(spark, sf, "orders")
-    return topk_per_group(
+    global_leg = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("global").alias("tag"),
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    group_leg = topk_per_group(
         o,
         ["o_orderpriority"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         3,
-    ).select("o_orderpriority", "o_orderkey", "o_totalprice")
+    ).select(
+        F.lit("group").alias("tag"), "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return global_leg.unionByName(group_leg)
 
 
 # --- set operations -----------------------------------------------------------
@@ -431,192 +494,90 @@ def q_union_fill(spark: SparkSession, sf: str) -> DataFrame:
     return union_fill([c, s])
 
 
-@query(
-    "q_set_ops",
-    oracle="""
-    SELECT nationkey, 'both' AS tag FROM
-      (SELECT c_nationkey AS nationkey FROM customer
-       INTERSECT SELECT s_nationkey FROM supplier)
-    UNION ALL
-    SELECT nationkey, 'customer_only' AS tag FROM
-      (SELECT c_nationkey AS nationkey FROM customer
-       EXCEPT SELECT s_nationkey FROM supplier)
-    """,
-)
-def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
-    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    both = c.intersect(s).select("nationkey", F.lit("both").alias("tag"))
-    only = c.subtract(s).select(
-        "nationkey", F.lit("customer_only").alias("tag")
-    )
-    return both.unionByName(only)
-
-
 # --- streaming batch analogs ---------------------------------------------------
 
 @query(
-    "q_tumbling_count",
+    "q_event_windows",
     oracle="""
-    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
-               AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    SELECT 'tumbling' AS kind,
+           strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+               AS k1,
+           event_type AS k2, count(*) AS n
     FROM events
-    GROUP BY 1, 2
-    """,
-)
-def q_tumbling_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Batch twin of ``streaming.events.tumbling_counts``."""
-    ev = load(spark, sf, "events")
-    return (
-        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
-    )
-
-
-@query(
-    "q_session_window",
-    oracle="""
-    WITH g AS (
-      SELECT user_id, event_id, ts,
-             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-                  THEN 1 ELSE 0 END AS new_sess
-      FROM events
-    ),
-    s AS (
-      SELECT user_id, event_id,
-             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS session_id
-      FROM g
-    )
-    SELECT user_id, session_id, count(*) AS n
-    FROM s GROUP BY user_id, session_id
-    """,
-)
-def q_session_window(spark: SparkSession, sf: str) -> DataFrame:
-    """Batch sessionization (30-min gap), the scalable lag+cumsum shape;
-    streaming twin is ``session_window`` in ``streaming/events.py``."""
-    ev = load(spark, sf, "events")
-    sess = sessionize(ev, "user_id", "ts", 30)
-    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n"))
-
-
-@query(
-    "q_grouping_sets",
-    oracle="""
-    SELECT event_type,
-           CAST(user_id % 4 AS BIGINT) AS user_band,
-           count(*) AS n,
-           round(sum(value), 2) AS sum_value
-    FROM events
-    GROUP BY GROUPING SETS ((event_type), (user_band), (event_type, user_band), ())
-    """,
-)
-def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUPING SETS (SURVEY §2.4 rollup/cube/grouping-sets row): one pass
-    producing all four aggregation granularities — Catalyst expands this
-    with a single Expand node, not four scans."""
-    ev = load(spark, sf, "events")
-    ev.select(
-        "event_type", (F.col("user_id") % 4).alias("user_band"), "value"
-    ).createOrReplaceTempView("_gs_events")
-    return spark.sql(
-        """
-        SELECT event_type, user_band, count(*) AS n,
-               round(sum(value), 2) AS sum_value
-        FROM _gs_events
-        GROUP BY GROUPING SETS ((event_type), (user_band),
-                                (event_type, user_band), ())
-        """
-    )
-
-
-@query(
-    "q_sliding_count",
-    oracle="""
+    GROUP BY 2, 3
+    UNION ALL
     -- every event lies in exactly two 10-min/5-min-slide windows:
     -- its 5-min bucket and the bucket 5 minutes before it
-    SELECT strftime(time_bucket(INTERVAL '5 minutes', ts)
-                    - off * INTERVAL '1 second', '%Y-%m-%d %H:%M:%S') AS ws,
-           event_type, count(*) AS n
+    SELECT 'sliding' AS kind,
+           strftime(time_bucket(INTERVAL '5 minutes', ts)
+                    - off * INTERVAL '1 second', '%Y-%m-%d %H:%M:%S') AS k1,
+           event_type AS k2, count(*) AS n
     FROM events, (SELECT unnest([0, 300]) AS off) offs
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'session' AS kind, k1, k2, n FROM (
+      WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      ),
+      s AS (
+        SELECT user_id, event_id,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM g
+      )
+      SELECT CAST(user_id AS VARCHAR) AS k1,
+             CAST(session_id AS VARCHAR) AS k2, count(*) AS n
+      FROM s GROUP BY user_id, session_id
+    )
     """,
 )
-def q_sliding_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding-window counts (10 min window, 5 min slide) — each event in
-    two windows; one Expand + one aggregation, no self-join
-    (SURVEY §2.9 sliding row, batch analog)."""
+def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """The batch twins of the streaming operators in one query (SURVEY
+    §2.9): tumbling and sliding window counts (each event expands into its
+    windows via one Expand node — no self-join) and 30-min-gap
+    sessionization (the scalable lag+cumsum shape). Streaming versions
+    live in ``streaming/events.py`` with watermarks."""
     ev = load(spark, sf, "events")
-    return (
+    tumb = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+            F.col("event_type").alias("k2"),
+            "n",
+        )
+    )
+    slide = (
         ev.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
         )
         .agg(F.count("*").alias("n"))
         .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
-            "event_type",
+            F.lit("sliding").alias("kind"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+            F.col("event_type").alias("k2"),
             "n",
         )
     )
-
-
-@query(
-    "q_percentile",
-    oracle="""
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
-           round(max(o_totalprice), 2) AS mx
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def q_percentile(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact percentiles per group (the sketch-free baseline; at 100 TB
-    swap percentile_approx — same query shape, bounded memory)."""
-    o = load(spark, sf, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
-        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    sess = (
+        sessionize(ev, "user_id", "ts", 30)
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("session").alias("kind"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("session_id").cast("string").alias("k2"),
+            "n",
+        )
     )
-
-
-@query(
-    "q_range_frame",
-    oracle="""
-    SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS sum_30d
-    FROM orders
-    """,
-)
-def q_range_frame(spark: SparkSession, sf: str) -> DataFrame:
-    """RANGE-frame running aggregate (30-day trailing spend per customer)
-    — rangeBetween on epoch seconds (SURVEY §2.5 rangeBetween row)."""
-    o = load(spark, sf, "orders")
-    # o_orderdate arrives as TIMESTAMP_NTZ; route through ltz (session tz
-    # is UTC) to get the same naive-UTC epoch DuckDB's epoch() computes
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
-        .rangeBetween(-2592000, Window.currentRow)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
-    )
+    return tumb.unionByName(slide).unionByName(sess)
 
 
 @query(
@@ -661,7 +622,7 @@ def q_skew_join(spark: SparkSession, sf: str) -> DataFrame:
 @query("q_approx_sketches")  # HLL++/KLL internals are engine-specific — rows-only
 def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based aggregates (the bounded-memory path the exact
-    q_count_distinct / q_percentile swap to at 100 TB):
+    count-distinct / percentiles in q_order_stats swap to at 100 TB):
     approx_count_distinct (HLL++) and percentile_approx (KLL-ish).
     Accuracy bounds are unit-tested against the exact values."""
     o = load(spark, sf, "orders")

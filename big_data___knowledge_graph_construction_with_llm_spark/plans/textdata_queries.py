@@ -46,18 +46,21 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup by content hash: shuffle an 8-byte xxhash64, never the
-    document text. Clones are planted (10%) so groups >1 exist."""
+    """Exact dedup by content hash: shuffle a 192-bit (xxhash64, md5)
+    fingerprint pair, never the document text — 64 bits alone
+    birthday-collides at ~2³² docs, exactly the scale this targets
+    (same rationale as ``exact_dedup_by_hash``). Clones are planted
+    (10%) so groups >1 exist. The oracle groups on the text itself:
+    parity proves the fingerprint introduced no collision here."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     clones = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     full = d.unionByName(clones)
     return (
-        full.select("doc_id", F.xxhash64("text").alias("_h"))
-        .groupBy("_h")
+        full.select("doc_id", F.xxhash64("text").alias("_h"), F.md5("text").alias("_m"))
+        .groupBy("_h", "_m")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .drop("_h")
         .select("doc_id", "n_copies")
     )
 
@@ -147,17 +150,11 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Content fingerprint (md5 hex) per document — the cross-engine-stable
-    fingerprint; the rolling-hash variant is ``q_fingerprint_rolling``."""
+    fingerprint. The order-sensitive polynomial rolling-hash variant
+    (``operators.text.fingerprint64``, one aggregate pass, no shuffle) is
+    not oracle-expressible and is covered by unit tests
+    (``tests/test_operators_misc.py``) instead of a registry slot."""
     return load(spark, sf, "documents").select("doc_id", F.md5("text").alias("fp"))
-
-
-@query("q_fingerprint_rolling")  # xxhash64-based — not oracle-expressible
-def q_fingerprint_rolling(spark: SparkSession, sf: str) -> DataFrame:
-    """Order-sensitive polynomial rolling fingerprint over token hashes
-    (one aggregate pass, no shuffle)."""
-    return load(spark, sf, "documents").select(
-        "doc_id", T.fingerprint64("text").alias("fp64")
-    )
 
 
 # --- similarity search ----------------------------------------------------------

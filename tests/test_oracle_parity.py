@@ -71,4 +71,5 @@ def test_query(name, spark, duck):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and df.columns
+    # the driver's gate is rows > 0 — mirror it exactly
+    assert len(rows) > 0 and df.columns

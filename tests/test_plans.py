@@ -48,16 +48,39 @@ def test_filter_reaches_parquet_scan(spark):
 
 
 def test_column_pruning_reaches_scan(spark):
-    p = plan_text(QUERIES["q_topk_global"](spark, SF_DIR))
-    # ReadSchema must be narrower than the full lineitem schema (16 cols)
+    p = plan_text(QUERIES["q_topk"](spark, SF_DIR))
+    # ReadSchema must be narrower than the full orders schema (9 cols)
     read_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
     assert read_line.count(",") < 8
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """Nearest-centroid assignment must be a pure projection: no Exchange,
+    no join, no row explosion (the round-1 crossJoin×k + groupBy shuffle
+    is the exact anti-pattern this pins against)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    vecs = load(spark, SF_DIR, "embeddings").filter("vec_id != 0")
+    cents = ivf_centroids(vecs, k=4, iterations=1)
+    p = plan_text(ivf_index(vecs, cents))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_python_row_udfs_anywhere(spark, name):
     """Row-at-a-time Python (BatchEvalPython) must never appear; Arrow
-    batch (mapInPandas etc.) is the only allowed Python boundary."""
+    batch (mapInPandas, AggregateInPandas) is the only allowed Python
+    boundary. q_weighted_mean's pandas GROUPED_AGG UDAF is Arrow-batched
+    by construction — assert its physical node says so."""
     p = plan_text(QUERIES[name](spark, SF_DIR), mode="extended")
     assert "BatchEvalPython" not in p
-    assert "PythonUDF" not in p
+    if name == "q_weighted_mean":
+        # Spark 4's physical node for a pandas GROUPED_AGG UDAF
+        assert "ArrowAggregatePython" in p
+    else:
+        assert "PythonUDF" not in p
