@@ -16,27 +16,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import SparkSession  # noqa: E402
-
 import __spark_entry__ as entry_mod  # noqa: E402
+from big_data___knowledge_graph_construction_with_llm_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # sf from the dir name, e.g. .../sf0.1 -> 0.1
     tail = os.path.basename(sf_dir.rstrip("/"))
     sf = float(tail[2:]) if tail.startswith("sf") else -1.0
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("spark-graft-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # one source of truth for session confs (nanosAsLong/UTC/ANSI-off live
+    # in session.get_spark): a bench-local builder would depend on
+    # _ensure_conf running before the first parquet read
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(app_name="spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM (codegen, shuffle, parquet reader, noop sink) so the

@@ -11,7 +11,7 @@ UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne primes for universal hashing (public-domain constants).
@@ -149,6 +149,32 @@ def _lcg_params(n: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+def _cap_buckets(
+    banded: DataFrame, max_bucket: int | None, keys: list[str]
+) -> DataFrame:
+    """Drop rows in candidate buckets larger than ``max_bucket`` BEFORE the
+    self-join — the skew backstop every banded-LSH deployment needs.
+
+    A bucket of size s yields s·(s-1)/2 pairs: one boilerplate bucket of
+    10⁶ docs is 5·10¹¹ pairs, which no verify stage survives. Capping
+    skips such buckets entirely (bounding join output at
+    ``buckets × max_bucket²/2``) and is the standard recall trade: docs in
+    an over-full bucket are near-duplicates of *something* en masse and
+    are better handled by the exact-dedup pass that precedes LSH.
+
+    The size count shuffles on the same ``keys`` the join itself needs,
+    so the cap adds no new shuffle key.
+    """
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -156,6 +182,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs.
 
@@ -166,8 +193,9 @@ def lsh_candidate_pairs(
 
     Scale note: band buckets are the classic skew point (boilerplate docs
     collapse into one bucket). AQE skew-join splitting handles moderate
-    skew; for pathological buckets add a bucket-size cap filter before the
-    join (``max_bucket`` hook below).
+    skew; ``max_bucket`` is the hard backstop — buckets above it are
+    skipped before the join (see ``_cap_buckets``). Always set it at
+    scale; ``None`` keeps exhaustive small-data semantics.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -199,6 +227,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _cap_buckets(banded, max_bucket, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -323,7 +352,11 @@ def simhash_signatures(
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs blocked on simhash bit-bands.
 
@@ -331,17 +364,35 @@ def simhash_near_dup_pairs(
     the requested hamming distance must share at least one exact band —
     so the band count is DERIVED from ``max_hamming``, never fixed (a
     fixed 4x16-bit split silently loses recall for ``max_hamming > 3``).
-    Trade-off: larger ``max_hamming`` ⇒ more, narrower bands ⇒ bigger
-    candidate buckets; keep it small (≤ 3-4) at scale. Same
-    shuffle-on-small-key property as MinHash LSH.
+
+    Scale trade-off: larger ``max_hamming`` ⇒ more, narrower bands ⇒
+    exponentially bigger candidate buckets (7 bands of 9-10 bits at
+    radius 6 means ≤1024 buckets per band — at 10⁹ docs that is ~10⁶
+    docs per bucket and a quadratic join). Two defenses, use both at
+    scale: keep ``max_hamming ≤ 3`` so every band stays ≥16 bits, and
+    set ``max_bucket`` — the hard cap that skips over-full buckets
+    before the join (see ``_cap_buckets``); ``None`` keeps exhaustive
+    small-data semantics. Same shuffle-on-small-key property as MinHash
+    LSH either way.
     """
     n_bands = max_hamming + 1
-    if n_bands > 64:
-        raise ValueError("max_hamming must be < 64")
+    if not 1 <= n_bands <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
     # split 64 bits into n_bands contiguous bands, widths as even as possible
     base_w, extra = divmod(64, n_bands)
     widths = [base_w + (1 if i < extra else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+
+    def _band_bucket(i: int) -> F.Column:
+        if widths[i] == 64:
+            # max_hamming=0: one full-width band — the mask 2⁶⁴-1 does not
+            # fit LongType, and no mask is needed; bucket on _sim directly
+            return F.col("_sim")
+        return (
+            F.shiftright(F.col("_sim"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        )
+
     sigs = simhash_signatures(df, id_col, text_col)
     banded = sigs.select(
         "_id",
@@ -350,16 +401,14 @@ def simhash_near_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("_sim"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("bucket"),
+                        F.lit(i).alias("band"), _band_bucket(i).alias("bucket")
                     )
                     for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
     ).select("_id", "_sim", "bb.band", "bb.bucket")
+    banded = _cap_buckets(banded, max_bucket, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
     return (

@@ -114,14 +114,23 @@ def salted_join(
     key: str,
     num_salts: int = 8,
     how: str = "inner",
+    spread_duplicates: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join: salt the skewed side, replicate the other.
 
     A hot key that would land one monster partition is split across
     ``num_salts`` partitions: the skewed side gets a deterministic salt
-    (hash of the whole row, so duplicates also spread), the other side is
-    replicated once per salt value, and the join key becomes
-    ``(key, salt)``. Result is row-identical to the plain join.
+    (hash of the whole row — note EXACT-duplicate rows hash identically
+    and therefore share a salt; distinct rows under one hot key spread),
+    the other side is replicated once per salt value, and the join key
+    becomes ``(key, salt)``. Result is row-identical to the plain join.
+
+    When the hot key's rows are themselves exact duplicates, set
+    ``spread_duplicates=True``: the salt becomes a function of physical
+    row position (``monotonically_increasing_id``) instead of content.
+    That spreads identical rows too; it is safe because the salt only
+    routes rows (the other side is replicated for every salt value), but
+    the routing is no longer stable across different input layouts.
 
     AQE's skew-join splitting (on in ``session.get_spark``) handles
     moderate skew automatically; this is the manual tool for pathological
@@ -138,9 +147,12 @@ def salted_join(
             f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
             "unmatched rows of the replicated side would appear num_salts times"
         )
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
-    )
+    if spread_duplicates:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)
+        )
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))

@@ -90,6 +90,59 @@ def extract_triplets(
     return payload.mapInPandas(_run, schema=TRIPLET_DDL)
 
 
+def extract_triplets_async(
+    records: DataFrame,
+    async_call,
+    batch_size: int = 5,
+    fanout_partitions: int | None = None,
+    **retry_kwargs,
+) -> DataFrame:
+    """The reference's real extraction stage shape: per-partition asyncio
+    fan-out with retry/backoff (``…AWS/LLM/main-llm-triplets-extraction.py:15-31``,
+    ``…Local/LLM/pipeline.py:36-68``) as an Arrow-batched ``mapInPandas``.
+
+    ``async_call(record_json) -> awaitable[str]`` is the pluggable LLM
+    call (an aiohttp/SDK coroutine in production; a deterministic fake in
+    tests — no HTTP client ships in this container). Each Arrow batch
+    starts one event loop, issues ``batch_size`` concurrent calls at a
+    time, wraps every call in ``call_with_retry``, and tolerant-parses
+    each reply with ``scrape_json_objects``. Unparseable replies
+    contribute no rows (the validity filter downstream is the contract).
+
+    Idempotent under Spark task re-runs: calls are pure per record.
+    Partition count = external-call fan-out, as in ``extract_triplets``.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.llm_client import (
+        gather_in_batches,
+        scrape_json_objects,
+    )
+
+    payload = records.select(F.to_json(F.struct(*records.columns)).alias("js"))
+    if fanout_partitions:
+        payload = payload.repartition(fanout_partitions)
+    cols = ["subject", "subject_type", "relation", "object", "object_type"]
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import asyncio
+
+        for pdf in batches:
+            texts = [str(t) for t in pdf["js"]]
+            replies = asyncio.run(
+                gather_in_batches(texts, async_call, batch_size, **retry_kwargs)
+            )
+            rows: list[dict] = []
+            for reply in replies:
+                for obj in scrape_json_objects(reply):
+                    rows.append({c: obj.get(c) for c in cols})
+            yield (
+                pd.DataFrame(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    return payload.mapInPandas(_run, schema=TRIPLET_DDL)
+
+
 def validate_triplets(raw: DataFrame) -> DataFrame:
     """Required-key filter + entity-type defaults
     (``Art-Knowledge-Graph-Local/main.py:61-71``)."""

@@ -76,9 +76,12 @@ def _with_near_dup_clones(d: DataFrame, every: int = 20) -> DataFrame:
 @query("q_minhash_dedup")  # LSH is probabilistic — rows-only check
 def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over planted near-clones
-    (shingle → 64-hash signature → 16 bands → bucket equi-join)."""
+    (shingle → 64-hash signature → 16 bands → bucket equi-join).
+    max_bucket is the production skew backstop: buckets above it are
+    skipped before the join (far above any bucket this corpus produces,
+    so results are exhaustive here)."""
     full = _with_near_dup_clones(load(spark, sf, "documents"))
-    return lsh_candidate_pairs(full, "doc_id", "text")
+    return lsh_candidate_pairs(full, "doc_id", "text", max_bucket=10_000)
 
 
 @query("q_simhash_dedup")  # banded hamming blocking — rows-only check
@@ -91,9 +94,14 @@ def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     " qq ww ee" suffix moves short docs' simhash by a median of 5 bits
     (17/25 clones within 6, only 7/25 within 4) — tightening the radius
     to buy back bucket size would silently halve what this query finds.
+    At radius 6 the bands are only 9-10 bits wide, so the max_bucket cap
+    is NOT optional at scale: it bounds every band bucket before the
+    self-join (see ``simhash_near_dup_pairs`` docstring for the math).
     """
     full = _with_near_dup_clones(load(spark, sf, "documents"))
-    return simhash_near_dup_pairs(full, "doc_id", "text", max_hamming=6)
+    return simhash_near_dup_pairs(
+        full, "doc_id", "text", max_hamming=6, max_bucket=10_000
+    )
 
 
 @query(

@@ -45,6 +45,27 @@ def read_json(
     return spark.read.option("multiLine", str(multi_line).lower()).json(path)
 
 
+def filter_by_file_suffix(
+    df: DataFrame, suffixes: str | list[str], exclude_substr: str | None = None
+) -> DataFrame:
+    """Keep only rows read from files whose path ends with one of
+    ``suffixes`` (optionally also dropping paths containing
+    ``exclude_substr``) — the reference's S3-listing predicate
+    ``key.endswith(".json") or key.endswith(".jsonl") and "part-" not in
+    key`` (``…AWS/GRAPH/main_neo4j_loader.py:50``) pushed into the scan
+    via ``input_file_name()``, so one multi-file read replaces the
+    driver-side listing loop."""
+    if isinstance(suffixes, str):
+        suffixes = [suffixes]
+    fname = F.input_file_name()
+    cond = fname.endswith(suffixes[0])
+    for s in suffixes[1:]:
+        cond = cond | fname.endswith(s)
+    if exclude_substr is not None:
+        cond = cond & ~fname.contains(exclude_substr)
+    return df.filter(cond)
+
+
 def write_partitioned_json(df: DataFrame, path: str, fmt: str) -> None:
     """Append-mode JSON sink, one subdir per source format
     (``…AWS/ingestion/DataIngestionBatch.py:76,83,90,103``)."""

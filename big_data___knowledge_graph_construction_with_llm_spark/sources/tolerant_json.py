@@ -29,7 +29,15 @@ def read_json_tolerant(
     # NB: must be the reader kwarg — .option("wholetext", ...) is silently
     # ignored by the text source (verified on Spark 4.1.2)
     raw = spark.read.text(path, wholetext=True)
-    repaired = raw.select(repair_json(F.col("value")).alias("value"))
+    # strict-first (mirrors functions.json_repair.tolerant_parse): repair
+    # regexes would corrupt ALREADY-VALID files whose string values
+    # contain ',}' / ',]' or key-shaped substrings — only files that fail
+    # a strict parse get repaired
+    repaired = raw.select(
+        F.when(F.try_parse_json(F.col("value")).isNotNull(), F.col("value"))
+        .otherwise(repair_json(F.col("value")))
+        .alias("value")
+    )
     objects = repaired.select(
         F.explode(
             F.from_json(F.col("value"), f"array<struct<{schema}>>")

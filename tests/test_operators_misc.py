@@ -123,6 +123,43 @@ def test_simhash_bands_follow_max_hamming(spark):
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, d)]
 
 
+def test_simhash_max_hamming_zero(spark):
+    """Radius 0 is one full-width band: exact-simhash pairs only, and the
+    2⁶⁴-1 mask that used to blow up LongType must not be built."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "something else entirely here")],
+        "doc_id int, text string",
+    )
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_bucket_cap_bounds_candidates(spark):
+    """max_bucket must skip over-full buckets entirely (the skew backstop):
+    20 identical docs land in one bucket per band — with a cap below 20
+    they yield ZERO pairs, while a small planted pair elsewhere survives."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    boiler = [(i, "the same boilerplate text repeated here") for i in range(20)]
+    planted = [
+        (100, "a unique document about distributed query planning"),
+        (101, "a unique document about distributed query planning"),
+    ]
+    df = spark.createDataFrame(boiler + planted, "doc_id int, text string")
+    for fn in (lsh_candidate_pairs, simhash_near_dup_pairs):
+        capped = fn(df, "doc_id", "text", max_bucket=10).collect()
+        assert [(p["id_a"], p["id_b"]) for p in capped] == [(100, 101)], fn.__name__
+        uncapped = fn(df, "doc_id", "text").collect()
+        # uncapped sees the quadratic boilerplate pairs the cap suppressed
+        assert len(uncapped) == 20 * 19 // 2 + 1, fn.__name__
+
+
 def test_salted_join_rejects_right_full(spark):
     import pytest as _pytest
     from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import salted_join

@@ -8,11 +8,20 @@ everything downstream is the engine's own deterministic surface.
 
 from __future__ import annotations
 
+import asyncio
+import json
+
+import pytest
 from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.functions.canonical import (
     canonical_map_df,
     canonicalize_relations,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.llm_client import (
+    call_with_retry,
+    parse_server_wait,
+    scrape_json_objects,
 )
 from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import (
     edges_from_triplets,
@@ -20,6 +29,7 @@ from big_data___knowledge_graph_construction_with_llm_spark.operators.graph impo
 )
 from big_data___knowledge_graph_construction_with_llm_spark.pipeline import (
     extract_triplets,
+    extract_triplets_async,
     mock_extractor,
     validate_triplets,
 )
@@ -59,6 +69,124 @@ def test_extract_validate_roundtrip(spark):
     # defaults applied where the extractor left None
     assert triplets.filter(F.col("object_type") != "Entity").count() == 0
     assert triplets.filter(F.col("subject_type") == "Record").count() == 3
+
+
+class _FakeRateLimitError(Exception):
+    """Named like the provider SDK's class so duck-typing matches."""
+
+
+_FakeRateLimitError.__name__ = "RateLimitError"
+
+
+def test_parse_server_wait():
+    assert parse_server_wait("Please try again in 1m22.71s") == pytest.approx(82.71)
+    assert parse_server_wait("try again in 0m0.5s.") == pytest.approx(0.5)
+    assert parse_server_wait("no wait hint here") is None
+
+
+def test_call_with_retry_fake_clock():
+    """Server-directed waits are honored exactly; messageless rate limits
+    follow the 1 → ×5.5-6.0 exponential schedule; success returns."""
+    sleeps: list[float] = []
+
+    async def fake_sleep(s):
+        sleeps.append(round(s, 4))
+
+    attempts = {"n": 0}
+
+    async def flaky():
+        attempts["n"] += 1
+        if attempts["n"] == 1:
+            raise _FakeRateLimitError("Rate limit. Please try again in 1m22.71s")
+        if attempts["n"] <= 3:
+            raise _FakeRateLimitError("Rate limit, no hint")
+        return "ok"
+
+    out = asyncio.run(
+        call_with_retry(
+            flaky, sleep=fake_sleep, rng=lambda a, b: a  # deterministic 5.5×
+        )
+    )
+    assert out == "ok"
+    # sleep 1: parsed 82.71s; sleeps 2-3: 1.0 then 1.0*5.5
+    assert sleeps == [82.71, 1.0, 5.5]
+
+
+def test_call_with_retry_exhaustion_and_passthrough():
+    async def always_limited():
+        raise _FakeRateLimitError("nope")
+
+    async def fake_sleep(_):
+        pass
+
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        asyncio.run(
+            call_with_retry(
+                always_limited, max_retries=3, sleep=fake_sleep, rng=lambda a, b: a
+            )
+        )
+
+    async def broken():
+        raise ValueError("not a rate limit")
+
+    # non-rate-limit errors propagate immediately, no retries
+    with pytest.raises(ValueError):
+        asyncio.run(call_with_retry(broken, sleep=fake_sleep))
+
+
+def test_scrape_json_objects():
+    assert scrape_json_objects('{"a": 1}') == [{"a": 1}]
+    assert scrape_json_objects('[{"a": 1}, {"b": 2}]') == [{"a": 1}, {"b": 2}]
+    assert scrape_json_objects('note {"a": 1} more {"b": 2} end') == [
+        {"a": 1},
+        {"b": 2},
+    ]
+    assert scrape_json_objects("nothing here") == []
+    assert scrape_json_objects(None) == []
+    assert scrape_json_objects("[1, 2]") == []
+
+
+def test_extract_triplets_async_with_flaky_fake(spark):
+    """End-to-end through mapInPandas with a deterministic fake-HTTP call
+    that rate-limits the FIRST attempt for every record (tiny parsed
+    wait), then answers with prose-wrapped JSON — retry, fan-out and the
+    tolerant parse all engage, and the result equals the mock path."""
+
+    # defined inside the test so cloudpickle ships it BY VALUE — a
+    # module-level class would be pickled by reference and executors
+    # cannot import the test module
+    class RateLimitError(Exception):
+        pass
+
+    async def fake_llm(record_json: str) -> str:
+        rec = json.loads(record_json)
+        # deterministic per-record flakiness: odd ids rate-limit once per
+        # event loop (state is loop-local, so task re-runs are idempotent)
+        loop = asyncio.get_running_loop()
+        seen = getattr(loop, "_seen", None)
+        if seen is None:
+            seen = loop._seen = set()
+        if int(rec["id"]) % 2 == 1 and rec["id"] not in seen:
+            seen.add(rec["id"])
+            raise RateLimitError("Please try again in 0m0.01s")
+        triplet = {
+            "subject": rec["id"],
+            "subject_type": "Record",
+            "relation": "has_title",
+            "object": rec["title"],
+            "object_type": None,
+        }
+        return f"The extraction yields: {json.dumps(triplet)} -- done"
+
+    records = spark.range(4).select(
+        F.col("id").cast("string").alias("id"),
+        F.concat(F.lit("title-"), F.col("id")).alias("title"),
+    )
+    out = validate_triplets(
+        extract_triplets_async(records, fake_llm, batch_size=2, fanout_partitions=2)
+    )
+    rows = sorted((r["subject"], r["relation"], r["object"]) for r in out.collect())
+    assert rows == [(str(i), "has_title", f"title-{i}") for i in range(4)]
 
 
 def test_canonicalize_and_graph(spark):

@@ -144,3 +144,28 @@ def test_rdf_keepset_filter(spark):
     )
     assert got == [("Museo", "sameAs", "museo-uri"), ("Tiziano", "creator", "Ritratto")]
     assert "wasBornIn" not in KEEP_PREDICATES
+
+
+def test_tolerant_json_strict_first_preserves_valid_files(spark, tmp_path):
+    """A VALID file whose string values contain ',}' / ',]' or key-shaped
+    substrings must pass through untouched — the repair regexes only run
+    when the strict parse fails."""
+    p = tmp_path / "valid.json"
+    p.write_text('[{"Inventario": "0001/B", "Autore": "note a,} and \'k\': v"}]')
+    df = read_json_tolerant(spark, str(p), "Inventario string, Autore string")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["Autore"] == "note a,} and 'k': v"
+
+
+def test_filter_by_file_suffix(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.tabular import filter_by_file_suffix
+
+    (tmp_path / "a.jsonl").write_text('{"v": 1}\n{"v": 2}\n')
+    (tmp_path / "b.json").write_text('{"v": 3}\n')
+    (tmp_path / "part-c.jsonl").write_text('{"v": 4}\n')
+    (tmp_path / "d.txt").write_text('{"v": 5}\n')
+    df = spark.read.text(str(tmp_path / "*"))
+    kept = filter_by_file_suffix(df, [".json", ".jsonl"], exclude_substr="part-")
+    vals = sorted(r["value"] for r in kept.collect())
+    assert vals == ['{"v": 1}', '{"v": 2}', '{"v": 3}']
