@@ -11,7 +11,7 @@ UDFs anywhere in this module.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne primes for universal hashing (public-domain constants).
@@ -162,17 +162,21 @@ def _cap_buckets(
     an over-full bucket are near-duplicates of *something* en masse and
     are better handled by the exact-dedup pass that precedes LSH.
 
-    The size count shuffles on the same ``keys`` the join itself needs,
-    so the cap adds no new shuffle key.
+    Shape: bucket sizes come from a partial-aggregated count (map-side
+    combined — the shuffle carries one row per distinct bucket, not per
+    doc), the OVERSIZED set is kept (tiny by definition: it is the
+    pathology list), and the banded table anti-joins against its
+    broadcast. No full-row window sort, no new shuffle of the corpus.
     """
     if max_bucket is None:
         return banded
-    w = Window.partitionBy(*keys)
-    return (
-        banded.withColumn("_bsz", F.count("*").over(w))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
+    oversize = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select(*keys)
     )
+    return banded.join(F.broadcast(oversize), keys, "left_anti")
 
 
 def lsh_candidate_pairs(
