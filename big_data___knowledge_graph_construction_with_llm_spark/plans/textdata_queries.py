@@ -440,6 +440,34 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_dataset_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by id-hash bucket
+    (``operators.sampling.dataset_split``) with per-split language
+    counts: membership is a pure projection of md5(doc_id), so the split
+    is identical on every run, engine and cluster size — the oracle
+    recomputes it independently in DuckDB and must agree row-for-row."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import dataset_split
+
+    d = dataset_split(load(spark, sf, "documents"), "doc_id")
+    return d.groupBy("split", "lang").agg(F.count("*").alias("n"))
+
+
+@query(
     "q_quality_filter",
     oracle=rf"""
     WITH t AS (

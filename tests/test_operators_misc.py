@@ -184,3 +184,29 @@ def test_pagerank_empty_edges(spark):
 
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e, iterations=2).count() == 0
+
+
+def test_hash_sample_deterministic_and_join_compatible(spark):
+    """hash_sample must return the identical row set on every evaluation
+    and partitioning, and sampling two tables by the same key must keep
+    them join-compatible."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        dataset_split,
+        hash_sample,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in hash_sample(df, "k", 0.2).collect()}
+    s2 = {r["k"] for r in hash_sample(df.repartition(7), "k", 0.2).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25
+    other = df.withColumn("v", F.col("k") * 2)
+    o1 = {r["k"] for r in hash_sample(other, "k", 0.2).collect()}
+    assert o1 == s1  # same keys survive in both tables
+    # split is exhaustive and stable
+    sp = dataset_split(df, "k")
+    counts = {r["split"]: r["n"] for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    with __import__("pytest").raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
