@@ -140,6 +140,57 @@ def pagerank(
     return ranks
 
 
+def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (GraphX /
+    GraphFrames ``labelPropagation`` shape): every vertex starts in its
+    own community and repeatedly adopts the most frequent label among its
+    neighbors (ties → smallest label, so the result is deterministic —
+    GraphX breaks ties by hash, which is stable but arbitrary; smallest
+    is reproducible across engines).
+
+    Per iteration: one join of labels onto the symmetrized edge table,
+    one (dst, label) count, one argmax per dst — all partial-aggregated,
+    shuffling on vertex id only, with the edge table hoisted out of the
+    loop and ``localCheckpoint`` per iteration (the same discipline as
+    ``connected_components``/``pagerank``). Synchronous LPA can
+    oscillate on bipartite structures, which is why ``max_iter`` is a
+    hard bound and not a convergence promise — standard for LPA.
+
+    Returns ``(id, label)``.
+    """
+    e = symmetrize(edges).localCheckpoint()
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("_n"))
+        )
+        # most frequent neighbor label, ties → smallest: one aggregation
+        # pass via min over a (-count, label) struct (struct ordering)
+        best = (
+            neigh.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_n")).alias("_neg"), F.col("label"))
+                ).alias("_b")
+            )
+            .select("id", F.col("_b.label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count (undirected): canonical-orientation
     node-iterator — the GraphX ``triangleCount`` shape as two equi-joins.

@@ -230,6 +230,37 @@ def knn_ivf(
     return knn_brute_force(candidates, query, k, id_col, vec_col)
 
 
+def l2_normalize(vec_col: F.Column) -> F.Column:
+    """Unit-normalize an array<numeric> column (zero vectors pass through
+    unchanged rather than dividing by zero). After normalization, cosine
+    becomes a plain dot product — worth materializing at rest so every
+    downstream similarity op skips the per-row norm."""
+    n = _norm(vec_col)
+    return F.when(
+        n == 0, vec_col.cast("array<double>")
+    ).otherwise(F.transform(vec_col, lambda x: x.cast("double") / n))
+
+
+def quantize_int8(vec_col: F.Column, scale: float = 127.0) -> F.Column:
+    """Symmetric int8 quantization of a unit-normalized embedding:
+    ``round(clamp(x, -1, 1) * scale)`` per element, stored as
+    array<tinyint> — 4× smaller at rest and on the wire than float32
+    (8× vs the double arrays Python hands Spark), which at 100 TB of
+    embeddings is the difference between a scan that fits in the page
+    cache and one that doesn't. Dequantize with ``dequantize_int8``;
+    cosine error for unit vectors is bounded by ~1/scale per dimension
+    pair (unit-tested against the exact values)."""
+    clamped = F.transform(
+        vec_col, lambda x: F.greatest(F.least(x.cast("double"), F.lit(1.0)), F.lit(-1.0))
+    )
+    return F.transform(clamped, lambda x: F.round(x * scale).cast("tinyint"))
+
+
+def dequantize_int8(q_col: F.Column, scale: float = 127.0) -> F.Column:
+    """Inverse of ``quantize_int8`` (up to quantization error)."""
+    return F.transform(q_col, lambda x: x.cast("double") / scale)
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float,

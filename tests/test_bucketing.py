@@ -96,3 +96,32 @@ def test_knn_ivf_returns_ranked_topk(spark):
     # probing ALL clusters must equal brute force exactly
     brute = knn_brute_force(vecs, q, 5).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+
+
+def test_quantize_int8_roundtrip_and_cosine_error(spark):
+    """int8 quantization of unit vectors: dequantized cosine must stay
+    within 2/127 of the exact cosine, and the quantized column must be
+    tinyint (the 4x-at-rest claim is only true if the type is real)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        cosine,
+        dequantize_int8,
+        l2_normalize,
+        quantize_int8,
+    )
+
+    vecs = (
+        load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .limit(50)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("u", l2_normalize(F.col("v")))
+    )
+    q = vecs.withColumn("q", quantize_int8(F.col("u")))
+    assert dict(q.dtypes)["q"] == "array<tinyint>"
+    both = q.withColumn("dq", dequantize_int8(F.col("q")))
+    err = both.select(
+        F.abs(
+            cosine(F.col("u"), F.col("u")) - cosine(F.col("u"), F.col("dq"))
+        ).alias("e")
+    ).agg(F.max("e").alias("m")).head()["m"]
+    assert err < 2.0 / 127

@@ -42,3 +42,32 @@ def test_pagerank_star(spark):
     assert pr["hub"] > pr["s1"] == pr["s2"] == pr["s3"]
     # simple variant drops dangling mass: total stays <= 1
     assert sum(pr.values()) <= 1.0 + 1e-9
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by nothing: every vertex must adopt its
+    clique's smallest id; determinism across reruns."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(edges, max_iter=5).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+    again = {r["id"]: r["label"] for r in label_propagation(edges, max_iter=5).collect()}
+    assert got == again
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge adds none."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import triangle_count
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges = spark.createDataFrame(k4 + [("d", "e")], "src string, dst string")
+    assert triangle_count(edges).head()["n_triangles"] == 4
+    # direction / duplicate edges must not change the count
+    rev = spark.createDataFrame(
+        [(b, a) for a, b in k4] + k4, "src string, dst string"
+    )
+    assert triangle_count(rev).head()["n_triangles"] == 4
