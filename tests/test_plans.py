@@ -54,6 +54,30 @@ def test_column_pruning_reaches_scan(spark):
     assert read_line.count(",") < 8
 
 
+def test_sliding_window_is_expand_not_selfjoin(spark):
+    """Each event lands in its windows via one Expand node — a self-join
+    formulation would shuffle the events table against itself."""
+    p = plan_text(QUERIES["q_event_windows"](spark, SF_DIR))
+    assert "Expand" in p
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_no_cartesian(spark):
+    p = plan_text(QUERIES["q_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dataset_split_prunes_and_stays_jvm(spark):
+    """The split is a pure projection over two columns: the scan must
+    prune to (doc_id, lang) and nothing may leave the JVM."""
+    p = plan_text(QUERIES["q_dataset_split"](spark, SF_DIR))
+    read_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "doc_id" in read_line and "lang" in read_line
+    assert "text" not in read_line  # the big column stays unread
+    assert "Join" not in p
+
+
 def test_ivf_assignment_is_map_only(spark):
     """Nearest-centroid assignment must be a pure projection: no Exchange,
     no join, no row explosion (the round-1 crossJoin×k + groupBy shuffle
