@@ -195,10 +195,36 @@ def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return knn_brute_force(vecs, _query_vec(spark, sf), 10)
 
 
-@query("q_knn_lsh")  # ANN: probes one sign-LSH bucket — rows-only check
+@query(
+    "q_knn_lsh",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS b
+      FROM embeddings WHERE vec_id = 0
+    ),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS b
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT c.vec_id, round(list_cosine_similarity(c.v, q.qv), 4) AS cosine
+    FROM c JOIN q ON c.b = q.b
+    ORDER BY round(list_cosine_similarity(c.v, q.qv), 4) DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN top-k probing the query's sign-LSH bucket (scale path: bucket =
-    partition key ⇒ partition pruning)."""
+    partition key ⇒ partition pruning). The probe is deterministic —
+    sign bits of the first 4 dims — so the oracle recomputes the same
+    bucket and the same exact-cosine top-k inside it."""
     vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     return knn_lsh(vecs, _query_vec(spark, sf), 10)
 
