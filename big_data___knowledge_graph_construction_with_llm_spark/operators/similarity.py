@@ -109,16 +109,27 @@ def nearest_cluster(vec_col: F.Column, cents: list[tuple[int, list[float]]]) -> 
     this replaces a crossJoin×k + full-vector groupBy shuffle, which at
     100 TB multiplied the corpus by k and re-shuffled every embedding.
     """
-    structs = []
-    for cid, cvec in cents:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
+    )
+    # literal array of cluster ids, parallel to cents_arr (ids are arbitrary
+    # ints, not necessarily 0..k-1)
+    ids_arr = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+
+    def _score(c: F.Column, i: F.Column) -> F.Column:
         d2 = F.aggregate(
-            F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster")))
-    return F.array_min(F.array(*structs))["cluster"]
+        # element_at on a literal array is constant-time; no per-element
+        # recompute trap here (the trap is re-evaluating non-literal exprs)
+        return F.struct(d2.alias("d2"), F.element_at(ids_arr, i + 1).alias("cluster"))
+
+    # one shared lambda over the nested literal array → the distance code
+    # is compiled ONCE, not once per centroid (k separate zip_with chains
+    # made a k×dims-sized codegen unit and dominated cold-start time)
+    return F.array_min(F.transform(cents_arr, _score))["cluster"]
 
 
 def ivf_centroids(
