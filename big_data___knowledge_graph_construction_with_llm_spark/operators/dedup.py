@@ -246,6 +246,57 @@ def lsh_candidate_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs whose n-gram Jaccard
+    with ANY benchmark doc reaches ``threshold`` — the standard eval-leak
+    filter in LLM training-data pipelines.
+
+    Shape: MinHash-LSH candidate generation ACROSS the two datasets
+    (corpus signatures join benchmark signatures on (band, bucket) — not
+    a self-join, so the candidate space is |corpus ∩ buckets| ×
+    |benchmark ∩ buckets|, and the benchmark side is tiny), exact
+    n-gram-Jaccard verification on the candidates only, then a left-anti
+    join to drop confirmed leaks. Corpus text never shuffles: signatures
+    and ids do. Returns the clean corpus with its original columns.
+
+    Requires non-negative corpus ids: benchmark rows are assigned ids in
+    a disjoint strictly-negative range so cross-dataset pairs are
+    separable after the id-typed candidate join.
+    """
+    tagged = docs.select(F.col(id_col), F.col(text_col))
+    # strictly negative synthetic ids: pmod ∈ [0, 2^62) → negate(+1)
+    bench = benchmark.select(
+        (-(F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 62)) + 1)).alias(id_col),
+        F.col(text_col),
+    )
+    # one signature pass over the union; benchmark ids are negative, so
+    # the (id_a < id_b) canonical pair order puts benchmark first and
+    # cross-pairs are exactly the (benchmark, corpus) pairs
+    both = tagged.unionByName(bench)
+    cand = lsh_candidate_pairs(
+        both, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    # keep only cross-dataset pairs (benchmark id < 0 <= corpus id)
+    cross = cand.filter((F.col("id_a") < 0) & (F.col("id_b") >= 0))
+    verified = ngram_jaccard_pairs(both, id_col, text_col, cross, shingle_n)
+    leaked = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(leaked, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

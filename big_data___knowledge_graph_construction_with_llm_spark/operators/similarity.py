@@ -84,18 +84,34 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: list[int] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """ANN top-k: probe only the query's sign-LSH bucket, then exact
-    cosine inside it. At 100 TB the vectors table is written bucketed /
+    """ANN top-k: probe the query's sign-LSH bucket, then exact cosine
+    inside it. At 100 TB the vectors table is written bucketed /
     partitioned by this key, so the probe is partition pruning — the scan
-    itself shrinks by ~2^len(dims)."""
+    itself shrinks by ~2^len(dims)/n_probe.
+
+    ``n_probe > 1`` enables multi-probe LSH: additionally probe the
+    buckets reached by flipping the LEAST-confident sign bits (smallest
+    ``|query[d]|`` — the hyperplanes the query sits closest to), which
+    is where near-neighbors that straddle a boundary land. Recall rises
+    without touching the stored layout; single-bit flips cover
+    ``n_probe ≤ len(dims)+1`` (the standard probe sequence; deeper
+    sequences flip bit pairs).
+    """
     dims = dims or [0, 1, 2, 3]
     qb = 0
     for i, d in enumerate(dims):
         if query[d] >= 0:
             qb |= 1 << i
+    buckets = [qb]
+    # flip order: least-confident hyperplane first
+    for i in sorted(range(len(dims)), key=lambda i: abs(query[dims[i]])):
+        if len(buckets) >= n_probe:
+            break
+        buckets.append(qb ^ (1 << i))
     candidates = vectors.filter(
-        sign_lsh_bucket(F.col(vec_col), dims) == F.lit(qb)
+        sign_lsh_bucket(F.col(vec_col), dims).isin(buckets)
     )
     return knn_brute_force(candidates, query, k, id_col, vec_col)
 

@@ -153,6 +153,64 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate",
+    oracle=r"""
+    WITH bench AS (
+      SELECT text FROM documents WHERE doc_id % 50 = 0
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM tok
+    ),
+    dsz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    btok AS (
+      SELECT text, string_split_regex(trim(text), '\s+') AS t FROM bench
+    ),
+    bsh AS (
+      SELECT DISTINCT text,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM btok
+    ),
+    bsz AS (SELECT text, count(*) AS n FROM bsh GROUP BY text),
+    inter AS (
+      SELECT d.doc_id, b.text, count(*) AS i
+      FROM dsh d JOIN bsh b ON d.s = b.s
+      GROUP BY d.doc_id, b.text
+    ),
+    leaked AS (
+      SELECT DISTINCT i.doc_id
+      FROM inter i
+      JOIN dsz ON dsz.doc_id = i.doc_id
+      JOIN bsz ON bsz.text = i.text
+      WHERE i.i / (dsz.n + bsz.n - i.i) >= 0.8
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM leaked)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (eval-leak filter): every 50th document
+    doubles as a 'benchmark' doc, so those corpus rows are exact leaks
+    and must be dropped. The engine runs cross-dataset MinHash-LSH +
+    exact-Jaccard verify + anti-join (``operators.dedup.decontaminate``);
+    the oracle recomputes the SAME semantics exhaustively (benchmark is
+    small, so DuckDB can afford all pairs) — agreement also certifies the
+    LSH stage lost no leak above the threshold on this corpus."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
+
+    d = load(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
+    clean = decontaminate(d.select("doc_id", "text", "lang"), bench, "doc_id", "text", threshold=0.8)
+    return clean.select("doc_id", "lang")
+
+
+@query(
     "q_fingerprint",
     oracle="SELECT doc_id, md5(text) AS fp FROM documents",
 )

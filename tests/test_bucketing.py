@@ -125,3 +125,44 @@ def test_quantize_int8_roundtrip_and_cosine_error(spark):
         ).alias("e")
     ).agg(F.max("e").alias("m")).head()["m"]
     assert err < 2.0 / 127
+
+
+def test_multi_probe_lsh_recovers_boundary_neighbor(spark):
+    """A near-neighbor that straddles the weakest hyperplane lands in an
+    adjacent bucket: single-probe misses it, n_probe=2 finds it, and the
+    probe order must flip the least-confident bit first."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import knn_lsh
+
+    query = [0.01, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.5]
+    neighbor = [-0.01, 1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.5]  # flips dim 0 only
+    decoy = [1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0]   # same bucket, far
+    df = spark.createDataFrame(
+        [(1, neighbor), (2, decoy)], "vec_id int, embedding array<double>"
+    )
+    single = [r["vec_id"] for r in knn_lsh(df, query, 2, n_probe=1).collect()]
+    multi = [r["vec_id"] for r in knn_lsh(df, query, 2, n_probe=2).collect()]
+    assert 1 not in single
+    assert multi[0] == 1  # boundary neighbor found AND ranked first
+
+
+def test_decontaminate_drops_benchmark_leaks(spark):
+    """Corpus docs near-identical to a benchmark doc must be dropped;
+    unrelated docs must survive with all their columns."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, leak, "en"),
+            (2, leak + " ok", "en"),  # near-dup of the benchmark doc
+            (3, "completely unrelated text about spark query planning internals", "en"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    bench = spark.createDataFrame([(leak,)], "text string")
+    clean = decontaminate(docs, bench, "doc_id", "text", threshold=0.5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3]
+    assert set(clean.columns) == {"doc_id", "text", "lang"}
+    # high threshold keeps the near-dup, still drops the exact leak
+    loose = decontaminate(docs, bench, "doc_id", "text", threshold=0.999)
+    assert sorted(r["doc_id"] for r in loose.collect()) == [2, 3]
