@@ -129,3 +129,53 @@ def fingerprint64(col: Column | str) -> Column:
         lambda s: s["acc"],
     )
     return folded
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (the rule family
+    the Gopher/MassiveText quality filters apply next to the C4-style
+    band-pass in ``quality_features``):
+
+    - ``dup_token_frac``: fraction of tokens that are repeats of an
+      earlier token — a pure column expression (scan speed).
+    - ``dup_line_frac``: same for newline-separated lines.
+    - ``top_bigram_frac``: share of all bigram occurrences taken by the
+      single most frequent bigram — computed by explode + per-doc argmax
+      (two partial-aggregated shuffles keyed on doc id; the shuffle
+      carries (id, bigram-hash, count), never document text).
+
+    Returns ``(id, dup_token_frac, dup_line_frac, top_bigram_frac)``;
+    degenerate docs (<2 bigrams, no lines) yield 0.0 rather than null so
+    a downstream band-pass filter composes without coalesces.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import shingles
+
+    toks = tokens(F.col(text_col))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    dup_frac = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 0,
+        1.0 - F.size(F.array_distinct(arr)) / F.size(arr),
+    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col),
+        F.round(dup_frac(toks), 4).alias("dup_token_frac"),
+        F.round(dup_frac(lines), 4).alias("dup_line_frac"),
+    )
+    bg = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, 2)).alias("_g"))
+        # shingles() pads docs with <2 tokens to a single degenerate
+        # "bigram" (no join space) — only real bigrams may count
+        .filter(F.col("_g").contains(" "))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_n"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("_n") / F.sum("_n"), 4).alias("top_bigram_frac")
+        )
+    )
+    return base.join(bg, id_col, "left").na.fill({"top_bigram_frac": 0.0})

@@ -210,3 +210,26 @@ def test_hash_sample_deterministic_and_join_compatible(spark):
     assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
     with __import__("pytest").raises(ValueError, match="fraction"):
         hash_sample(df, "k", 1.5)
+
+
+def test_repetition_features(spark):
+    """A heavily repetitive doc must score high on every signal; a
+    normal doc low; degenerate docs get 0.0 (not null)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now buy now\nbuy now\nbuy now"),
+            (2, "a perfectly ordinary sentence with unique words only\nsecond line"),
+            (3, " "),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(df, "doc_id", "text").collect()}
+    assert got[1]["dup_token_frac"] > 0.8
+    assert got[1]["dup_line_frac"] > 0.3
+    assert got[1]["top_bigram_frac"] > 0.5
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] < 0.2
+    assert got[3]["top_bigram_frac"] == 0.0  # degenerate → 0.0, not null
