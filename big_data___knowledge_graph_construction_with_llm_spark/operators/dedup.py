@@ -149,6 +149,34 @@ def _lcg_params(n: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
+def _banded(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a ``(_id, _m0.._m{n-1})`` signature frame into
+    ``(_id, band, bucket)`` rows; band bucket = xxhash64 over that band's
+    signature columns directly — no array assembly/slicing needed."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"_m{j}")
+                                for j in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def _cap_buckets(
     banded: DataFrame, max_bucket: int | None, keys: list[str]
 ) -> DataFrame:
@@ -206,31 +234,8 @@ def lsh_candidate_pairs(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); a remainder "
             "would silently drop signature columns and change LSH recall"
         )
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n=shingle_n)
-    # band bucket = xxhash64 over that band's signature columns directly —
-    # no array assembly/slicing needed.
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"_m{j}")
-                                for j in range(
-                                    b * rows_per_band, (b + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded(sig, num_hashes, bands)
     banded = _cap_buckets(banded, max_bucket, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
@@ -261,33 +266,59 @@ def decontaminate(
     with ANY benchmark doc reaches ``threshold`` — the standard eval-leak
     filter in LLM training-data pipelines.
 
-    Shape: MinHash-LSH candidate generation ACROSS the two datasets
-    (corpus signatures join benchmark signatures on (band, bucket) — not
-    a self-join, so the candidate space is |corpus ∩ buckets| ×
-    |benchmark ∩ buckets|, and the benchmark side is tiny), exact
-    n-gram-Jaccard verification on the candidates only, then a left-anti
-    join to drop confirmed leaks. Corpus text never shuffles: signatures
-    and ids do. Returns the clean corpus with its original columns.
+    Shape: MinHash signatures for each side separately, then a
+    CROSS-DATASET (band, bucket) equi-join — never a self-join, so no
+    corpus-corpus candidates are generated only to be discarded, and the
+    benchmark side is small enough that AQE turns the join into a
+    broadcast. Exact n-gram-Jaccard verification runs on candidate DOCS
+    only (a semi-join prunes the shingle pass to candidates — at 100 TB
+    that is the difference between re-shingling the corpus and
+    re-shingling a few thousand suspects), then a left-anti join drops
+    confirmed leaks. Corpus text never shuffles: signatures and ids do.
 
     Requires non-negative corpus ids: benchmark rows are assigned ids in
-    a disjoint strictly-negative range so cross-dataset pairs are
-    separable after the id-typed candidate join.
+    a disjoint strictly-negative range so the pair columns stay id-typed.
     """
-    tagged = docs.select(F.col(id_col), F.col(text_col))
+    corpus = docs.select(F.col(id_col), F.col(text_col))
     # strictly negative synthetic ids: pmod ∈ [0, 2^62) → negate(+1)
     bench = benchmark.select(
         (-(F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 62)) + 1)).alias(id_col),
         F.col(text_col),
     )
-    # one signature pass over the union; benchmark ids are negative, so
-    # the (id_a < id_b) canonical pair order puts benchmark first and
-    # cross-pairs are exactly the (benchmark, corpus) pairs
-    both = tagged.unionByName(bench)
-    cand = lsh_candidate_pairs(
-        both, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    both_docs = corpus.unionByName(bench)
+    # ONE signature pipeline over the union (one codegen unit, one pass),
+    # materialized because both join sides filter from it
+    banded = _cap_buckets(
+        _banded(
+            minhash_signatures(
+                both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
+            ),
+            num_hashes,
+            bands,
+        ),
+        max_bucket,
+        ["band", "bucket"],
+    ).localCheckpoint()
+    # CROSS-dataset join only: benchmark rows (negative ids) against
+    # corpus rows — unlike a self-join of the union, no corpus×corpus
+    # candidate is ever produced, which at 10⁹ docs is the whole cost
+    cross = (
+        banded.filter(F.col("_id") < 0)
+        .withColumnRenamed("_id", "_bid")
+        .join(banded.filter(F.col("_id") >= 0), ["band", "bucket"])
+        .select(F.col("_bid").alias("id_a"), F.col("_id").alias("id_b"))
+        .distinct()
+        # consumed by three downstream joins; the pair set is tiny
+        .localCheckpoint()
     )
-    # keep only cross-dataset pairs (benchmark id < 0 <= corpus id)
-    cross = cand.filter((F.col("id_a") < 0) & (F.col("id_b") >= 0))
+    # verify only candidate docs: prune both sides to ids in `cross`
+    both = corpus.join(
+        cross.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).unionByName(
+        bench.join(
+            cross.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+    )
     verified = ngram_jaccard_pairs(both, id_col, text_col, cross, shingle_n)
     leaked = (
         verified.filter(F.col("jaccard") >= threshold)
