@@ -233,3 +233,21 @@ def test_repetition_features(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[2]["top_bigram_frac"] < 0.2
     assert got[3]["top_bigram_frac"] == 0.0  # degenerate → 0.0, not null
+
+
+def test_salted_join_spread_duplicates_row_identical(spark):
+    """spread_duplicates routes exact-duplicate hot rows across salts;
+    the join result must stay row-identical to the plain join."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import salted_join
+
+    hot = spark.createDataFrame([(0, "x")] * 50 + [(1, "y")], "k long, v string")
+    dim = spark.createDataFrame([(0, 10), (1, 20)], "k long, dv int")
+    plain = sorted(tuple(r) for r in hot.join(dim, "k").collect())
+    for spread in (False, True):
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(
+                hot, dim, "k", num_salts=4, spread_duplicates=spread
+            ).collect()
+        )
+        assert salted == plain, f"spread_duplicates={spread}"
