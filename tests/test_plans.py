@@ -103,6 +103,8 @@ def test_no_python_row_udfs_anywhere(spark, name):
     by construction — assert its physical node says so."""
     p = plan_text(QUERIES[name](spark, SF_DIR), mode="extended")
     assert "BatchEvalPython" not in p
+    # no query may ever degenerate into an unconstrained cartesian product
+    assert "CartesianProduct" not in p
     if name == "q_weighted_mean":
         # Spark 4's physical node for a pandas GROUPED_AGG UDAF
         assert "ArrowAggregatePython" in p
