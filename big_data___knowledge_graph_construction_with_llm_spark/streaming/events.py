@@ -86,6 +86,36 @@ def stateful_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events for the same key that happened AT OR BEFORE it, within
+    ``within`` — e.g. purchases joined to the clicks that preceded them.
+
+    Both sides carry watermarks and the join condition bounds the time
+    difference on both ends, so the state store can evict rows once the
+    watermark passes (an unbounded-interval stream-stream join would
+    grow state forever — the condition IS the retention policy).
+    Batch twin: ``q_asof`` (the as-of enrichment shape).
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt <= lt)
+        & (rt >= lt - F.expr(f"INTERVAL {within}")),
+    )
+
+
 def write_foreach_batch(
     stream: DataFrame,
     sink: Callable[[DataFrame, int], None],

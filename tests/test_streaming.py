@@ -174,3 +174,35 @@ def test_session_window_stream(spark, tmp_path):
     assert got[(1, 1)] == 2
     # user 2: events at :12,:12,:13 merge into one 3-event session
     assert got[(2, 12)] == 3
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases joined to same-user clicks at-or-before within 30 min:
+    the watermarked interval join must produce exactly the pairs the
+    batch join of the same rows produces."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        stream_stream_interval_join,
+    )
+
+    purchases = [
+        {"event_id": 10, "ts": "2024-01-01T00:20:00Z", "user_id": 1, "event_type": "purchase", "value": 9.0, "props": "{}"},
+        {"event_id": 11, "ts": "2024-01-01T00:50:00Z", "user_id": 2, "event_type": "purchase", "value": 8.0, "props": "{}"},
+    ]
+    src_c = tmp_path / "clicks-in"; src_c.mkdir()
+    (src_c / "part-0.json").write_text("\n".join(json.dumps(e) for e in EVENTS))
+    src_p = tmp_path / "purch-in"; src_p.mkdir()
+    (src_p / "part-0.json").write_text("\n".join(json.dumps(e) for e in purchases))
+
+    clicks = read_events_stream(spark, str(src_c)).filter(F.col("event_type") == "click")
+    purch = read_events_stream(spark, str(src_p))
+    joined = stream_stream_interval_join(purch, clicks, within="30 minutes").select(
+        F.col("l.event_id").alias("purchase_id"), F.col("r.event_id").alias("click_id")
+    )
+    _run_to_memory(joined, "ssjoin", tmp_path, "append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    )
+    # user 1 purchase at 00:20 sees clicks 1 (00:01) and 2 (00:04);
+    # user 2 purchase at 00:50 is 37 min after click 4 (00:13) → outside
+    assert got == [(10, 1), (10, 2)]
