@@ -45,6 +45,32 @@ def read_json(
     return spark.read.option("multiLine", str(multi_line).lower()).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (built-in columnar alternative to parquet; same pushdown
+    and pruning properties — `PushedFilters` shows in the plan)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (overwrite)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source — the multimodal ingestion path: one row per
+    file with ``(path, modificationTime, length, content binary)``. Feed
+    ``content`` to ``operators.multimodal`` (``attach_binary_meta`` /
+    ``decode_images``). At 100 TB, set
+    ``spark.sql.files.maxPartitionBytes`` so a partition holds a sane
+    number of media files, and avoid tiny-file explosions upstream."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def filter_by_file_suffix(
     df: DataFrame, suffixes: str | list[str], exclude_substr: str | None = None
 ) -> DataFrame:

@@ -169,3 +169,32 @@ def test_filter_by_file_suffix(spark, tmp_path):
     kept = filter_by_file_suffix(df, [".json", ".jsonl"], exclude_substr="part-")
     vals = sorted(r["value"] for r in kept.collect())
     assert vals == ['{"v": 1}', '{"v": 2}', '{"v": 3}']
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.tabular import read_orc, write_orc
+    import contextlib, io
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_orc(df, str(tmp_path / "orc"))
+    back = read_orc(spark, str(tmp_path / "orc")).filter(F.col("id") > 90)
+    assert back.count() == 9
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain(mode="formatted")
+    assert "PushedFilters: [" in buf.getvalue()
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile rows plug straight into the multimodal operators."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import attach_binary_meta
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.tabular import read_binary_files
+
+    (tmp_path / "a.img").write_bytes(b"\x89fakepng" * 10)
+    (tmp_path / "b.img").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "skip.txt").write_text("not media")
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    meta = attach_binary_meta(df, "content").select("path", "byte_len", "sha256")
+    got = {r["path"].rsplit("/", 1)[-1]: r["byte_len"] for r in meta.collect()}
+    assert got == {"a.img": 80, "b.img": 3}
