@@ -1,0 +1,97 @@
+"""End-to-end training-data curation: the composition a 100 TB corpus
+actually runs, assembled from the engine's own operators.
+
+Order matters and is the standard one: cheap scan-speed gates first
+(quality band-pass, repetition caps — pure column expressions that
+shrink the corpus before anything shuffles), then exact dedup (hash
+groupBy), then near-dedup (MinHash-LSH candidates → exact-Jaccard
+verify → connected components over the duplicate graph, keeping the
+min-id representative per component — pairwise "drop id_b" would
+over- or under-drop on duplicate chains), then benchmark
+decontamination, then the deterministic split. Document text never
+shuffles in any stage; ids, hashes and signatures do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
+from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+    decontaminate,
+    exact_dedup_by_hash,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+    connected_components,
+)
+from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import dataset_split
+
+
+def near_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.85,
+    max_bucket: int | None = 100_000,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate removal keeping one representative per duplicate
+    CLUSTER: LSH candidates → exact n-gram Jaccard ≥ threshold →
+    connected components over the confirmed-pair graph → keep the min-id
+    member of each component. Components matter: with chains a~b~c where
+    only adjacent pairs verify, pairwise dropping would keep both a and
+    c or drop all three depending on order — CC keeps exactly one."""
+    cand = lsh_candidate_pairs(
+        docs, id_col, text_col, shingle_n=shingle_n, max_bucket=max_bucket
+    )
+    confirmed = (
+        ngram_jaccard_pairs(docs, id_col, text_col, cand, shingle_n)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b")
+        # consumed twice below (CC symmetrizes + iterates); materialize
+        .localCheckpoint()
+    )
+    comps = connected_components(
+        confirmed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+def curate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_dup_token_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.5,
+    jaccard_threshold: float = 0.85,
+    decontam_threshold: float = 0.8,
+) -> DataFrame:
+    """The full curation flow; returns the surviving rows of ``docs``
+    with a ``split`` column (train/val/test). Every stage is one of the
+    engine's tested operators — this function only sequences them."""
+    feats = T.quality_features(docs)
+    kept = feats.filter(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+    ).select(*docs.columns)
+    rep = T.repetition_features(kept, id_col, text_col)
+    rep_ok = rep.filter(
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+    ).select(id_col)
+    kept = kept.join(rep_ok, id_col, "left_semi")
+    kept = exact_dedup_by_hash(kept, text_col, id_col)
+    kept = near_dedup(kept, id_col, text_col, jaccard_threshold)
+    if benchmark is not None:
+        kept = decontaminate(
+            kept, benchmark, id_col, text_col, threshold=decontam_threshold
+        )
+    return dataset_split(kept, id_col)

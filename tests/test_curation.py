@@ -1,0 +1,62 @@
+"""End-to-end curation pipeline test: every stage must fire on its
+planted victim, survivors get split labels, and the near-dup stage must
+keep exactly one representative per duplicate CLUSTER (chain case)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+    curate,
+    near_dedup,
+)
+
+BASE = (
+    "a reasonably long and varied sentence about distributed analytics "
+    "engines with enough unique tokens to pass every quality gate easily"
+)
+
+
+def test_near_dedup_keeps_one_per_chain(spark):
+    """Chain a~b~c (adjacent pairs near-dup, ends not): exactly the
+    min-id member survives — pairwise dropping would get this wrong."""
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    b = a + " x1 x2"          # near-dup of a
+    c = b + " y1 y2"          # near-dup of b, farther from a
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, "something else entirely unrelated here")],
+        "doc_id int, text string",
+    )
+    out = sorted(r["doc_id"] for r in near_dedup(df, "doc_id", "text", 0.7).collect())
+    assert out == [1, 9]
+
+
+def test_curate_full_flow(spark):
+    leak = "the exact benchmark passage that must never appear in training data at all"
+    rows = [
+        (1, BASE + " one"),
+        (2, "a second genuinely distinct document describing watermark semantics "
+            "for late arriving records in structured streaming state stores"),
+        (3, "too short"),                                  # quality gate
+        (4, "spam spam spam spam spam spam spam spam spam spam"),  # repetition gate
+        (5, BASE + " one"),                                # exact dup of 1
+        (6, BASE + " one extra"),                          # near dup of 1
+        (7, leak),                                         # benchmark leak
+        (8, "an entirely different well formed document about graph algorithms and query planning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    bench = spark.createDataFrame([(leak,)], "text string")
+    out = curate(
+        docs,
+        benchmark=bench,
+        min_tokens=5,
+        jaccard_threshold=0.7,
+    )
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert sorted(got) == [1, 2, 8]
+    assert set(got.values()) <= {"train", "val", "test"}
+    # determinism: same input → same splits
+    again = {r["doc_id"]: r["split"] for r in curate(
+        docs, benchmark=bench, min_tokens=5, jaccard_threshold=0.7
+    ).collect()}
+    assert got == again
