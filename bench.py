@@ -4,7 +4,10 @@ JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
 
 Each query is forced through the ``noop`` sink so every projected column
 is actually computed (a bare ``count()`` would let Catalyst prune the
-expensive expressions and flatter the numbers).
+expensive expressions and flatter the numbers). Besides wall seconds,
+the JSON carries per-query shuffle read/write and input bytes
+(AppStatusStore diffs via ``metrics.MetricsCollector``) — at 100 TB the
+shuffle volume, not the local wall clock, is what a plan change moves.
 """
 
 from __future__ import annotations
@@ -42,14 +45,25 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    from big_data___knowledge_graph_construction_with_llm_spark.metrics import MetricsCollector
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    shuffles: dict[str, dict[str, int]] = {}
+    mc = MetricsCollector(spark)
     for name in sorted(queries):
+        mc.start()
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            rec = mc.finish(name)
+            shuffles[name] = {
+                "shuffle_read_bytes": rec["shuffle_read_bytes"],
+                "shuffle_write_bytes": rec["shuffle_write_bytes"],
+                "input_bytes": rec["input_bytes"],
+            }
         except Exception as exc:  # keep benching; report the failure
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
@@ -63,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "shuffle": shuffles,
             }
         )
     )
