@@ -166,3 +166,24 @@ def test_decontaminate_drops_benchmark_leaks(spark):
     # high threshold keeps the near-dup, still drops the exact leak
     loose = decontaminate(docs, bench, "doc_id", "text", threshold=0.999)
     assert sorted(r["doc_id"] for r in loose.collect()) == [2, 3]
+
+
+def test_write_bucketed_helper_zero_exchange(spark, tmp_path_factory):
+    """Tables written via the helper must sort-merge-join with no
+    Exchange — the co-location contract the helper exists to provide."""
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.tabular import write_bucketed
+
+    wh = tmp_path_factory.mktemp("wh2")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkh LOCATION '{wh}'")
+    try:
+        a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+        b = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+        write_bucketed(a, "bkh.a_b", ["k"], n_buckets=4)
+        write_bucketed(b, "bkh.b_b", ["k"], n_buckets=4)
+        joined = spark.table("bkh.a_b").join(spark.table("bkh.b_b").hint("merge"), "k")
+        p = _plan(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, p
+        assert joined.count() == 500
+    finally:
+        spark.sql("DROP DATABASE bkh CASCADE")
