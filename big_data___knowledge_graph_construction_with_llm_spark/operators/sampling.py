@@ -54,3 +54,67 @@ def hash_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(hash_bucket(F.col(id_col), buckets) < int(fraction * buckets))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a training-sequence bin of roughly
+    ``budget`` tokens (the pretraining sequence-packing step): order
+    documents deterministically (``order_col``, default the id), running
+    cumulative token count, ``seq_id = floor((cumsum - n) / budget)`` —
+    a document starts in the bin its first token falls into.
+
+    Scale shape: a DISTRIBUTED prefix sum, never a global-order window
+    (``Window.orderBy`` with no partition funnels the whole corpus
+    through one task). The deterministic global order is
+    ``(prefix_partition, order_col)`` where the partition is a hash
+    bucket of the order key: cumsum runs per partition (one shuffle),
+    per-partition token totals are collected (``prefix_partitions``
+    rows — a parameter, not data) and folded back in as literal prefix
+    offsets. Two jobs, bounded driver traffic, any corpus size.
+
+    The trade against exact first-fit packing (which is inherently
+    sequential) is a documented overflow: a bin's total may exceed
+    ``budget`` by at most ``max(n_tokens) - 1``, because a straddling
+    document stays in the bin where it started — downstream truncation
+    or padding absorbs it, exactly as real packers do. Documents longer
+    than ``budget`` should be chunked before packing.
+
+    Returns the input plus ``seq_id`` (bigint) and ``offset_in_seq``
+    (the document's starting token offset inside its bin).
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = order_col or id_col
+    prefix_partitions = 64
+    pk = F.pmod(F.xxhash64(F.col(order)), F.lit(prefix_partitions)).cast("int")
+    part = df.withColumn("_pk", pk)
+    w = (
+        Window.partitionBy("_pk")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)).cast("long")
+    totals = {
+        r["_pk"]: r["_t"]
+        for r in part.groupBy("_pk").agg(F.sum(n_tokens_col).alias("_t")).collect()
+    }
+    prefix, acc = [], 0
+    for p in range(prefix_partitions):
+        prefix.append(acc)
+        acc += int(totals.get(p, 0))
+    prefix_arr = F.array(*[F.lit(x) for x in prefix])
+    start = F.element_at(prefix_arr, F.col("_pk") + 1) + within
+    return part.withColumns(
+        {
+            "seq_id": F.floor(start / budget).cast("long"),
+            "offset_in_seq": (start % budget).cast("long"),
+        }
+    ).drop("_pk")

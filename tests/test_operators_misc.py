@@ -251,3 +251,28 @@ def test_salted_join_spread_duplicates_row_identical(spark):
             ).collect()
         )
         assert salted == plain, f"spread_duplicates={spread}"
+
+
+def test_pack_sequences_bounds_and_determinism(spark):
+    """Every doc lands in exactly one bin; each bin's token total may
+    exceed the budget only by the documented straddle bound; repartition
+    does not change the assignment."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 37 % 90) + 10) for i in range(200)]  # 10..99 tokens
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    packed = pack_sequences(df, "doc_id", "n_tokens", budget=256)
+    out = packed.collect()
+    assert len(out) == 200
+    max_n = max(n for _, n in rows)
+    sums = {}
+    for r in out:
+        sums[r["seq_id"]] = sums.get(r["seq_id"], 0) + r["n_tokens"]
+        assert 0 <= r["offset_in_seq"] < 256
+    assert all(s <= 256 + max_n - 1 for s in sums.values())
+    # bins are dense: every seq_id below the max appears
+    assert sorted(sums) == list(range(max(sums) + 1))
+    again = {r["doc_id"]: r["seq_id"] for r in pack_sequences(
+        df.repartition(7), "doc_id", "n_tokens", budget=256
+    ).collect()}
+    assert again == {r["doc_id"]: r["seq_id"] for r in out}
