@@ -1,13 +1,17 @@
 """Benchmark harness: run the full query registry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+compact JSON line: {"metric", "value", "unit", "queries": {name: sec},
+"sf"} — as the LAST stdout line, small enough for the driver's
+tail-capture window (round 2's line grew past it and the signal was
+lost).
 
 Each query is forced through the ``noop`` sink so every projected column
 is actually computed (a bare ``count()`` would let Catalyst prune the
-expensive expressions and flatter the numbers). Besides wall seconds,
-the JSON carries per-query shuffle read/write and input bytes
-(AppStatusStore diffs via ``metrics.MetricsCollector``) — at 100 TB the
-shuffle volume, not the local wall clock, is what a plan change moves.
+expensive expressions and flatter the numbers). Per-query shuffle
+read/write and input bytes (AppStatusStore diffs via
+``metrics.MetricsCollector``) go to ``BENCH_DETAIL.json`` next to this
+file — at 100 TB the shuffle volume, not the local wall clock, is what
+a plan change moves.
 """
 
 from __future__ import annotations
@@ -69,6 +73,11 @@ def main() -> None:
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({"sf": sf, "queries": timings, "shuffle": shuffles}, fh, indent=1)
+    spark.stop()
+    # compact headline MUST be the last stdout line (driver tail-parses it)
     print(
         json.dumps(
             {
@@ -77,11 +86,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "shuffle": shuffles,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
