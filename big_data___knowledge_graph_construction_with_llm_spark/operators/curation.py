@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
 from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
 from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
     decontaminate,
@@ -47,12 +48,11 @@ def near_dedup(
     cand = lsh_candidate_pairs(
         docs, id_col, text_col, shingle_n=shingle_n, max_bucket=max_bucket
     )
-    confirmed = (
+    confirmed = materialize(
         ngram_jaccard_pairs(docs, id_col, text_col, cand, shingle_n)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b")
         # consumed twice below (CC symmetrizes + iterates); materialize
-        .localCheckpoint()
     )
     comps = connected_components(
         confirmed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

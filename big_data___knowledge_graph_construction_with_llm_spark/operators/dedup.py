@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+
 # Mersenne primes for universal hashing (public-domain constants).
 # The 31-bit prime is used wherever two hash-domain values are multiplied:
 # (p31-1)^2 < 2^63, so the arithmetic never overflows int64 and the
@@ -288,28 +290,29 @@ def decontaminate(
     both_docs = corpus.unionByName(bench)
     # ONE signature pipeline over the union (one codegen unit, one pass),
     # materialized because both join sides filter from it
-    banded = _cap_buckets(
-        _banded(
-            minhash_signatures(
-                both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
+    banded = materialize(
+        _cap_buckets(
+            _banded(
+                minhash_signatures(
+                    both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
+                ),
+                num_hashes,
+                bands,
             ),
-            num_hashes,
-            bands,
-        ),
-        max_bucket,
-        ["band", "bucket"],
-    ).localCheckpoint()
+            max_bucket,
+            ["band", "bucket"],
+        )
+    )
     # CROSS-dataset join only: benchmark rows (negative ids) against
     # corpus rows — unlike a self-join of the union, no corpus×corpus
     # candidate is ever produced, which at 10⁹ docs is the whole cost
-    cross = (
+    cross = materialize(
         banded.filter(F.col("_id") < 0)
         .withColumnRenamed("_id", "_bid")
         .join(banded.filter(F.col("_id") >= 0), ["band", "bucket"])
         .select(F.col("_bid").alias("id_a"), F.col("_id").alias("id_b"))
         .distinct()
         # consumed by three downstream joins; the pair set is tiny
-        .localCheckpoint()
     )
     # verify only candidate docs: prune both sides to ids in `cross`
     both = corpus.join(

@@ -4,9 +4,12 @@ surface, BASELINE.json).
 GraphX itself is Scala-only and GraphFrames is not available in this
 container, so the algorithms are expressed as the same message-passing
 joins those libraries compile to: per iteration one equi-join on the edge
-table + one aggregation, with ``localCheckpoint`` cutting lineage so the
+table + one aggregation, with :func:`materialize` cutting lineage so the
 plan does not grow with the iteration count (the classic failure mode of
-iterative DataFrame code at scale).
+iterative DataFrame code at scale). The materialization strategy is
+pluggable (``materialize.set_materializer``): the ``localCheckpoint``
+default is fastest locally, ``reliable_checkpoint`` is the fault-tolerant
+choice for long-running jobs on real clusters.
 
 Scale notes: each iteration shuffles on vertex id — pre-partitioning the
 edge table by ``dst`` (bucketing at rest) makes every iteration's join
@@ -20,6 +23,8 @@ import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
 
 log = logging.getLogger(__name__)
 
@@ -44,13 +49,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # materialize the symmetrized edge table ONCE — without this the
     # union+distinct (a full shuffle of the edge table) re-executes every
     # iteration, which at scale dominates the whole algorithm
-    e = symmetrize(edges).localCheckpoint()
-    labels = (
+    e = materialize(symmetrize(edges))
+    labels = materialize(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))  # dst-only vertices too
         .distinct()
         .withColumn("comp", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         prop = (
@@ -67,7 +71,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
             F.coalesce(F.col("ncomp") < F.col("comp"), F.lit(False)).alias("_chg"),
         )
-        new = new.localCheckpoint()
+        new = materialize(new)
         changed = new.filter("_chg").limit(1).count()
         labels = new.drop("_chg")
         if changed == 0:
@@ -97,16 +101,14 @@ def pagerank(
     # fuse 1/out_degree into the edge table ONCE and materialize it: the
     # loop then does a single join + aggregation per iteration instead of
     # re-scanning the source and re-joining out_deg every time
-    e_w = (
+    e_w = materialize(
         e.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
-        .localCheckpoint()
     )
-    verts = (
+    verts = materialize(
         e_w.select(F.col("src").alias("id"))
         .unionByName(e_w.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint()
     )
     n = verts.count()
     if n == 0:
@@ -123,7 +125,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
+        ranks = materialize(
             verts.join(contribs, "id", "left")
             .select(
                 "id",
@@ -135,7 +137,6 @@ def pagerank(
             # per-iteration lineage cut: measured faster than checkpointing
             # every 3rd iteration (deeper plans cost more in re-analysis /
             # codegen than the extra materializations save)
-            .localCheckpoint()
         )
     return ranks
 
@@ -158,13 +159,12 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
 
     Returns ``(id, label)``.
     """
-    e = symmetrize(edges).localCheckpoint()
-    labels = (
+    e = materialize(symmetrize(edges))
+    labels = materialize(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neigh = (
@@ -183,10 +183,9 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             )
             .select("id", F.col("_b.label").alias("new_label"))
         )
-        labels = (
+        labels = materialize(
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint()
         )
     return labels
 
