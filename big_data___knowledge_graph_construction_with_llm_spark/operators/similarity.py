@@ -219,6 +219,53 @@ def ivf_index(
     )
 
 
+def ensure_ivf_index(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build-once, probe-many: materialize the IVF layout at ``path`` if
+    absent and return ``(index, centroids)`` read back FROM DISK.
+
+    Layout: ``path/index`` is the corpus + ``cluster`` written
+    ``partitionBy("cluster")`` (so a probe filter is partition pruning —
+    the query-time scan reads ~n_probe/k of the data, which at 100 TB is
+    the entire point of IVF); ``path/centroids`` is the k-row quantizer
+    table. Training cost is paid once at index-build time, never at
+    query time. Build is crash-safe: written to a scratch dir and
+    renamed into place, so a concurrent builder loses the race cleanly
+    and reads the winner's index.
+    """
+    import os
+    import shutil
+
+    done = os.path.join(path, "_DONE")
+    if not os.path.exists(done):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        cents = ivf_centroids(
+            vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
+        ivf_index(vectors, cents, id_col=id_col, vec_col=vec_col).write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(os.path.join(tmp, "index"))
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
+        open(os.path.join(tmp, "_DONE"), "w").close()
+        if os.path.isdir(path) and not os.path.exists(done):
+            shutil.rmtree(path, ignore_errors=True)  # half-built leftover
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; use winner's
+    return (
+        spark.read.parquet(os.path.join(path, "index")),
+        spark.read.parquet(os.path.join(path, "centroids")),
+    )
+
+
 def knn_ivf(
     vectors: DataFrame,
     centroids: DataFrame,

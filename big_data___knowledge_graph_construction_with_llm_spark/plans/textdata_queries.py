@@ -473,19 +473,42 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return attach_binary_meta(d, "payload").select("doc_id", "byte_len", "sha256")
 
 
+def _ivf_cache_path(sf: str) -> str:
+    """Deterministic scratch location for the at-rest IVF index of one
+    sf dir, keyed by source path + mtime so a regenerated embeddings
+    table invalidates the cache."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(src))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf)}:{mtime}:k8i2".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+
+
 @query("q_knn_ivf")  # k-means quantizer is engine-specific — rows-only check
 def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN top-k, IVF-style: deterministic k-means coarse quantizer
-    (DataFrame Lloyd iterations), probe the 2 nearest clusters, exact
-    cosine inside — the scale path next to q_knn_bruteforce/q_knn_lsh."""
+    """ANN top-k, IVF-style, against the AT-REST index: the coarse
+    quantizer is trained once and the corpus written
+    ``partitionBy("cluster")`` (``ensure_ivf_index``, idempotent); the
+    query then probes the 2 nearest clusters, which the scan sees as
+    partition pruning — it reads ~n_probe/k of the data and never
+    re-trains. This is the 100 TB shape: index build is an offline job,
+    queries are pruned scans (q_knn_bruteforce is the unindexed twin)."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
-        ivf_centroids,
+        ensure_ivf_index,
         knn_ivf,
     )
 
     vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    cents = ivf_centroids(vecs, k=8, iterations=2)
-    return knn_ivf(vecs, cents, _query_vec(spark, sf), 10, n_probe=2)
+    idx, cents = ensure_ivf_index(spark, vecs, _ivf_cache_path(sf), k=8, iterations=2)
+    return knn_ivf(idx, cents, _query_vec(spark, sf), 10, n_probe=2)
 
 
 @query(

@@ -187,3 +187,34 @@ def test_write_bucketed_helper_zero_exchange(spark, tmp_path_factory):
         assert joined.count() == 500
     finally:
         spark.sql("DROP DATABASE bkh CASCADE")
+
+
+def test_ensure_ivf_index_builds_once_and_probes(spark, tmp_path):
+    """Build-once contract: first call trains + writes the partitioned
+    layout, second call must NOT rebuild (directory untouched) and the
+    probe against the read-back index matches brute force when probing
+    all clusters."""
+    import os
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    idx, cents = ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    assert idx.count() == vecs.count()
+    marker = os.path.join(path, "_DONE")
+    stamp = os.path.getmtime(marker)
+    idx2, cents2 = ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    assert os.path.getmtime(marker) == stamp  # no rebuild
+    assert cents2.count() == cents.count()
+    q = [
+        float(x)
+        for x in load(spark, SF_DIR, "embeddings").filter("vec_id = 0").head()[
+            "embedding"
+        ]
+    ]
+    got = knn_ivf(idx2, cents2, q, 5, n_probe=4).collect()
+    brute = knn_brute_force(vecs, q, 5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]

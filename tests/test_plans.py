@@ -95,6 +95,18 @@ def test_ivf_assignment_is_map_only(spark):
     assert "Join" not in p, p
 
 
+def test_knn_ivf_probe_is_partition_pruned(spark):
+    """q_knn_ivf must hit the AT-REST index: the probe filter on the
+    partition column shows up as PartitionFilters (the scan reads
+    ~n_probe/k of the files) and no k-means retraining happens at query
+    time (no aggregation anywhere in the query plan)."""
+    p = plan_text(QUERIES["q_knn_ivf"](spark, SF_DIR))
+    part_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "cluster" in part_line, p
+    assert "HashAggregate" not in p, p  # training would aggregate
+    assert "Join" not in p, p
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_python_row_udfs_anywhere(spark, name):
     """Row-at-a-time Python (BatchEvalPython) must never appear; Arrow
