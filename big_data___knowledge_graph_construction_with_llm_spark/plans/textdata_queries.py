@@ -73,15 +73,53 @@ def _with_near_dup_clones(d: DataFrame, every: int = 20) -> DataFrame:
     return d.select("doc_id", "text").unionByName(clones)
 
 
-@query("q_minhash_dedup")  # LSH is probabilistic — rows-only check
+@query(
+    "q_minhash_dedup",
+    oracle=r"""
+    WITH full_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM full_docs
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM dsh a JOIN dsh b ON b.s = a.s AND b.doc_id > a.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           i.i / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.i / (sa.n + sb.n - i.i) >= 0.8
+    """,
+)
 def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs over planted near-clones
-    (shingle → 64-hash signature → 16 bands → bucket equi-join).
-    max_bucket is the production skew backstop: buckets above it are
-    skipped before the join (far above any bucket this corpus produces,
-    so results are exhaustive here)."""
+    """MinHash+LSH near-dup pairs, VERIFIED: candidate generation
+    (shingle → 64-hash signature → 16 bands → bucket equi-join, with the
+    max_bucket skew backstop) followed by the exact n-gram-Jaccard
+    verify at threshold 0.8 — the full production near-dup pipeline.
+    The oracle recomputes all-pairs Jaccard exhaustively (affordable at
+    oracle scale), so a green row ALSO certifies the LSH stage lost no
+    true pair ≥ 0.8 on this corpus: at j=0.8 with 16 bands of 4 rows a
+    pair is a candidate with p ≈ 0.9998, and the planted clones sit far
+    above that."""
     full = _with_near_dup_clones(load(spark, sf, "documents"))
-    return lsh_candidate_pairs(full, "doc_id", "text", max_bucket=10_000)
+    cand = lsh_candidate_pairs(full, "doc_id", "text", max_bucket=10_000)
+    return ngram_jaccard_pairs(full, "doc_id", "text", cand).filter(
+        F.col("jaccard") >= 0.8
+    )
 
 
 @query("q_simhash_dedup")  # banded hamming blocking — rows-only check
