@@ -11,10 +11,14 @@ UDFs anywhere in this module.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+
+log = logging.getLogger(__name__)
 
 # Mersenne primes for universal hashing (public-domain constants).
 # The 31-bit prime is used wherever two hash-domain values are multiplied:
@@ -278,10 +282,20 @@ def decontaminate(
     re-shingling a few thousand suspects), then a left-anti join drops
     confirmed leaks. Corpus text never shuffles: signatures and ids do.
 
-    Requires non-negative corpus ids: benchmark rows are assigned ids in
-    a disjoint strictly-negative range so the pair columns stay id-typed.
+    Requires non-negative corpus ids (raises on the first negative one
+    found): benchmark rows are assigned ids in a disjoint strictly-
+    negative range so the pair columns stay id-typed.
     """
     corpus = docs.select(F.col(id_col), F.col(text_col))
+    # a negative corpus id would masquerade as a benchmark row: it would
+    # never be leak-checked AND could false-drop real corpus docs. The
+    # probe short-circuits (limit 1), so it is a cheap scan prefix in the
+    # common all-valid case and a loud failure otherwise.
+    if corpus.filter(F.col(id_col) < 0).limit(1).count():
+        raise ValueError(
+            f"decontaminate requires non-negative corpus ids in {id_col!r}: "
+            "negative ids collide with the synthetic benchmark id range"
+        )
     # strictly negative synthetic ids: pmod ∈ [0, 2^62) → negate(+1)
     bench = benchmark.select(
         (-(F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 62)) + 1)).alias(id_col),
@@ -289,31 +303,48 @@ def decontaminate(
     )
     both_docs = corpus.unionByName(bench)
     # ONE signature pipeline over the union (one codegen unit, one pass),
-    # materialized because both join sides filter from it
-    banded = materialize(
-        _cap_buckets(
-            _banded(
-                minhash_signatures(
-                    both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
-                ),
-                num_hashes,
-                bands,
-            ),
-            max_bucket,
-            ["band", "bucket"],
+    # materialized because both join sides filter from it. The skew cap
+    # counts and drops CORPUS rows only: benchmark rows are few and
+    # exempt — capping them would silently blind the leak check for
+    # every doc in that bucket (a recall loss that matters more in a
+    # safety filter than in dedup). If a benchmark row lands in a capped
+    # bucket its corpus partners are gone, so warn loudly.
+    raw_banded = _banded(
+        minhash_signatures(
+            both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
+        ),
+        num_hashes,
+        bands,
+    )
+    if max_bucket is None:
+        banded = materialize(raw_banded)
+    else:
+        corpus_side = raw_banded.filter(F.col("_id") >= 0)
+        bench_side = raw_banded.filter(F.col("_id") < 0)
+        oversize = (
+            corpus_side.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band", "bucket")
         )
-    )
-    # CROSS-dataset join only: benchmark rows (negative ids) against
-    # corpus rows — unlike a self-join of the union, no corpus×corpus
-    # candidate is ever produced, which at 10⁹ docs is the whole cost
-    cross = materialize(
-        banded.filter(F.col("_id") < 0)
-        .withColumnRenamed("_id", "_bid")
-        .join(banded.filter(F.col("_id") >= 0), ["band", "bucket"])
-        .select(F.col("_bid").alias("id_a"), F.col("_id").alias("id_b"))
-        .distinct()
-        # consumed by three downstream joins; the pair set is tiny
-    )
+        capped = corpus_side.join(F.broadcast(oversize), ["band", "bucket"], "left_anti")
+        banded = materialize(capped.unionByName(bench_side))
+        n_blind = (
+            bench_side.join(F.broadcast(oversize), ["band", "bucket"], "left_semi")
+            .select("_id")
+            .distinct()
+            .count()
+        )
+        if n_blind:
+            log.warning(
+                "decontaminate: %d benchmark doc(s) hash into buckets over "
+                "max_bucket=%d — leaks hiding in those buckets are NOT "
+                "detected; lower max_bucket only with an exact-dedup pass "
+                "in front",
+                n_blind,
+                max_bucket,
+            )
+    cross = materialize(_cross_candidates(banded))
     # verify only candidate docs: prune both sides to ids in `cross`
     both = corpus.join(
         cross.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
@@ -329,6 +360,23 @@ def decontaminate(
         .distinct()
     )
     return docs.join(leaked, id_col, "left_anti")
+
+
+def _cross_candidates(banded: DataFrame) -> DataFrame:
+    """CROSS-dataset candidate pairs from a banded signature table whose
+    benchmark rows carry negative ids: benchmark × corpus on the
+    (band, bucket) key — never a self-join of the union, so no
+    corpus×corpus candidate is ever produced (at 10⁹ docs that
+    difference is the whole cost). Plan-pinned in
+    ``tests/test_plans.py::test_decontaminate_is_cross_dataset_only``.
+    Output: ``(id_a=benchmark id, id_b=corpus id)``, distinct."""
+    return (
+        banded.filter(F.col("_id") < 0)
+        .withColumnRenamed("_id", "_bid")
+        .join(banded.filter(F.col("_id") >= 0), ["band", "bucket"])
+        .select(F.col("_bid").alias("id_a"), F.col("_id").alias("id_b"))
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -218,3 +218,41 @@ def test_ensure_ivf_index_builds_once_and_probes(spark, tmp_path):
     got = knn_ivf(idx2, cents2, q, 5, n_probe=4).collect()
     brute = knn_brute_force(vecs, q, 5).collect()
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
+
+
+def test_decontaminate_rejects_negative_corpus_ids(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(-1, "negative id doc"), (2, "fine doc")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("fine doc",)], "text string")
+    with pytest.raises(ValueError, match="non-negative corpus ids"):
+        decontaminate(docs, bench, "doc_id", "text")
+
+
+def test_decontaminate_warns_when_benchmark_hits_capped_bucket(spark, caplog):
+    """Benchmark rows are exempt from the skew cap, but when their corpus
+    partners were capped away the leak check is blind there — that must
+    be loud, and the benchmark doc itself must never be what trips the
+    cap (corpus-side counts only)."""
+    import logging
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
+
+    # 4 identical corpus docs + that text as benchmark: every (band,
+    # bucket) of the clones has corpus-size 4 > max_bucket=2 -> capped,
+    # and the benchmark doc hashes into those same buckets
+    docs = spark.createDataFrame(
+        [(i, "leak leak leak leak leak leak") for i in range(4)]
+        + [(10, "a perfectly clean document about spark")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("leak leak leak leak leak leak",)], "text string"
+    )
+    with caplog.at_level(logging.WARNING):
+        out = decontaminate(docs, bench, "doc_id", "text", max_bucket=2)
+    assert any("benchmark doc" in r.message for r in caplog.records)
+    # capped bucket -> the leak goes undetected (documented recall loss)
+    assert out.count() == 5

@@ -122,3 +122,37 @@ def test_no_python_row_udfs_anywhere(spark, name):
         assert "ArrowAggregatePython" in p
     else:
         assert "PythonUDF" not in p
+
+
+def test_decontaminate_is_cross_dataset_only(spark):
+    """Pin decontaminate's non-quadratic shape: the LSH candidate join
+    must be benchmark-rows × corpus-rows (negative ids vs non-negative),
+    NEVER a self-join of the union — corpus×corpus candidates at 10⁹
+    docs is the scale-killer this operator exists to avoid. The identity
+    materializer exposes the full lineage to explain()."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        _banded,
+        _cross_candidates,
+        minhash_signatures,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = d.filter("doc_id % 50 = 0").select(
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
+    )
+    banded = _banded(
+        minhash_signatures(d.unionByName(bench), "doc_id", "text", 64), 64, 16
+    )
+    p = plan_text(_cross_candidates(banded))
+    # exactly ONE equi-join on the (band, bucket) LSH key...
+    band_key_lines = [
+        ln for ln in p.splitlines() if "keys" in ln and "band#" in ln
+    ]
+    assert len(band_key_lines) == 2, p  # one join = left keys + right keys
+    # ...and its two sides are id-disjoint: bench side filtered to
+    # negative ids, corpus side to non-negative
+    assert "< 0)" in p, p
+    assert ">= 0)" in p, p
+    assert "CartesianProduct" not in p, p
