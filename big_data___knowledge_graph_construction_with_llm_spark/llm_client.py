@@ -66,21 +66,25 @@ async def call_with_retry(
     the defaults are the production behavior.
     """
     delay = float(initial_delay)
+    last_exc: Exception | None = None
     for _ in range(max_retries):
         try:
             return await func(*args, **kwargs)
         except Exception as exc:  # noqa: BLE001 — filtered just below
             if not is_rate_limit(exc):
                 raise
+            last_exc = exc
             wait = parse_server_wait(str(exc))
             if wait is not None:
                 await sleep(wait)
             else:
                 await sleep(delay)
                 delay *= rng(*backoff_range)
+    # chain the provider's last error: its status code / request id is
+    # what an operator needs to diagnose the exhaustion
     raise RuntimeError(
         f"rate limit persisted after {max_retries} attempts"
-    )
+    ) from last_exc
 
 
 def scrape_json_objects(text: str | None) -> list[dict]:

@@ -38,13 +38,18 @@ def near_dedup(
     jaccard_threshold: float = 0.85,
     max_bucket: int | None = 100_000,
     shingle_n: int = 3,
+    strict: bool = False,
 ) -> DataFrame:
     """Near-duplicate removal keeping one representative per duplicate
     CLUSTER: LSH candidates → exact n-gram Jaccard ≥ threshold →
     connected components over the confirmed-pair graph → keep the min-id
     member of each component. Components matter: with chains a~b~c where
     only adjacent pairs verify, pairwise dropping would keep both a and
-    c or drop all three depending on order — CC keeps exactly one."""
+    c or drop all three depending on order — CC keeps exactly one.
+
+    ``strict=True`` makes CC non-convergence (a duplicate cluster with
+    diameter > its max_iter) a hard error instead of a logged warning —
+    without it extra near-duplicates would be silently kept."""
     cand = lsh_candidate_pairs(
         docs, id_col, text_col, shingle_n=shingle_n, max_bucket=max_bucket
     )
@@ -55,7 +60,8 @@ def near_dedup(
         # consumed twice below (CC symmetrizes + iterates); materialize
     )
     comps = connected_components(
-        confirmed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        confirmed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        strict=strict,
     )
     drop = comps.filter(F.col("id") != F.col("comp")).select(
         F.col("id").alias(id_col)
@@ -74,10 +80,13 @@ def curate(
     max_top_bigram_frac: float = 0.5,
     jaccard_threshold: float = 0.85,
     decontam_threshold: float = 0.8,
+    strict: bool = False,
 ) -> DataFrame:
     """The full curation flow; returns the surviving rows of ``docs``
     with a ``split`` column (train/val/test). Every stage is one of the
-    engine's tested operators — this function only sequences them."""
+    engine's tested operators — this function only sequences them.
+    ``strict`` hardens near-dedup: CC non-convergence raises instead of
+    keeping extra near-duplicates behind a warning."""
     feats = T.quality_features(docs)
     kept = feats.filter(
         F.col("n_tokens").between(min_tokens, max_tokens)
@@ -89,7 +98,7 @@ def curate(
     ).select(id_col)
     kept = kept.join(rep_ok, id_col, "left_semi")
     kept = exact_dedup_by_hash(kept, text_col, id_col)
-    kept = near_dedup(kept, id_col, text_col, jaccard_threshold)
+    kept = near_dedup(kept, id_col, text_col, jaccard_threshold, strict=strict)
     if benchmark is not None:
         kept = decontaminate(
             kept, benchmark, id_col, text_col, threshold=decontam_threshold

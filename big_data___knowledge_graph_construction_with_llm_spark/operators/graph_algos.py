@@ -36,7 +36,9 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, strict: bool = False
+) -> DataFrame:
     """Connected components (weak/undirected) by iterative min-label
     propagation — edges are always symmetrized first. One-directional
     propagation would compute neither weakly- nor strongly-connected
@@ -79,6 +81,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     else:
         # graphs with diameter > max_iter would get silently-wrong labels;
         # surface it — callers on huge-diameter graphs should raise max_iter
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge within max_iter="
+                f"{max_iter} iterations; raise max_iter (labels would be "
+                "partial — in strict mode that is an error, not a warning)"
+            )
         log.warning(
             "connected_components did not converge within max_iter=%d "
             "iterations; returned labels are partial", max_iter,

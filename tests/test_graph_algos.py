@@ -71,3 +71,15 @@ def test_triangle_count_known_graph(spark):
         [(b, a) for a, b in k4] + k4, "src string, dst string"
     )
     assert triangle_count(rev).head()["n_triangles"] == 4
+
+
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    import pytest
+
+    # chain a-b-c-d-e has diameter 4; max_iter=1 cannot converge
+    e = _edges(spark, [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d")])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iter=1, strict=True)
+    # non-strict: partial labels + warning, no raise
+    got = connected_components(e, max_iter=1)
+    assert got.count() == 5

@@ -119,12 +119,14 @@ def test_call_with_retry_exhaustion_and_passthrough():
     async def fake_sleep(_):
         pass
 
-    with pytest.raises(RuntimeError, match="after 3 attempts"):
+    with pytest.raises(RuntimeError, match="after 3 attempts") as ei:
         asyncio.run(
             call_with_retry(
                 always_limited, max_retries=3, sleep=fake_sleep, rng=lambda a, b: a
             )
         )
+    # the provider's last error (status code / request id) must be chained
+    assert isinstance(ei.value.__cause__, _FakeRateLimitError)
 
     async def broken():
         raise ValueError("not a rate limit")
