@@ -13,14 +13,25 @@ Reference semantics (``Art-Knowledge-Graph-AWS/ingestion/DataIngestionBatch.py:1
 
 The reference parses on the driver (admitted non-distributed at
 ``…AWS/ingestion/DataIngestionBatch.py:95``). Here: ``binaryFile`` source →
-one row per file → ``mapInPandas`` wrapping rdflib on the executors →
-explode to triples; the keep-set filter is passed INTO the parser (cheap
-manual pushdown — SURVEY.md §4) and re-applied relationally, and the dedup
-is a DataFrame ``dropDuplicates`` so it is global across files.
+one row per file → ``mapInPandas`` parsing on the executors → explode to
+triples; the keep-set filter is applied inside the parser (cheap manual
+pushdown — SURVEY.md §4) and re-applied relationally, and the dedup is a
+DataFrame ``dropDuplicates`` so it is global across files.
+
+Two parser backends, same semantics:
+
+* rdflib (full RDF/XML), preferred when importable;
+* a dependency-free stdlib ``xml.etree.ElementTree`` parser for the
+  striped RDF/XML subset Europeana EDM actually uses (node elements
+  with ``rdf:about``/``rdf:nodeID``, property elements with
+  ``rdf:resource`` / nested nodes / literals carrying ``xml:lang`` and
+  ``rdf:datatype``) — so ingestion runs end-to-end with no extra
+  packages installed.
 """
 
 from __future__ import annotations
 
+import xml.etree.ElementTree as ET
 from collections.abc import Iterator
 
 import pandas as pd
@@ -85,30 +96,151 @@ def extract_triples_from_graph(g) -> list[dict]:  # pragma: no cover - needs rdf
     return rows
 
 
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+
+
+def _tag_uri(tag: str) -> str:
+    """ElementTree ``{namespace}local`` → the RDF/XML URI (namespace and
+    local name concatenate directly — hash namespaces end in ``#``,
+    slash namespaces in ``/``)."""
+    return tag[1:].replace("}", "", 1) if tag.startswith("{") else tag
+
+
+def parse_rdfxml_raw(
+    data: bytes | str,
+) -> list[tuple[str, str, str, bool, str | None, str | None]]:
+    """Stdlib parser for the striped RDF/XML subset EDM files use.
+
+    Returns raw triples ``(subject, predicate, object, object_is_literal,
+    lang, datatype)`` — subjects/URI-objects as URIs (blank nodes as
+    ``_:id``), literal objects as their text. Handles: node elements
+    with ``rdf:about``/``rdf:nodeID`` (typed ones emit ``rdf:type``),
+    property elements with ``rdf:resource``, nested node elements, and
+    literals with ``xml:lang`` / ``rdf:datatype``. RDF/XML exotica the
+    EDM shape never uses (``parseType``, containers, reification,
+    ``xml:base``) is out of scope — use rdflib for such inputs.
+    """
+    root = ET.fromstring(data)
+    out: list[tuple[str, str, str, bool, str | None, str | None]] = []
+    blank_count = [0]
+
+    def node_id(elem: ET.Element) -> str:
+        about = elem.get(f"{{{_RDF_NS}}}about")
+        if about is not None:
+            return about
+        nid = elem.get(f"{{{_RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        blank_count[0] += 1
+        return f"_:gen{blank_count[0]}"
+
+    def walk_node(elem: ET.Element) -> str:
+        s = node_id(elem)
+        tag = _tag_uri(elem.tag)
+        if tag != f"{_RDF_NS}Description":
+            out.append((s, f"{_RDF_NS}type", tag, False, None, None))
+        for prop in elem:
+            p = _tag_uri(prop.tag)
+            res = prop.get(f"{{{_RDF_NS}}}resource")
+            nested = [c for c in prop]
+            if res is not None:
+                out.append((s, p, res, False, None, None))
+            elif nested:
+                for child in nested:
+                    out.append((s, p, walk_node(child), False, None, None))
+            else:
+                out.append(
+                    (
+                        s,
+                        p,
+                        prop.text or "",
+                        True,
+                        prop.get(_XML_LANG),
+                        prop.get(f"{{{_RDF_NS}}}datatype"),
+                    )
+                )
+        return s
+
+    for top in root:
+        walk_node(top)
+    return out
+
+
+def rows_from_raw_triples(
+    raw: list[tuple[str, str, str, bool, str | None, str | None]],
+) -> list[dict]:
+    """Raw triples → labeled keep-set rows, mirroring
+    ``extract_triples_from_graph`` exactly (label precedence, keep-set,
+    hexBinary drop, blank drop) so both parser backends agree."""
+    # first literal value per (subject, label-predicate), document order
+    # (rdflib's g.value picks an arbitrary one; document order is the
+    # deterministic choice)
+    labels: dict[str, dict[str, str]] = {}
+    for s, p, o, is_lit, _lang, _dt in raw:
+        if is_lit and p in LABEL_PREDICATES:
+            labels.setdefault(s, {}).setdefault(p, o)
+
+    def resolve(node: str) -> str:
+        by_pred = labels.get(node)
+        if by_pred:
+            for p in LABEL_PREDICATES:
+                if p in by_pred:
+                    return by_pred[p]
+        return "" if node.startswith("_:") else local_name(node)
+
+    rows = []
+    for s, p, o, is_lit, lang, dt in raw:
+        pred = local_name(p)
+        if pred not in KEEP_PREDICATES:
+            continue
+        if is_lit and dt and "hexBinary" in dt:
+            continue
+        subj = resolve(s)
+        obj = o if is_lit else resolve(o)
+        if not subj.strip() or not obj.strip():
+            continue
+        rows.append(
+            {
+                "subject": subj,
+                "predicate": pred,
+                "object": obj,
+                "lang": lang if is_lit else None,
+            }
+        )
+    return rows
+
+
+def parse_rdfxml_rows(data: bytes | str) -> list[dict]:
+    """One RDF/XML document → labeled keep-set rows, on the best
+    available backend (rdflib when importable, stdlib subset parser
+    otherwise)."""
+    if HAVE_RDFLIB:  # pragma: no cover - rdflib absent in this container
+        import rdflib
+
+        g = rdflib.Graph()
+        g.parse(data=data, format="xml")
+        return extract_triples_from_graph(g)
+    return rows_from_raw_triples(parse_rdfxml_raw(data))
+
+
 def read_rdfxml_triples(spark: SparkSession, path: str) -> DataFrame:
     """Distributed RDF/XML → triple table ``(subject, predicate, object, lang)``.
 
-    Requires rdflib on the executors; raises ``NotImplementedError``
-    otherwise (this container has no rdflib — the pure functions above are
-    unit-tested instead, and ``q_rdf_filter_keepset`` exercises the
-    relational core of these semantics on synthetic tables).
+    ``binaryFile`` rows → per-executor parse (rdflib if installed, else
+    the stdlib EDM-subset parser) → global ``dropDuplicates`` (the
+    reference dedups per-frame only; global is strictly more correct for
+    a multi-file corpus). Parallelism = files; at scale set
+    ``spark.sql.files.maxPartitionBytes`` small enough that large RDF
+    dumps split across tasks, or pre-shard the dump.
     """
-    if not HAVE_RDFLIB:  # pragma: no cover
-        raise NotImplementedError(
-            "rdflib not installed; RDF/XML parsing is gated (SURVEY.md §2.1)"
-        )
-
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import rdflib
-
         for pdf in batches:
             out = {"subject": [], "predicate": [], "object": [], "lang": []}
             for content in pdf["content"]:
-                g = rdflib.Graph()
-                g.parse(data=bytes(content), format="xml")
-                for row in extract_triples_from_graph(g):
+                for row in parse_rdfxml_rows(bytes(content)):
                     for k in out:
                         out[k].append(row[k])
             yield pd.DataFrame(out)

@@ -198,3 +198,114 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
     meta = attach_binary_meta(df, "content").select("path", "byte_len", "sha256")
     got = {r["path"].rsplit("/", 1)[-1]: r["byte_len"] for r in meta.collect()}
     assert got == {"a.img": 80, "b.img": 3}
+
+
+# EDM-shaped RDF/XML fixture (FIXTURES.md §4): exercises label precedence,
+# predicate local-naming, keep-set, hexBinary drop, xml:lang, blank drop,
+# nested node elements, and cross-file duplicate triples.
+EDM_A = """<?xml version="1.0" encoding="UTF-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:skos="http://www.w3.org/2004/02/skos/core#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:dc="http://purl.org/dc/elements/1.1/"
+         xmlns:edm="http://www.europeana.eu/schemas/edm/"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ebucore="http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#">
+  <edm:Agent rdf:about="http://viaf.org/viaf/27064953">
+    <skos:prefLabel xml:lang="en-US">Paul Gauguin</skos:prefLabel>
+    <skos:prefLabel xml:lang="fr-FR">Paul Gauguin (fr)</skos:prefLabel>
+    <skos:altLabel xml:lang="en">Gauguin</skos:altLabel>
+    <skos:note xml:lang="en">French post-impressionist</skos:note>
+    <owl:sameAs rdf:resource="http://ex.org/agents/gauguin"/>
+  </edm:Agent>
+  <edm:ProvidedCHO rdf:about="http://data.europeana.eu/item/FRA_280_003">
+    <dc:creator rdf:resource="http://viaf.org/viaf/27064953"/>
+    <edm:depicts rdf:resource="http://ex.org/things/tahiti-beach"/>
+    <edm:isRelatedTo>
+      <edm:Place rdf:about="http://ex.org/places/tahiti">
+        <skos:altLabel xml:lang="en">Tahiti island</skos:altLabel>
+        <rdfs:label>Tahiti</rdfs:label>
+      </edm:Place>
+    </edm:isRelatedTo>
+  </edm:ProvidedCHO>
+  <edm:WebResource rdf:about="http://ex.org/img.jpg">
+    <edm:componentColor rdf:datatype="http://www.w3.org/2001/XMLSchema#hexBinary">#708090</edm:componentColor>
+    <ebucore:hasMimeType>image/jpeg</ebucore:hasMimeType>
+  </edm:WebResource>
+  <rdf:Description>
+    <skos:note xml:lang="en">note on a label-less blank node</skos:note>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+EDM_B = """<?xml version="1.0" encoding="UTF-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:skos="http://www.w3.org/2004/02/skos/core#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#">
+  <skos:Concept rdf:about="http://viaf.org/viaf/27064953">
+    <skos:prefLabel xml:lang="en-US">Paul Gauguin</skos:prefLabel>
+    <owl:sameAs rdf:resource="http://ex.org/agents/gauguin"/>
+  </skos:Concept>
+</rdf:RDF>
+"""
+
+
+def test_parse_rdfxml_rows_edm_semantics():
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.rdf import parse_rdfxml_rows
+
+    rows = parse_rdfxml_rows(EDM_A)
+    trip = {(r["subject"], r["predicate"], r["object"]) for r in rows}
+    # label precedence: prefLabel (first in doc order) names the agent
+    assert ("Paul Gauguin", "sameAs", "gauguin") in trip
+    # subject label resolves across node elements; object = URI tail when
+    # the target has no label triple
+    assert ("FRA_280_003", "creator", "Paul Gauguin") in trip
+    assert ("FRA_280_003", "depicts", "tahiti-beach") in trip
+    # nested node element: object resolved by ITS precedence (altLabel
+    # beats rdfs:label)
+    assert ("FRA_280_003", "isRelatedTo", "Tahiti island") in trip
+    # literal keep-set rows keep lang
+    assert any(
+        r["predicate"] == "prefLabel" and r["lang"] == "en-US" for r in rows
+    )
+    # hexBinary dropped, non-keep-set (hasMimeType, type) dropped
+    assert not any(r["object"] == "#708090" for r in rows)
+    assert not any(r["predicate"] in ("componentColor", "hasMimeType") for r in rows)
+    # blank node without label -> empty subject -> dropped
+    assert not any(r["object"] == "note on a label-less blank node" for r in rows)
+
+
+def test_read_rdfxml_triples_end_to_end(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.rdf import read_rdfxml_triples
+
+    (tmp_path / "a.xml").write_text(EDM_A)
+    (tmp_path / "b.xml").write_text(EDM_B)
+    df = read_rdfxml_triples(spark, str(tmp_path))
+    got = {(r["subject"], r["predicate"], r["object"]) for r in df.collect()}
+    # the sameAs triple appears in BOTH files -> global dedup keeps one
+    assert df.filter("predicate = 'sameAs'").count() == 1
+    assert ("Paul Gauguin", "sameAs", "gauguin") in got
+    assert ("FRA_280_003", "creator", "Paul Gauguin") in got
+
+
+def test_parse_rdfxml_rows_real_europeana_file():
+    """Sanity on a real Europeana EDM export when present (the reference
+    repo's own input data) — the fallback parser must produce a healthy
+    keep-set row count with resolved labels."""
+    import os
+
+    path = "/root/reference/data/FRA_280_003.xml"
+    if not os.path.exists(path):
+        pytest.skip("reference data not available")
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.rdf import parse_rdfxml_rows
+
+    with open(path, "rb") as fh:
+        rows = parse_rdfxml_rows(fh.read())
+    assert len(rows) > 100
+    preds = {r["predicate"] for r in rows}
+    assert preds <= {"prefLabel", "altLabel", "note", "isRelatedTo", "sameAs", "creator", "depicts"}
+    assert {"prefLabel", "altLabel", "note", "sameAs"} <= preds
+    # label resolution happened: the painter's agent node is labeled
+    assert any(r["subject"] == "Paul Gauguin" for r in rows)
+    # hexBinary componentColor literals never leak through
+    assert not any(str(r["object"]).startswith("#") for r in rows)
