@@ -198,29 +198,73 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     return labels
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count (undirected): canonical-orientation
-    node-iterator — the GraphX ``triangleCount`` shape as two equi-joins.
+def _degree_oriented(canon: DataFrame) -> DataFrame:
+    """Orient each undirected edge ``(a, b)`` toward its higher-
+    ``(degree, id)`` endpoint (id breaks degree ties for a total order).
 
-    Symmetrize, keep each undirected edge once as ``(a, b)`` with
-    ``a < b``, build wedges ``a<b<c`` by joining on the middle vertex,
-    then close each wedge against the edge set. Every triangle appears
-    exactly once (as its sorted vertex triple), so no division by 3/6.
-
-    Scale notes: wedge count is ``sum(deg²)`` under id-ordering; the
-    production refinement is degree-ordering (orient each edge toward the
-    higher-degree endpoint), which bounds wedges by ``m^1.5`` — same plan
-    shape, only the orientation key changes. Both joins shuffle on vertex
-    id; bucketing the edge table by ``src`` at rest co-locates them.
-    Returns a 1-row ``(n_triangles)`` DataFrame.
+    Output ``(src, dst, dst_rank)`` where ``dst_rank`` is the struct
+    ``(deg, id)`` of ``dst`` — carried so the wedge join can order a
+    vertex's out-neighbors without another degree lookup. Under this
+    orientation every vertex's out-degree is O(√m), so the wedge count is
+    bounded by ``m^1.5`` instead of ``sum(deg²)`` — on a skewed graph
+    (one celebrity vertex of degree d) that is d²/2 wedges saved.
     """
-    canon = (
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    annotated = canon.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    return annotated.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(
+            a_first, F.struct(F.col("_db").alias("deg"), F.col("b").alias("id"))
+        )
+        .otherwise(F.struct(F.col("_da").alias("deg"), F.col("a").alias("id")))
+        .alias("dst_rank"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count (undirected): degree-ordered node-iterator —
+    the GraphX ``triangleCount`` shape as two equi-joins.
+
+    Symmetrize and keep each undirected edge once, orient it toward the
+    higher-``(degree, id)`` endpoint, build wedges by self-joining the
+    oriented edges on ``src`` (ordering the two out-neighbors by rank so
+    each wedge appears once), then close each wedge against the oriented
+    edge set — the closing edge, if present, is guaranteed to be oriented
+    low-rank → high-rank, so one equi-join suffices. Every triangle is
+    counted exactly once; no division by 3/6.
+
+    Scale notes: degree-ordering bounds wedges by ``m^1.5`` where the
+    naive id-ordering's ``sum(deg²)`` explodes on skewed graphs (a
+    celebrity vertex of degree 10⁶ alone contributes 5·10¹¹ id-ordered
+    wedges; degree-ordered it contributes none — its edges all point AT
+    it). Both joins shuffle on vertex id; bucketing the edge table by
+    ``src`` at rest co-locates them. Returns a 1-row ``(n_triangles)``
+    DataFrame.
+    """
+    canon = materialize(
         symmetrize(edges)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .localCheckpoint()  # reused three times — materialize once
     )
-    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    wedges = canon.join(e2, "b").select("a", "b", "c")
-    e3 = canon.select(F.col("a"), F.col("b").alias("c"))
-    return wedges.join(e3, ["a", "c"]).agg(F.count("*").alias("n_triangles"))
+    # reused by the wedge self-join (both sides) and the closing join
+    o = materialize(_degree_oriented(canon))
+    x, y = o.alias("x"), o.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.dst_rank") < F.col("y.dst_rank"))
+        .select(F.col("x.dst").alias("src"), F.col("y.dst").alias("dst"))
+    )
+    return wedges.join(o.select("src", "dst"), ["src", "dst"]).agg(
+        F.count("*").alias("n_triangles")
+    )

@@ -83,3 +83,42 @@ def test_connected_components_strict_raises_on_nonconvergence(spark):
     # non-strict: partial labels + warning, no raise
     got = connected_components(e, max_iter=1)
     assert got.count() == 5
+
+
+def test_degree_orientation_bounds_star_wedges(spark):
+    """Star K1,n is the skew pathology: with the center mid-id, id-ordered
+    wedges are |lower|×|higher| ≈ n²/4, while degree-ordering points every
+    edge AT the hub (out-degree ≤ 1 everywhere) so wedge count is 0."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        _degree_oriented,
+        triangle_count,
+    )
+
+    center = 50
+    leaves = [i for i in range(10)] + [100 + i for i in range(10)]
+    e = spark.createDataFrame(
+        [(min(l, center), max(l, center)) for l in leaves], "src long, dst long"
+    )
+    canon = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    o = _degree_oriented(canon)
+    # every edge oriented leaf -> hub
+    assert {r["dst"] for r in o.collect()} == {center}
+    x, y = o.alias("x"), o.alias("y")
+    wedges = x.join(y, F.col("x.src") == F.col("y.src")).filter(
+        F.col("x.dst_rank") < F.col("y.dst_rank")
+    )
+    assert wedges.count() == 0  # id-ordering would build 100 wedges here
+    assert triangle_count(e).head()["n_triangles"] == 0
+
+
+def test_triangle_count_skewed_graph_correct(spark):
+    """Hub + triangles hanging off it: orientation must not change the
+    answer. Hub h connects to all of a,b,c,d; extra edges a-b and c-d
+    close exactly 2 triangles through the hub."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import triangle_count
+
+    h, a, b, c, d = 0, 1, 2, 3, 4
+    e = spark.createDataFrame(
+        [(h, a), (h, b), (h, c), (h, d), (a, b), (c, d)], "src long, dst long"
+    )
+    assert triangle_count(e).head()["n_triangles"] == 2
