@@ -62,6 +62,7 @@ def pack_sequences(
     n_tokens_col: str,
     budget: int,
     order_col: str | None = None,
+    prefix_partitions: int = 64,
 ) -> DataFrame:
     """Assign each document to a training-sequence bin of roughly
     ``budget`` tokens (the pretraining sequence-packing step): order
@@ -83,7 +84,17 @@ def pack_sequences(
     ``budget`` by at most ``max(n_tokens) - 1``, because a straddling
     document stays in the bin where it started — downstream truncation
     or padding absorbs it, exactly as real packers do. Documents longer
-    than ``budget`` should be chunked before packing.
+    than ``budget`` should be chunked first (``chunk_documents``).
+
+    ``prefix_partitions`` sizing: each partition window-sorts
+    ``~corpus_rows / prefix_partitions`` rows in ONE task, so pick it so
+    that slice fits a task comfortably — rows/partition in the low
+    millions, i.e. ``corpus_rows / 2e6`` rounded up to the next power of
+    two. Driver traffic is exactly ``prefix_partitions`` rows, so going
+    wide is cheap (65536 partitions = 65536 collected longs).
+
+    ``order_col`` need not be unique: ties are broken by ``id_col``, so
+    the assignment is deterministic across runs either way.
 
     Returns the input plus ``seq_id`` (bigint) and ``offset_in_seq``
     (the document's starting token offset inside its bin).
@@ -92,13 +103,16 @@ def pack_sequences(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if prefix_partitions <= 0:
+        raise ValueError(
+            f"prefix_partitions must be positive, got {prefix_partitions}"
+        )
     order = order_col or id_col
-    prefix_partitions = 64
     pk = F.pmod(F.xxhash64(F.col(order)), F.lit(prefix_partitions)).cast("int")
     part = df.withColumn("_pk", pk)
     w = (
         Window.partitionBy("_pk")
-        .orderBy(order)
+        .orderBy(order, id_col)  # id tie-break: deterministic under dup keys
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = (F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)).cast("long")
@@ -118,3 +132,41 @@ def pack_sequences(
             "offset_in_seq": (start % budget).cast("long"),
         }
     ).drop("_pk")
+
+
+def chunk_documents(
+    df: DataFrame,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Split documents longer than ``budget`` tokens into budget-sized
+    chunks — the precondition ``pack_sequences`` documents, as an
+    operator instead of a footnote.
+
+    Pure JVM expressions (sequence → transform → posexplode): each row
+    becomes ``ceil(n / budget)`` rows carrying ``chunk_idx`` (0-based),
+    ``chunk_start`` (token offset into the original document — the
+    caller slices its token array / re-tokenizes with it) and
+    ``n_tokens_col`` REPLACED by the chunk's token count (all chunks
+    ``budget`` except a shorter last one; ≤-budget documents pass
+    through as their own single chunk). No shuffle: the explode is
+    map-side, and output row count is ``sum(ceil(n/budget))``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n = F.col(n_tokens_col).cast("long")
+    n_chunks = F.greatest(F.ceil(n / budget), F.lit(1)).cast("int")
+    sizes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.least(F.lit(budget).cast("long"), n - i.cast("long") * budget),
+    )
+    other = [c for c in df.columns if c != n_tokens_col]
+    return (
+        df.select(*df.columns, F.posexplode(sizes).alias("chunk_idx", "_chunk_n"))
+        .select(
+            *other,
+            F.col("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * budget).alias("chunk_start"),
+            F.col("_chunk_n").alias(n_tokens_col),
+        )
+    )

@@ -67,11 +67,19 @@ def test_write_partitioned_json(spark, tmp_path):
     assert back.count() == 6
 
 
-def test_rdf_reader_gated_without_rdflib(spark):
-    if rdf.HAVE_RDFLIB:
-        pytest.skip("rdflib present; gate not applicable")
-    with pytest.raises(NotImplementedError):
-        rdf.read_rdfxml_triples(spark, "/nonexistent/*.xml")
+def test_rdf_reader_works_without_rdflib():
+    """The reader is no longer import-gated: the stdlib fallback parses
+    the EDM subset (full coverage in tests/test_sources.py)."""
+    rows = rdf.parse_rdfxml_rows(
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+        ' xmlns:skos="http://www.w3.org/2004/02/skos/core#">'
+        '<rdf:Description rdf:about="http://ex.org/x">'
+        '<skos:prefLabel xml:lang="en">X</skos:prefLabel>'
+        "</rdf:Description></rdf:RDF>"
+    )
+    assert rows == [
+        {"subject": "X", "predicate": "prefLabel", "object": "X", "lang": "en"}
+    ]
 
 
 def test_minhash_column_form_equals_agg_form(spark):
@@ -276,3 +284,85 @@ def test_pack_sequences_bounds_and_determinism(spark):
         df.repartition(7), "doc_id", "n_tokens", budget=256
     ).collect()}
     assert again == {r["doc_id"]: r["seq_id"] for r in out}
+
+
+def test_pack_sequences_deterministic_with_duplicate_order_keys(spark):
+    """order_col values repeat (all docs share one key): the id tie-break
+    must make seq_id/offset stable across physical orderings."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 20, "same") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int, grp string")
+    a = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", budget=64, order_col="grp"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences(
+            df.repartition(13).sortWithinPartitions(F.col("doc_id").desc()),
+            "doc_id",
+            "n_tokens",
+            budget=64,
+            order_col="grp",
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_prefix_partitions_param(spark):
+    """Same bound with a different partition count; degenerate width-1
+    (single global window) must give the exact sequential packing."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 10) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    one = pack_sequences(df, "doc_id", "n_tokens", budget=100, prefix_partitions=1)
+    got = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"]) for r in one.collect()}
+    # width 1: docs 0..63 in id order, 10 tokens each, 10 per 100-budget bin
+    assert got == {i: (i // 10, (i % 10) * 10) for i in range(64)}
+    wide = pack_sequences(df, "doc_id", "n_tokens", budget=100, prefix_partitions=256)
+    sums = {}
+    for r in wide.collect():
+        sums[r["seq_id"]] = sums.get(r["seq_id"], 0) + 10
+    assert all(s <= 100 + 10 - 1 for s in sums.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="prefix_partitions"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=100, prefix_partitions=0)
+
+
+def test_chunk_documents(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    rows = [(1, 250), (2, 100), (3, 0), (4, 99)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = chunk_documents(df, "n_tokens", budget=100)
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_start"], r["n_tokens"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 0, 100),
+        (1, 1, 100, 100),
+        (1, 2, 200, 50),
+        (2, 0, 0, 100),
+        (3, 0, 0, 0),
+        (4, 0, 0, 99),
+    ]
+    # composition: chunk then pack -> no chunk exceeds the budget, so the
+    # straddle overflow bound collapses to budget + budget - 1
+    packed = pack_sequences(
+        out.withColumn(
+            "cid", F.concat_ws("#", F.col("doc_id"), F.col("chunk_idx"))
+        ),
+        "cid",
+        "n_tokens",
+        budget=100,
+    )
+    assert packed.count() == 6
