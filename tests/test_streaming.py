@@ -203,6 +203,29 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r["purchase_id"], r["click_id"])
         for r in spark.sql("SELECT * FROM ssjoin").collect()
     )
-    # user 1 purchase at 00:20 sees clicks 1 (00:01) and 2 (00:04);
-    # user 2 purchase at 00:50 is 37 min after click 4 (00:13) → outside
+    # PARITY with the batch twin: the same builder on the same rows read
+    # as static DataFrames (withWatermark is a no-op in batch, so this
+    # exercises the identical join condition through batch execution)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    clicks_b = (
+        spark.read.schema(schema).json(str(src_c))
+        .filter(F.col("event_type") == "click")
+    )
+    purch_b = spark.read.schema(schema).json(str(src_p))
+    batch = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in stream_stream_interval_join(purch_b, clicks_b, within="30 minutes")
+        .select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        )
+        .collect()
+    )
+    assert got == batch
+    # and the hand-derived expectation: user 1 purchase at 00:20 sees
+    # clicks 1 (00:01) and 2 (00:04); user 2 purchase at 00:50 is 37 min
+    # after click 4 (00:13) → outside the interval
     assert got == [(10, 1), (10, 2)]
