@@ -89,25 +89,43 @@ def _chunks(rows: Iterator, size: int):
 
 def write_graph(
     edges: DataFrame,
-    uri: str,
-    auth: tuple[str, str],
+    uri: str | None = None,
+    auth: tuple[str, str] | None = None,
     batch_size: int = 500,
-) -> None:  # pragma: no cover - needs a neo4j server
+    driver_factory=None,
+) -> None:
     """Write an ``edges(src, dst, relationship)`` DataFrame to Neo4j with
     size-``batch_size`` UNWIND batches per partition (the AWS variant's
     bootstrap default, ``…AWS/EMR-config/EMR_bootstrap.sh:17``).
 
     MERGE-only ⇒ re-running a failed Spark task re-applies upserts, so the
-    sink is idempotent under task retry."""
-    if not HAVE_NEO4J:
-        raise NotImplementedError(
-            "neo4j driver not installed; Neo4j sink is gated (SURVEY.md §2.1)"
-        )
+    sink is idempotent under task retry.
+
+    ``driver_factory`` is an optional zero-arg callable, run ON EACH
+    EXECUTOR, returning a driver with the neo4j interface
+    (``.session()`` context manager whose sessions have
+    ``.run(cypher, batch=...)``, and ``.close()``). Default builds the
+    real ``neo4j.GraphDatabase.driver(uri, auth)`` and requires the
+    driver package; injecting a factory makes the partition wiring
+    testable (and swappable for another bolt-compatible store) without
+    a server.
+    """
+    if driver_factory is None:
+        if not HAVE_NEO4J:
+            raise NotImplementedError(
+                "neo4j driver not installed; pass driver_factory or install "
+                "neo4j (SURVEY.md §2.1)"
+            )
+        if uri is None or auth is None:
+            raise ValueError("uri and auth are required with the default driver")
+
+        def driver_factory():  # pragma: no cover - needs a neo4j server
+            import neo4j as _n
+
+            return _n.GraphDatabase.driver(uri, auth=auth)
 
     def _write_partition(rows: Iterator) -> None:
-        import neo4j as _n
-
-        driver = _n.GraphDatabase.driver(uri, auth=auth)
+        driver = driver_factory()
         try:
             with driver.session() as session:
                 for chunk in _chunks(rows, batch_size):

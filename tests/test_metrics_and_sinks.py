@@ -78,3 +78,77 @@ def test_merge_cypher_shapes():
     # injection collapsed into a single safe identifier
     assert "`paintedbyxMATCHyDETACHDELETEy`" in edge
     assert edge.count("MERGE") == 3
+
+
+def test_write_graph_partition_wiring_with_injected_driver(spark, tmp_path):
+    """End-to-end foreachPartition wiring without a server: a fake driver
+    (defined in-test — cloudpickle ships test-module classes by
+    reference, so helpers must live inside the function) records every
+    (cypher, batch) call to disk. Asserts batching, per-rel grouping,
+    sanitized rel types, and MERGE-only statements."""
+    import json as _json
+    import os
+    import uuid
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.neo4j_sink import write_graph
+
+    outdir = str(tmp_path / "calls")
+    os.makedirs(outdir, exist_ok=True)
+
+    def factory(_dir=outdir):
+        class FakeSession:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+            def run(self, cypher, batch):
+                p = os.path.join(_dir, f"{uuid.uuid4().hex}.json")
+                with open(p, "w") as fh:
+                    _json.dump({"cypher": cypher, "batch": batch}, fh)
+
+        class FakeDriver:
+            def session(self):
+                return FakeSession()
+
+            def close(self):
+                pass
+
+        return FakeDriver()
+
+    rows = [(f"s{i}", f"t{i}", "painted by" if i % 2 else "DEPICTS") for i in range(20)]
+    edges = spark.createDataFrame(
+        rows, "src string, dst string, relationship string"
+    ).repartition(3)
+    write_graph(edges, batch_size=4, driver_factory=factory)
+
+    calls = []
+    for f in os.listdir(outdir):
+        with open(os.path.join(outdir, f)) as fh:
+            calls.append(_json.load(fh))
+    # every edge arrives exactly once
+    seen = sorted(
+        (r["src"], r["dst"]) for c in calls for r in c["batch"]
+    )
+    assert seen == sorted((s, t) for s, t, _ in rows)
+    # UNWIND batches never exceed batch_size and group one rel each
+    assert all(len(c["batch"]) <= 4 for c in calls)
+    assert all(
+        c["cypher"].startswith("UNWIND $batch AS row") for c in calls
+    )
+    rels = {c["cypher"].split("[r:`")[1].split("`")[0] for c in calls}
+    # sanitized: space stripped from 'painted by'
+    assert rels == {"paintedby", "DEPICTS"}
+    assert all("MERGE" in c["cypher"] and "DELETE" not in c["cypher"] for c in calls)
+
+
+def test_write_graph_requires_uri_or_factory(spark):
+    import pytest
+    from big_data___knowledge_graph_construction_with_llm_spark.sources import neo4j_sink
+
+    edges = spark.createDataFrame(
+        [("a", "b", "r")], "src string, dst string, relationship string"
+    )
+    with pytest.raises((NotImplementedError, ValueError)):
+        neo4j_sink.write_graph(edges)
