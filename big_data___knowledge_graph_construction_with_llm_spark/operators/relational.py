@@ -173,12 +173,12 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(ts)
     gap_s = gap_minutes * 60
+    # cast through TIMESTAMP so TIMESTAMP_NTZ inputs work too (NTZ has no
+    # direct bigint cast); only differences are used, so the session-zone
+    # reinterpretation cancels out.
+    epoch = F.col(ts).cast("timestamp").cast("long")
     new_sess = (
-        F.when(
-            F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
-            > F.lit(gap_s),
-            1,
-        )
+        F.when(epoch - F.lag(epoch).over(w) > F.lit(gap_s), 1)
         .otherwise(0)
     )
     run = Window.partitionBy(key).orderBy(ts).rowsBetween(

@@ -1,11 +1,19 @@
 """Loaders for the driver's synthetic parquet tables (TESTDATA.md).
 
-One quirk handled centrally: the parquet files store ``TIMESTAMP(NANOS)``
-which Spark's vectorized reader rejects; with
-``spark.sql.legacy.parquet.nanosAsLong`` those columns arrive as int64
-nanoseconds and are converted here to micro-precision timestamps
-(``timestamp_micros(ns div 1000)``), exactly how DuckDB truncates
-nanos→micros — so both engines see identical instants.
+Timestamp quirks are handled centrally so every query sees plain
+``TIMESTAMP`` (LTZ) columns, matching how DuckDB reads the same files:
+
+* ``TIMESTAMP(NANOS)`` parquet — Spark's vectorized reader rejects it;
+  with ``spark.sql.legacy.parquet.nanosAsLong`` those columns arrive as
+  int64 nanoseconds and are converted to micro-precision timestamps
+  (``timestamp_micros(ns div 1000)``), exactly how DuckDB truncates
+  nanos→micros.
+* ``timestamp[us]`` parquet with ``isAdjustedToUTC=false`` — Spark 4
+  infers ``TIMESTAMP_NTZ`` (``spark.sql.parquet.inferTimestampNTZ.enabled``
+  defaults true), which rejects epoch casts (``cast(ntz as bigint)`` is an
+  AnalysisException). Cast to session-zone ``timestamp`` here; with the
+  UTC session zone (session.py) the wall-clock instants are identical to
+  DuckDB's naive timestamps.
 """
 
 from __future__ import annotations
@@ -40,4 +48,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
