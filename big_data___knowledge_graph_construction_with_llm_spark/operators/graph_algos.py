@@ -95,7 +95,10 @@ def connected_components(
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = 10, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """PageRank (simple variant: dangling mass is dropped, as in the
     original GraphX ``staticPageRank`` formulation).
@@ -103,15 +106,25 @@ def pagerank(
     Returns ``(id, rank)``. Each iteration: join ranks onto edges, spread
     ``rank/out_degree`` along edges, sum per destination — one shuffle on
     vertex id per iteration, lineage cut per iteration.
+
+    With ``exact_scale`` (e.g. ``10**12``) ranks are carried as scaled
+    int64 and every step uses integer division — floating-point addition
+    is not associative, so a parallel float sum depends on partition
+    order, while the integer formulation is bit-identical on any engine,
+    partitioning, or cluster size (that's what lets the DuckDB oracle
+    hash-match ``q_pagerank``). Precision loss vs the float path is
+    ≤ ``n_vertices / exact_scale`` per iteration — at 1e12 that's noise.
+    Requires ``damping*100`` integral and ``exact_scale ≤ 1e16``
+    (keeps ``damping_pct * total_mass`` within int64).
     """
     e = edges.select("src", "dst")
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # fuse 1/out_degree into the edge table ONCE and materialize it: the
+    # fuse out_degree into the edge table ONCE and materialize it: the
     # loop then does a single join + aggregation per iteration instead of
     # re-scanning the source and re-joining out_deg every time
     e_w = materialize(
         e.join(out_deg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .select("src", "dst", "deg", (F.lit(1.0) / F.col("deg")).alias("w"))
     )
     verts = materialize(
         e_w.select(F.col("src").alias("id"))
@@ -121,6 +134,43 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))  # empty graph, empty result
+
+    if exact_scale is not None:
+        dnum = int(round(damping * 100))
+        if abs(dnum - damping * 100) > 1e-9:
+            raise ValueError("exact mode needs damping at 2-decimal precision")
+        if exact_scale > 10**16:
+            raise ValueError("exact_scale > 1e16 risks int64 overflow")
+        base_i = ((100 - dnum) * exact_scale) // (100 * n)
+        ranks = verts.withColumn("r", F.lit(exact_scale // n))
+        for _ in range(iterations):
+            contribs = (
+                e_w.join(ranks.withColumnRenamed("id", "src"), "src")
+                # `div` = integer division: float `floor(r/deg)` would be
+                # unsafe (a 2^-52-relative error crosses the floor
+                # boundary whenever the true quotient is within ~1e-4 of
+                # an integer at 1e12 scale)
+                .select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = materialize(
+                verts.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base_i)
+                        + F.expr(f"({dnum} * coalesce(s, 0L)) div 100")
+                    ).alias("r"),
+                )
+            )
+        # r ≤ scale < 2^53 and scale is a power of ten: both operands are
+        # exact doubles, so the one rounded division is IEEE-identical
+        # everywhere
+        return ranks.select(
+            "id", (F.col("r").cast("double") / F.lit(float(exact_scale))).alias("rank")
+        )
+
     base = (1.0 - damping) / n
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):

@@ -234,14 +234,58 @@ def q_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(edges)
 
 
-@query("q_pagerank")  # iterative float fixpoint — rows-only check
+def _pagerank_oracle(iterations: int, scale: int, dnum: int) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL, mirroring the
+    integer-scaled arithmetic of ``pagerank(exact_scale=...)`` step for
+    step (`//` and Spark's `div` agree on non-negative int64), so the
+    hash compare is exact — no float-drift tolerance needed."""
+    parts = [
+        f"""
+    WITH e0 AS (
+      SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS src,
+             't:' || event_type AS dst
+      FROM events
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)),
+    verts AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+    nn AS (SELECT count(*) AS n FROM verts),
+    pr0 AS (SELECT id, {scale} // (SELECT n FROM nn) AS r FROM verts)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT e.dst AS id, sum(p.r // e.deg) AS s
+      FROM e JOIN pr{k - 1} p ON p.id = e.src GROUP BY e.dst
+    ),
+    pr{k} AS (
+      SELECT v.id,
+             ({100 - dnum} * {scale}) // (100 * (SELECT n FROM nn))
+             + ({dnum} * coalesce(c.s, 0)) // 100 AS r
+      FROM verts v LEFT JOIN c{k} c USING (id)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id, CAST(r AS DOUBLE) / {float(scale)} AS rank
+    FROM pr{iterations}"""
+    )
+    return "".join(parts)
+
+
+@query("q_pagerank", oracle=_pagerank_oracle(10, 10**12, 85))
 def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Static PageRank (10 iterations) on the user→event_type bipartite
-    graph; ranks rounded for cross-run determinism."""
+    """Static PageRank (10 iterations, damping 0.85) on the
+    user→event_type bipartite graph, in exact integer-scaled arithmetic
+    (``exact_scale=1e12``) so ranks are bit-identical across engines,
+    partitionings, and cluster sizes — which upgrades this from a
+    rows-only check to a full hash-compared oracle row (the float path
+    stays available for throughput; its parallel sums are
+    order-dependent and can drift in the last ulps)."""
     ev = load(spark, sf, "events")
     edges = ev.select(
         F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     ).distinct()
-    pr = pagerank(edges, iterations=10)
-    return pr.select("id", F.round("rank", 8).alias("rank"))
+    return pagerank(edges, iterations=10, exact_scale=10**12)

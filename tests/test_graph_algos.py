@@ -44,6 +44,27 @@ def test_pagerank_star(spark):
     assert sum(pr.values()) <= 1.0 + 1e-9
 
 
+def test_pagerank_exact_matches_float(spark):
+    """Integer-scaled exact mode tracks the float path to ~n/scale and
+    rejects damping that isn't 2-decimal."""
+    import pytest
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+    )
+    flt = {r["id"]: r["rank"] for r in pagerank(e, iterations=8).collect()}
+    ex = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, iterations=8, exact_scale=10**12).collect()
+    }
+    assert set(flt) == set(ex)
+    for k in flt:
+        assert abs(flt[k] - ex[k]) < 1e-9, k
+    with pytest.raises(ValueError):
+        pagerank(e, iterations=1, damping=0.853, exact_scale=10**12)
+
+
 def test_label_propagation_two_cliques(spark):
     """Two triangles joined by nothing: every vertex must adopt its
     clique's smallest id; determinism across reruns."""
