@@ -100,6 +100,44 @@ def lang_guess(col: Column | str) -> Column:
     return F.when(best > 0, guess).otherwise(F.lit("und"))
 
 
+#: PII detection patterns, shared verbatim by the Spark expressions and
+#: the DuckDB oracle (restricted to syntax Java regex and RE2 interpret
+#: identically: no alternation, no backrefs, no lookaround).
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the workhorse pattern; intentionally permissive
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # +<digits with separators>: international-style numbers only, so
+    # ordinary prose numbers aren't mangled
+    "phone": r"\+\d[\d -]{7,}\d",
+    # dotted quad; \b keeps it out of longer dotted runs
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+#: redaction order: email first (an address contains digit runs a later
+#: pattern could half-match), then IPs, then phone — the greedy phone
+#: pattern would otherwise eat the leading octet of an adjacent IP
+_PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (email / phone / ipv4) — pure
+    ``regexp_count`` expressions, scan speed; at 100 TB this is a
+    map-only pass with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with ``replacement`` (category order
+    email → phone → ipv4 so composite strings redact deterministically).
+    The replacement token contains no digits/@, so later patterns cannot
+    re-match inside an earlier redaction."""
+    c = F.col(col) if isinstance(col, str) else col
+    for k in _PII_ORDER:
+        c = F.regexp_replace(c, PII_PATTERNS[k], replacement)
+    return c
+
+
 #: 31-bit Mersenne prime: (p-1)² < 2^63, so rolling-hash products never
 #: overflow int64 — safe under Spark's default ANSI mode.
 _P31 = (1 << 31) - 1
@@ -129,6 +167,52 @@ def fingerprint64(col: Column | str) -> Column:
         lambda s: s["acc"],
     )
     return folded
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``tf * ln((1 + N) / (1 + doc_freq))`` (smoothed IDF).
+
+    Returns ``(id, term, tf, tfidf, rank)`` with a deterministic order
+    (score rounded to 6 dp, ties broken by term) so results are
+    reproducible across engines and partitionings.
+
+    Scale shape: explode → two partial-aggregated shuffles (one keyed on
+    ``(id, term)``, one on ``term``) — the shuffle rows carry terms and
+    counts, never document text. ``N`` is one metadata-cheap count; in a
+    curation pipeline it's already known from the previous stage. The
+    doc-frequency side is a ``term → df`` table, small relative to the
+    corpus (vocabulary, not documents), so Catalyst/AQE broadcasts it in
+    the final join at any realistic scale.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # tf is unique per (id, term), so count(*) here IS document frequency
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(docfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(1 + n_docs)) / (F.lit(1.0) + F.col("df"))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def repetition_features(

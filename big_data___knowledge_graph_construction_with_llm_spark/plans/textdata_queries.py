@@ -430,11 +430,22 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: deterministic PII planted into every 7th document (the synthetic
+#: corpus contains none), identical string construction on both engines
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " or +1 555 000 ' || CAST(doc_id % 10000 AS VARCHAR) ||"
+    " ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
 @query(
     "q_text_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks,
+             CASE WHEN doc_id % 7 = 0 THEN text || {_PII_SUFFIX_SQL}
+                  ELSE text END AS ptext
       FROM documents
     )
     SELECT doc_id,
@@ -442,16 +453,53 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
            round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
                  / greatest(len(toks), 1), 4) AS mean_token_len,
            round(len(list_filter(toks, x -> list_contains([{_SQL_STOPLIST}], x)))::DOUBLE
-                 / greatest(len(toks), 1), 4) AS stopword_ratio
+                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           CAST(len(regexp_extract_all(ptext, '{T.PII_PATTERNS["email"]}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(ptext, '{T.PII_PATTERNS["phone"]}')) AS INT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(ptext, '{T.PII_PATTERNS["ipv4"]}')) AS INT)
+             AS n_ipv4,
+           length(regexp_replace(regexp_replace(regexp_replace(ptext,
+                 '{T.PII_PATTERNS["email"]}', '[PII]', 'g'),
+                 '{T.PII_PATTERNS["ipv4"]}', '[PII]', 'g'),
+                 '{T.PII_PATTERNS["phone"]}', '[PII]', 'g')) AS redacted_len
     FROM t
     """,
 )
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality scoring features (length / mean token length / stopword
-    ratio) — pure column expressions, scan-speed."""
+    """Quality + safety signals per document: C4-style quality features
+    (length / mean token length / stopword ratio) plus PII detection
+    counts and redacted length (``operators.text.pii_counts`` /
+    ``redact_pii``) — all pure column expressions, scan-speed, zero
+    shuffle. PII is planted deterministically into every 7th doc (the
+    synthetic corpus has none); the oracle recomputes detection with its
+    own regex engine, so parity proves the patterns behave identically
+    under Java regex and RE2."""
     d = load(spark, sf, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 000 "),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ),
+    ).otherwise(F.col("text"))
+    counts = T.pii_counts(planted)
     return T.quality_features(d).select(
-        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio"
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.length(T.redact_pii(planted)).alias("redacted_len"),
     )
 
 

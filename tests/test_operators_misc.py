@@ -366,3 +366,56 @@ def test_chunk_documents(spark):
         budget=100,
     )
     assert packed.count() == 6
+
+
+def test_pii_counts_and_redaction(spark):
+    """Golden PII detection/redaction: each category fires on its own
+    shape, redaction replaces every match and leaves clean text alone."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.user+tag@sub.example.org and b@x.io today"),
+        (2, "call +1 555 123 4567 or visit 192.168.0.1 now"),
+        (3, "clean text with number 12345 and date 01/02/2026"),
+        (4, "composite user7@example.com +44 20 7946 0958 10.0.3.7 end"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = pii_counts("text")
+    got = {
+        r["id"]: (r["e"], r["p"], r["i"], r["red"])
+        for r in df.select(
+            "id",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            redact_pii("text").alias("red"),
+        ).collect()
+    }
+    assert got[1] == (2, 0, 0, "mail [PII] and [PII] today")
+    assert got[2] == (0, 1, 1, "call [PII] or visit [PII] now")
+    assert got[3] == (0, 0, 0, "clean text with number 12345 and date 01/02/2026")
+    assert got[4] == (1, 1, 1, "composite [PII] [PII] [PII] end")
+
+
+def test_tfidf_top_terms(spark):
+    """Hand-computed TF-IDF on a 2-doc corpus; deterministic tie order."""
+    import math
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["tfidf"])
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    idf_rare = round(math.log(3 / 2), 6)  # ln((1+2)/(1+1))
+    # 'a' appears in both docs -> idf ln(3/3) = 0; rare terms win
+    assert got[(1, 1)] == ("b", 1, idf_rare)
+    assert got[(1, 2)] == ("a", 2, 0.0)
+    assert got[(2, 1)] == ("c", 1, idf_rare)
+    assert got[(2, 2)] == ("a", 1, 0.0)
