@@ -137,3 +137,65 @@ async def gather_in_batches(
             )
         )
     return results
+
+
+def http_chat_extractor(
+    url: str,
+    model: str,
+    prompt: str,
+    api_key: str | None = None,
+    transport: Callable[[dict], str] | None = None,
+    timeout: float = 60.0,
+    **retry_kwargs,
+):
+    """Concrete ``pipeline.Extractor`` factory for an OpenAI-style
+    chat-completions endpoint (the reference calls Groq's, which speaks
+    this protocol, via langchain — ``…AWS/LLM/chains.py:30-34``). Built
+    on stdlib ``urllib`` so no SDK/HTTP library is required; the
+    ``transport`` hook (``payload dict → reply body str``) lets tests
+    run hermetically and deployments swap in a pooled client.
+
+    Each call posts ``prompt + record`` at temperature 0, applies
+    :func:`call_with_retry`'s rate-limit discipline, and tolerantly
+    scrapes JSON triplet objects from the reply
+    (:func:`scrape_json_objects`). Pure function of the record text —
+    idempotent under Spark task re-runs. For high-throughput partitions
+    prefer batching with :func:`gather_in_batches` inside one
+    ``mapInPandas`` block; this per-record form exists to plug straight
+    into ``pipeline.extract_triplets``.
+    """
+
+    def _default_transport(payload: dict) -> str:
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if api_key:
+            headers["Authorization"] = f"Bearer {api_key}"
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(), headers=headers
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            return resp.read().decode()
+
+    send = transport or _default_transport
+
+    def extract(record_json: str) -> list[dict]:
+        payload = {
+            "model": model,
+            "temperature": 0,
+            "messages": [
+                {"role": "user", "content": f"{prompt}\n\n{record_json}"}
+            ],
+        }
+
+        async def _call(p: dict) -> str:
+            return await asyncio.to_thread(send, p)
+
+        body = asyncio.run(call_with_retry(_call, payload, **retry_kwargs))
+        try:
+            content = json.loads(body)["choices"][0]["message"]["content"]
+        except (KeyError, IndexError, TypeError, ValueError):
+            return []
+        return scrape_json_objects(content)
+
+    return extract

@@ -81,12 +81,17 @@ def curate(
     jaccard_threshold: float = 0.85,
     decontam_threshold: float = 0.8,
     strict: bool = False,
+    redact: bool = False,
 ) -> DataFrame:
     """The full curation flow; returns the surviving rows of ``docs``
     with a ``split`` column (train/val/test). Every stage is one of the
     engine's tested operators — this function only sequences them.
     ``strict`` hardens near-dedup: CC non-convergence raises instead of
-    keeping extra near-duplicates behind a warning."""
+    keeping extra near-duplicates behind a warning. ``redact=True``
+    rewrites ``text_col`` through :func:`operators.text.redact_pii` as
+    the LAST stage — after dedup/decontamination, so redaction (which
+    collapses distinct emails to one token) cannot create or mask
+    near-duplicate relationships the earlier stages decide on."""
     feats = T.quality_features(docs)
     kept = feats.filter(
         F.col("n_tokens").between(min_tokens, max_tokens)
@@ -103,4 +108,6 @@ def curate(
         kept = decontaminate(
             kept, benchmark, id_col, text_col, threshold=decontam_threshold
         )
+    if redact:
+        kept = kept.withColumn(text_col, T.redact_pii(text_col))
     return dataset_split(kept, id_col)

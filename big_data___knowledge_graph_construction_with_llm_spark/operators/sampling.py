@@ -56,6 +56,38 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(id_col), buckets) < int(fraction * buckets))
 
 
+def stratified_sample(
+    df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic exact-``n`` sample per stratum (e.g. balance a
+    corpus across ``source``/``lang`` before mixing): rows ranked inside
+    each stratum by ``md5(id)`` — an arbitrary-but-fixed order — and the
+    first ``n`` kept. Same rows selected on every run, engine, and
+    cluster size, and appends only ever *displace* rows at the boundary
+    (ranks are stable).
+
+    Scale shape: one shuffle keyed on the stratum, then a per-stratum
+    rank. A mega-stratum makes that a single-task sort; when only an
+    approximate ``n`` is needed, prefer :func:`hash_sample` with
+    ``fraction = n / stratum_size`` (pure projection, no shuffle). Exact
+    top-n per group is inherently a per-group k-selection — Spark's
+    window ``row_number`` spills, so it completes even when a stratum
+    dwarfs memory.
+    """
+    from pyspark.sql import Window
+
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col).cast("string")
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

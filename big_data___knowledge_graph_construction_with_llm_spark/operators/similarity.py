@@ -399,3 +399,176 @@ def name_similarity_join(
         .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_edit))
         .drop("_blk")
     )
+
+
+# --- product quantization (PQ) -----------------------------------------------
+
+
+def _subvector(vec_col: F.Column, s: int, sub_dim: int) -> F.Column:
+    return F.slice(vec_col, s * sub_dim + 1, sub_dim)
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subvectors and train an independent k-means per subspace
+    (the FAISS ``PQm×k`` layout; pairs with the IVF coarse quantizer the
+    way IVF-PQ does). Returns ``(subspace, cluster, centroid)``.
+
+    Same determinism/scale shape as :func:`ivf_centroids`: hash-seeded
+    init (no RNG), each Lloyd iteration is ONE partial-aggregated
+    shuffle of ``m×k×(dim/m) = k×dim`` mean cells for ALL subspaces
+    together (the m trainings share scans rather than running m jobs),
+    and re-assignment is a map-only literal-centroid projection. Train
+    on a sample at 100 TB; encoding stays a shuffle-free scan.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if k > 256:
+        raise ValueError("k > 256 codes don't fit the tinyint PQ code")
+    sub_dim = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    rows = v.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("subspace"),
+                        _subvector(F.col("_v"), s, sub_dim).alias("_sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("_id", F.col("x.subspace").alias("subspace"), F.col("x._sv").alias("_v"))
+    assigned = rows.withColumn(
+        "cluster", F.pmod(F.xxhash64("_id", "subspace"), F.lit(k))
+    )
+
+    def _means(a: DataFrame) -> DataFrame:
+        pos = a.select("subspace", "cluster", F.posexplode("_v").alias("pos", "val"))
+        mu = pos.groupBy("subspace", "cluster", "pos").agg(F.avg("val").alias("m"))
+        return (
+            mu.groupBy("subspace", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "subspace",
+                "cluster",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+
+    books = None
+    for _ in range(iterations):
+        books = _means(assigned).localCheckpoint()
+        per_sub: dict[int, list] = {}
+        for r in books.collect():
+            per_sub.setdefault(r["subspace"], []).append(
+                (r["cluster"], list(r["centroid"]))
+            )
+        expr = None
+        for s in range(m):
+            e = nearest_cluster(F.col("_v"), per_sub[s])
+            expr = e if expr is None else F.when(F.col("subspace") == s, e).otherwise(expr)
+        assigned = rows.withColumn("cluster", expr)
+    return books if books is not None else _means(assigned).localCheckpoint()
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes (nearest codebook entry
+    per subspace) — ``m`` bytes instead of ``dim×4`` at rest, the
+    32–128× compression that makes exhaustive ANN scans affordable.
+    Map-only literal projection, zero shuffle (same contract as
+    ``ivf_index``); output keeps all input columns plus ``code``
+    (array<tinyint>, length m).
+    """
+    per_sub: dict[int, list] = {}
+    for r in codebooks.collect():
+        per_sub.setdefault(r["subspace"], []).append(
+            (r["cluster"], list(r["centroid"]))
+        )
+    m = len(per_sub)
+    sub_dim = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    code = F.array(
+        *[
+            nearest_cluster(_subvector(v, s, sub_dim), per_sub[s]).cast("tinyint")
+            for s in range(m)
+        ]
+    )
+    return vectors.withColumn("code", code)
+
+
+def knn_pq(
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over PQ codes by asymmetric distance (ADC): the driver
+    precomputes the ``m×k`` lookup table of squared-L2 distances from
+    each query subvector to each codebook entry (a parameter, not data),
+    folds it into the projection as a literal nested array, and every
+    row's approximate distance is ``m`` constant-time lookups — the scan
+    touches only the m-byte codes, never the original vectors.
+    ``orderBy().limit(k)`` compiles to per-partition TakeOrdered, so no
+    corpus shuffle. Returns ``(id, adc_d2)`` ascending, deterministic
+    tie-break on id. Exact re-ranking of the shortlist against the
+    original vectors composes via :func:`knn_brute_force`.
+    """
+    per_sub: dict[int, dict[int, list]] = {}
+    n_codes = 0
+    for r in codebooks.collect():
+        per_sub.setdefault(r["subspace"], {})[r["cluster"]] = list(r["centroid"])
+        n_codes = max(n_codes, r["cluster"] + 1)
+    m = len(per_sub)
+    sub_dim = len(query) // m
+    lut: list[list[float]] = []
+    for s in range(m):
+        qs = query[s * sub_dim : (s + 1) * sub_dim]
+        row = []
+        for c in range(n_codes):
+            cent = per_sub[s].get(c)
+            # empty clusters (hash init can leave some) are unreachable
+            # codes; an infinite distance keeps them out of any top-k
+            row.append(
+                sum((a - b) * (a - b) for a, b in zip(qs, cent))
+                if cent is not None
+                else float("inf")
+            )
+        lut.append(row)
+    lut_arr = F.array(*[F.array(*[F.lit(d) for d in row]) for row in lut])
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    d2 = F.aggregate(
+        F.zip_with(
+            idx,
+            F.col("code"),
+            lambda s, c: F.element_at(
+                F.element_at(lut_arr, s.cast("int") + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(F.col(id_col), F.round(d2, 6).alias("adc_d2"))
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -60,3 +60,21 @@ def test_curate_full_flow(spark):
         docs, benchmark=bench, min_tokens=5, jaccard_threshold=0.7
     ).collect()}
     assert got == again
+
+
+def test_curate_redacts_pii_last(spark):
+    """redact=True rewrites text in the output; distinct emails must NOT
+    make two otherwise-identical docs survive exact dedup (redaction runs
+    after dedup decisions, not before)."""
+    rows = [
+        (1, BASE + " mail me at first.person@example.com please"),
+        (2, BASE + " mail me at second.person@example.org please"),
+        (3, "a wholly different document mentioning 10.1.2.3 and nothing else of note here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"] for r in curate(docs, min_tokens=5, redact=True).collect()}
+    # docs 1 and 2 differ pre-redaction (different emails) -> both kept,
+    # then both redacted to the same text in the output
+    assert sorted(out) == [1, 2, 3]
+    assert out[1] == out[2] == BASE + " mail me at [PII] please"
+    assert "[PII]" in out[3] and "10.1.2.3" not in out[3]

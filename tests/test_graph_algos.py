@@ -143,3 +143,25 @@ def test_triangle_count_skewed_graph_correct(spark):
         [(h, a), (h, b), (h, c), (h, d), (a, b), (c, d)], "src long, dst long"
     )
     assert triangle_count(e).head()["n_triangles"] == 2
+
+
+def test_k_core_peels_to_triangle(spark):
+    """Triangle + pendant chain: the 2-core is exactly the triangle, and
+    peeling cascades down the chain (multiple iterations needed)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import k_core
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+    )
+    core = k_core(e, k=2)
+    got = sorted(tuple(r) for r in core.collect())
+    assert got == [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "b"),
+    ]
+    # 4-core of a graph with max degree 3 is empty
+    assert k_core(e, k=4).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        k_core(e, k=0)

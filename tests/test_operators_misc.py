@@ -419,3 +419,59 @@ def test_tfidf_top_terms(spark):
     assert got[(1, 2)] == ("a", 2, 0.0)
     assert got[(2, 1)] == ("c", 1, idf_rare)
     assert got[(2, 2)] == ("a", 1, 0.0)
+
+
+def test_stratified_sample_exact_and_deterministic(spark):
+    """Exactly n per stratum, stable across runs, subset-stable under
+    appends (old members only displaced at the rank boundary)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "s" + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = stratified_sample(df, "source", "doc_id", 5)
+    per = {r["source"]: r["n"] for r in got.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    again = sorted(r["doc_id"] for r in stratified_sample(df, "source", "doc_id", 5).collect())
+    assert again == sorted(r["doc_id"] for r in got.collect())
+    # asking for more than a stratum holds returns the whole stratum
+    assert stratified_sample(df, "source", "doc_id", 100).count() == 60
+
+
+def test_pq_encode_and_adc_knn(spark):
+    """PQ roundtrip on two well-separated blobs: codes have m bytes in
+    [0,k), ADC ranks a same-blob vector above cross-blob ones, and the
+    whole path is deterministic."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    # blob A around (1,1,0,0), blob B around (0,0,1,1); 8 dims = 4+4
+    def vec(base, i):
+        eps = 0.01 * i
+        return [b + eps for b in base] * 2  # dim 8
+
+    a_base, b_base = [1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0]
+    rows = [(i, vec(a_base, i)) for i in range(10)] + [
+        (100 + i, vec(b_base, i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, dim=8, m=2, k=4, iterations=2)
+    enc = pq_encode(df, books, dim=8)
+    codes = {r["vec_id"]: list(r["code"]) for r in enc.select("vec_id", "code").collect()}
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in codes.values())
+    # same-blob vectors share codes; cross-blob vectors don't
+    assert codes[0] == codes[1]
+    assert codes[0] != codes[100]
+
+    got = [r["vec_id"] for r in knn_pq(enc, books, vec(a_base, 0), k=5).collect()]
+    assert len(got) == 5
+    assert all(g < 100 for g in got), got  # all hits from blob A
+    again = [r["vec_id"] for r in knn_pq(enc, books, vec(a_base, 0), k=5).collect()]
+    assert got == again
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_codebooks(df, dim=8, m=3)

@@ -218,3 +218,52 @@ def test_canonicalize_and_graph(spark):
     vrows = {r["id"]: r["label"] for r in verts.collect()}
     assert vrows["Tiziano"] == "Person"
     assert vrows["Ritratto"] == "Artwork"
+
+
+def test_http_chat_extractor_hermetic():
+    """The concrete chat-completions extractor, with an injected
+    transport: parses triplets from a prose-wrapped reply, retries once
+    on a rate-limit error (server-directed wait honored via fake sleep),
+    and returns [] on malformed response bodies."""
+    import json as _json
+
+    from big_data___knowledge_graph_construction_with_llm_spark.llm_client import http_chat_extractor
+
+    calls = []
+
+    class RateLimitError(Exception):
+        pass
+
+    def flaky_transport(payload):
+        calls.append(payload)
+        if len(calls) == 1:
+            raise RateLimitError("Please try again in 0m0.01s")
+        content = (
+            'Sure! {"subject": "Tiziano", "relation": "created", '
+            '"object": "Ritratto"} hope that helps'
+        )
+        return _json.dumps(
+            {"choices": [{"message": {"content": content}}]}
+        )
+
+    ex = http_chat_extractor(
+        "http://unit.test/v1/chat/completions",
+        model="test-model",
+        prompt="Extract triplets as JSON:",
+        transport=flaky_transport,
+    )
+    got = ex('{"id": 1, "Autore": "Tiziano"}')
+    assert got == [
+        {"subject": "Tiziano", "relation": "created", "object": "Ritratto"}
+    ]
+    assert len(calls) == 2  # one rate-limited attempt + one success
+    assert calls[1]["temperature"] == 0
+    assert "Autore" in calls[1]["messages"][0]["content"]
+
+    def broken_transport(payload):
+        return '{"unexpected": "shape"}'
+
+    ex2 = http_chat_extractor(
+        "http://unit.test", model="m", prompt="p", transport=broken_transport
+    )
+    assert ex2('{"id": 2}') == []
