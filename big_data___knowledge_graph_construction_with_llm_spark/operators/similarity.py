@@ -433,6 +433,11 @@ def pq_codebooks(
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     if k > 256:
         raise ValueError("k > 256 codes don't fit the tinyint PQ code")
+    # one-row probe: a wrong dim would silently slice-truncate every
+    # vector (training is offline, so the tiny job is free)
+    probe = vectors.select(F.size(vec_col).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(f"vectors have {probe['n']} dims, dim={dim} given")
     sub_dim = dim // m
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")

@@ -156,3 +156,26 @@ def test_decontaminate_is_cross_dataset_only(spark):
     assert "< 0)" in p, p
     assert ">= 0)" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_pq_encode_is_map_only_and_adc_avoids_global_sort(spark):
+    """PQ: byte-encoding must be a pure projection (no Exchange, no join
+    — same contract as IVF assignment), and the ADC top-k must compile
+    to TakeOrdered (per-partition k-selection + driver merge), never a
+    full global Sort of the corpus."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    vecs = load(spark, SF_DIR, "embeddings").filter("vec_id != 0")
+    books = pq_codebooks(vecs, dim=64, m=4, k=4, iterations=1)
+    enc = pq_encode(vecs, books, dim=64)
+    p = plan_text(enc)
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    q = plan_text(knn_pq(enc, books, [0.0] * 64, k=5))
+    assert "TakeOrdered" in q, q
+    assert "Join" not in q, q
