@@ -38,10 +38,17 @@ def parse_server_wait(message: str) -> float | None:
 
 def default_is_rate_limit(exc: BaseException) -> bool:
     """Duck-typed rate-limit check: the provider SDK's exception class
-    name, or an HTTP 429 status attribute — no SDK import required."""
+    name, or an HTTP 429 status attribute — no SDK import required.
+    Checks ``status_code`` (most SDKs), ``code`` and ``status`` (stdlib
+    ``urllib.error.HTTPError``, as raised by ``http_chat_extractor``'s
+    default transport)."""
     if type(exc).__name__ == "RateLimitError":
         return True
-    return getattr(exc, "status_code", None) == 429
+    return 429 in (
+        getattr(exc, "status_code", None),
+        getattr(exc, "code", None),
+        getattr(exc, "status", None),
+    )
 
 
 async def call_with_retry(

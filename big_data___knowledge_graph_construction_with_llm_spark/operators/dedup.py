@@ -267,6 +267,7 @@ def decontaminate(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    validate_ids: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: drop corpus docs whose n-gram Jaccard
     with ANY benchmark doc reaches ``threshold`` — the standard eval-leak
@@ -282,20 +283,26 @@ def decontaminate(
     re-shingling a few thousand suspects), then a left-anti join drops
     confirmed leaks. Corpus text never shuffles: signatures and ids do.
 
-    Requires non-negative corpus ids (raises on the first negative one
-    found): benchmark rows are assigned ids in a disjoint strictly-
-    negative range so the pair columns stay id-typed.
+    Requires non-negative corpus ids: benchmark rows are assigned ids in
+    a disjoint strictly-negative range so the pair columns stay id-typed.
+    ``validate_ids=True`` (default) enforces that with one column-pruned
+    ``min(id)`` pass over the corpus — an honest extra job; pass False
+    when the ids are known-valid (e.g. produced by this pipeline) to
+    skip it.
     """
     corpus = docs.select(F.col(id_col), F.col(text_col))
     # a negative corpus id would masquerade as a benchmark row: it would
-    # never be leak-checked AND could false-drop real corpus docs. The
-    # probe short-circuits (limit 1), so it is a cheap scan prefix in the
-    # common all-valid case and a loud failure otherwise.
-    if corpus.filter(F.col(id_col) < 0).limit(1).count():
-        raise ValueError(
-            f"decontaminate requires non-negative corpus ids in {id_col!r}: "
-            "negative ids collide with the synthetic benchmark id range"
-        )
+    # never be leak-checked AND could false-drop real corpus docs. It
+    # cannot be detected downstream (the banded frame distinguishes the
+    # two sides BY SIGN), hence this up-front aggregation — a scan of the
+    # id column only (parquet reads one column), not of the text.
+    if validate_ids:
+        row = docs.agg(F.min(F.col(id_col)).alias("m")).first()
+        if row is not None and row["m"] is not None and row["m"] < 0:
+            raise ValueError(
+                f"decontaminate requires non-negative corpus ids in {id_col!r}: "
+                "negative ids collide with the synthetic benchmark id range"
+            )
     # strictly negative synthetic ids: pmod ∈ [0, 2^62) → negate(+1)
     bench = benchmark.select(
         (-(F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 62)) + 1)).alias(id_col),
@@ -303,21 +310,26 @@ def decontaminate(
     )
     both_docs = corpus.unionByName(bench)
     # ONE signature pipeline over the union (one codegen unit, one pass),
-    # materialized because both join sides filter from it. The skew cap
+    # materialized HERE — before the cap split — because everything below
+    # (cap sides, oversize census, blind-spot count, candidate join)
+    # derives from it; materializing a derived frame instead would
+    # re-run the shingle+hash pass once per consumer. The skew cap
     # counts and drops CORPUS rows only: benchmark rows are few and
     # exempt — capping them would silently blind the leak check for
     # every doc in that bucket (a recall loss that matters more in a
     # safety filter than in dedup). If a benchmark row lands in a capped
     # bucket its corpus partners are gone, so warn loudly.
-    raw_banded = _banded(
-        minhash_signatures(
-            both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
-        ),
-        num_hashes,
-        bands,
+    raw_banded = materialize(
+        _banded(
+            minhash_signatures(
+                both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
+            ),
+            num_hashes,
+            bands,
+        )
     )
     if max_bucket is None:
-        banded = materialize(raw_banded)
+        banded = raw_banded
     else:
         corpus_side = raw_banded.filter(F.col("_id") >= 0)
         bench_side = raw_banded.filter(F.col("_id") < 0)
@@ -328,7 +340,9 @@ def decontaminate(
             .select("band", "bucket")
         )
         capped = corpus_side.join(F.broadcast(oversize), ["band", "bucket"], "left_anti")
-        banded = materialize(capped.unionByName(bench_side))
+        # cheap lineage over the materialized raw_banded — consumers that
+        # scan it twice only repeat the filter+anti-join, not signatures
+        banded = capped.unionByName(bench_side)
         n_blind = (
             bench_side.join(F.broadcast(oversize), ["band", "bucket"], "left_semi")
             .select("_id")

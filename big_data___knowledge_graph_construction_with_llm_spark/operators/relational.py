@@ -170,6 +170,12 @@ def sessionize(
     same algorithm works unchanged at any scale because session state never
     leaves the partition. (Streaming twin: ``session_window`` in
     ``streaming/events.py``.)
+
+    TIMESTAMP_NTZ caveat: NTZ inputs are interpreted in the session time
+    zone. With a UTC session zone (this engine's default, ``session.py``)
+    wall-clock differences are exact; under a DST-observing session zone
+    an NTZ gap that spans a transition is off by the DST shift — pin the
+    session zone to UTC (or pass LTZ timestamps) for correct splits.
     """
     w = Window.partitionBy(key).orderBy(ts)
     gap_s = gap_minutes * 60

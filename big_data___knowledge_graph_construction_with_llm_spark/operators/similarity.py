@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -173,12 +175,12 @@ def ivf_centroids(
     assigned = v.withColumn("cluster", F.pmod(F.xxhash64(F.col("_id")), F.lit(k)))
     centroids = None
     for _ in range(iterations):
-        # localCheckpoint: computed once here, reused by the collect below
-        # AND by whatever the caller does with the returned frame
-        centroids = _cluster_means(assigned).localCheckpoint()
+        # pluggable lineage cut (materialize seam): computed once here,
+        # reused by the collect below AND by the caller
+        centroids = materialize(_cluster_means(assigned))
         cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
         assigned = v.withColumn("cluster", nearest_cluster(F.col("_v"), cents))
-    return centroids if centroids is not None else _cluster_means(assigned).localCheckpoint()
+    return centroids if centroids is not None else materialize(_cluster_means(assigned))
 
 
 def _cluster_means(assigned: DataFrame) -> DataFrame:
@@ -475,7 +477,9 @@ def pq_codebooks(
 
     books = None
     for _ in range(iterations):
-        books = _means(assigned).localCheckpoint()
+        # pluggable lineage cut (materialize seam): computed once here,
+        # reused by the collect below AND by the caller
+        books = materialize(_means(assigned))
         per_sub: dict[int, list] = {}
         for r in books.collect():
             per_sub.setdefault(r["subspace"], []).append(
@@ -486,7 +490,7 @@ def pq_codebooks(
             e = nearest_cluster(F.col("_v"), per_sub[s])
             expr = e if expr is None else F.when(F.col("subspace") == s, e).otherwise(expr)
         assigned = rows.withColumn("cluster", expr)
-    return books if books is not None else _means(assigned).localCheckpoint()
+    return books if books is not None else materialize(_means(assigned))
 
 
 def pq_encode(
@@ -509,6 +513,12 @@ def pq_encode(
             (r["cluster"], list(r["centroid"]))
         )
     m = len(per_sub)
+    book_sub_dim = len(per_sub[0][0][1])
+    if dim != m * book_sub_dim:
+        raise ValueError(
+            f"dim={dim} disagrees with the codebooks "
+            f"({m} subspaces × {book_sub_dim} dims)"
+        )
     sub_dim = dim // m
     v = F.col(vec_col).cast("array<double>")
     code = F.array(
@@ -544,6 +554,13 @@ def knn_pq(
         per_sub.setdefault(r["subspace"], {})[r["cluster"]] = list(r["centroid"])
         n_codes = max(n_codes, r["cluster"] + 1)
     m = len(per_sub)
+    book_sub_dim = len(next(iter(per_sub[0].values())))
+    if len(query) != m * book_sub_dim:
+        # zip() would silently truncate and return plausible wrong top-k
+        raise ValueError(
+            f"query has {len(query)} dims, codebooks expect "
+            f"{m} × {book_sub_dim} = {m * book_sub_dim}"
+        )
     sub_dim = len(query) // m
     lut: list[list[float]] = []
     for s in range(m):

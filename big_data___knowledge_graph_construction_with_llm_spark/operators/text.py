@@ -129,7 +129,7 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
 
 def redact_pii(col: Column | str, replacement: str = "[PII]") -> Column:
     """Replace every PII match with ``replacement`` (category order
-    email → phone → ipv4 so composite strings redact deterministically).
+    email → ipv4 → phone so composite strings redact deterministically).
     The replacement token contains no digits/@, so later patterns cannot
     re-match inside an earlier redaction."""
     c = F.col(col) if isinstance(col, str) else col

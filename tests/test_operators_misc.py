@@ -475,3 +475,25 @@ def test_pq_encode_and_adc_knn(spark):
 
     with pytest.raises(ValueError):
         pq_codebooks(df, dim=8, m=3)
+
+
+def test_pq_dim_validation(spark):
+    """Mismatched query/encode dims raise instead of silently truncating
+    the ADC distance sums."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [(i, [float(i % 3)] * 8) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, dim=8, m=2, k=4, iterations=1)
+    with pytest.raises(ValueError, match="codebooks expect"):
+        knn_pq(pq_encode(df, books, dim=8), books, [0.0] * 6, k=3)
+    with pytest.raises(ValueError, match="disagrees with the codebooks"):
+        pq_encode(df, books, dim=6)
+    with pytest.raises(ValueError, match="dims"):
+        pq_codebooks(df, dim=16, m=2)  # vectors are 8-dim

@@ -267,3 +267,19 @@ def test_http_chat_extractor_hermetic():
         "http://unit.test", model="m", prompt="p", transport=broken_transport
     )
     assert ex2('{"id": 2}') == []
+
+
+def test_default_is_rate_limit_recognizes_urllib_429():
+    """The default transport raises urllib HTTPError on 429 — the retry
+    gate must recognize it (it carries `code`/`status`, not
+    `status_code`), and must not treat other statuses as rate limits."""
+    import urllib.error
+
+    from big_data___knowledge_graph_construction_with_llm_spark.llm_client import default_is_rate_limit
+
+    assert default_is_rate_limit(
+        urllib.error.HTTPError("http://x", 429, "Too Many Requests", {}, None)
+    )
+    assert not default_is_rate_limit(
+        urllib.error.HTTPError("http://x", 500, "Server Error", {}, None)
+    )
