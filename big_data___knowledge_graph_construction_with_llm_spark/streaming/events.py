@@ -131,3 +131,46 @@ def write_foreach_batch(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def curate_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    watermark: str = "1 hour",
+    redact: bool = True,
+) -> DataFrame:
+    """Streaming ingest curation: the stateless/bounded-state prefix of
+    ``operators.curation.curate`` applied to a document STREAM — quality
+    band-pass (pure expressions, per-row), watermarked exact dedup on
+    the content hash (bounded state via
+    ``dropDuplicatesWithinWatermark``), then PII redaction. Near-dedup /
+    decontamination are corpus-global and stay batch jobs over the
+    landed data — this split (cheap gates at ingest, global passes
+    offline) is how a 100 TB pipeline actually runs: the stream shrinks
+    the data before it ever lands, the batch pass owns cross-document
+    decisions.
+
+    The content hash dedups identical re-deliveries (at-least-once
+    sources) and verbatim duplicates inside the watermark horizon;
+    redaction runs LAST, mirroring the batch ``curate(redact=True)``
+    ordering, so dedup sees the original text.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
+
+    toks = T.token_count(text_col)
+    gated = docs.filter(toks.between(min_tokens, max_tokens))
+    hashed = gated.withColumn("_h", F.xxhash64(text_col)).withColumn(
+        "_m", F.md5(text_col)
+    )
+    deduped = (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h", "_m"])
+        .drop("_h", "_m")
+    )
+    if redact:
+        deduped = deduped.withColumn(text_col, T.redact_pii(text_col))
+    return deduped

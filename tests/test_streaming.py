@@ -229,3 +229,34 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # clicks 1 (00:01) and 2 (00:04); user 2 purchase at 00:50 is 37 min
     # after click 4 (00:13) → outside the interval
     assert got == [(10, 1), (10, 2)]
+
+
+def test_curate_stream_gates_dedups_redacts(spark, tmp_path):
+    """Streaming ingest curation: quality gate drops the short doc,
+    content-hash dedup collapses the re-delivered doc, redaction rewrites
+    PII — and the output matches the batch operators on the same rows."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import curate_stream
+
+    docs = [
+        {"doc_id": 1, "ts": "2024-01-01T00:01:00Z",
+         "text": "a long enough document mentioning user1@example.com for the gate"},
+        {"doc_id": 1, "ts": "2024-01-01T00:01:00Z",
+         "text": "a long enough document mentioning user1@example.com for the gate"},  # redelivery
+        {"doc_id": 2, "ts": "2024-01-01T00:02:00Z", "text": "too short"},
+        {"doc_id": 3, "ts": "2024-01-01T00:03:00Z",
+         "text": "another distinct and sufficiently verbose document with no private data"},
+    ]
+    src = tmp_path / "docs-in"
+    src.mkdir()
+    (src / "part-0.json").write_text("\n".join(json.dumps(d) for d in docs))
+    stream = spark.readStream.schema("doc_id bigint, ts timestamp, text string").json(
+        str(src)
+    )
+    out = curate_stream(stream, min_tokens=5)
+    assert out.isStreaming
+    _run_to_memory(out, "curated", tmp_path, "append")
+    rows = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM curated").collect()}
+    assert sorted(rows) == [1, 3]  # short doc gated, redelivery deduped
+    assert "user1@example.com" not in rows[1]
+    assert "[PII]" in rows[1]
+    assert rows[3].startswith("another distinct")
