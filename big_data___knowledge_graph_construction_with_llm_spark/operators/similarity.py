@@ -594,3 +594,35 @@ def knn_pq(
         .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def knn_ivf_pq(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: the FAISS workhorse composition — probe the ``n_probe``
+    nearest coarse clusters (partition pruning when the index is written
+    ``partitionBy("cluster")``), then rank by PQ asymmetric distance
+    inside them. The query-time scan reads ~``n_probe/k_coarse`` of the
+    files and touches only the m-byte ``code`` column — at 100 TB that
+    is the difference between an ANN query and a batch job.
+
+    ``index`` is an ``ivf_index`` table that also carries a ``code``
+    column (``pq_encode`` composed over it at build time). Exact
+    re-ranking of the shortlist composes via :func:`knn_brute_force` on
+    the surviving ids.
+    """
+    cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
+
+    def _d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query, c))
+
+    probe_ids = [c for c, _ in sorted(cents, key=lambda t: _d2(t[1]))[:n_probe]]
+    return knn_pq(
+        index.filter(F.col("cluster").isin(probe_ids)), codebooks, query, k, id_col
+    )

@@ -497,3 +497,35 @@ def test_pq_dim_validation(spark):
         pq_encode(df, books, dim=6)
     with pytest.raises(ValueError, match="dims"):
         pq_codebooks(df, dim=16, m=2)  # vectors are 8-dim
+
+
+def test_knn_ivf_pq_composition(spark):
+    """IVF-PQ: coarse probe + ADC ranking returns same-blob neighbors
+    and agrees with plain PQ on an easy dataset."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        knn_ivf_pq,
+        knn_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    def vec(base, i):
+        return [b + 0.01 * i for b in base] * 2
+
+    a_base, b_base = [1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0]
+    rows = [(i, vec(a_base, i)) for i in range(10)] + [
+        (100 + i, vec(b_base, i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_centroids(df, k=2, iterations=2)
+    books = pq_codebooks(df, dim=8, m=2, k=4, iterations=2)
+    index = pq_encode(ivf_index(df, cents), books, dim=8)
+    q = vec(a_base, 0)
+    got = [r["vec_id"] for r in knn_ivf_pq(index, cents, books, q, k=5, n_probe=1).collect()]
+    assert len(got) == 5 and all(g < 100 for g in got), got
+    # with all clusters probed, IVF-PQ degenerates to exact PQ ranking
+    full = [r["vec_id"] for r in knn_ivf_pq(index, cents, books, q, k=5, n_probe=2).collect()]
+    plain = [r["vec_id"] for r in knn_pq(index, books, q, k=5).collect()]
+    assert full == plain

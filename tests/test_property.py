@@ -184,3 +184,68 @@ def test_tolerant_parse_repairs_and_scrapes(spark):
     assert out[1]["k"] == 2
     assert out[2]["k"] == 4
     assert out[3] is None or out[3]["k"] is None
+
+
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"),
+                whitelist_characters=" .-_@+",
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_redact_pii_idempotent_and_clean(spark, vals):
+    """Laws: redaction is idempotent (the [PII] token can never re-match
+    any pattern), and redacted text contains no detectable PII."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    once = redact_pii("s")
+    out = df.select(
+        once.alias("r1"), redact_pii(once).alias("r2")
+    )
+    c = pii_counts(F.col("r1"))
+    out = out.select(
+        "r1", "r2", (c["email"] + c["phone"] + c["ipv4"]).alias("n_left")
+    )
+    for r in out.collect():
+        assert r["r1"] == r["r2"]
+        assert r["n_left"] == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_laws(spark, rows, n):
+    """Laws: output ⊆ input, ≤ n rows per stratum (== n when the stratum
+    has ≥ n rows), and determinism."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(rows, "id int, s string")
+    out = stratified_sample(df, "s", "id", n)
+    got = [(r["id"], r["s"]) for r in out.collect()]
+    assert set(got) <= set(rows)
+    from collections import Counter
+
+    per = Counter(s for _, s in got)
+    full = Counter(s for _, s in rows)
+    for stratum, total in full.items():
+        assert per[stratum] == min(n, total)
+    again = [(r["id"], r["s"]) for r in stratified_sample(df, "s", "id", n).collect()]
+    assert sorted(got) == sorted(again)
