@@ -263,3 +263,41 @@ def repetition_features(
         )
     )
     return base.join(bg, id_col, "left").na.fill({"top_bigram_frac": 0.0})
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame | None = None
+) -> DataFrame:
+    """Per-document mean surprisal under a corpus unigram LM with
+    add-one smoothing — the statistical quality signal of the
+    CCNet/KenLM family (docs whose tokens are improbable under the
+    corpus distribution are junk or out-of-domain; a full deployment
+    swaps in a real KenLM behind the same per-token-logprob join).
+
+    ``p(t) = (count(t) + 1) / (N + V)``; returns
+    ``(id, n_tokens, mean_nll)`` with ``mean_nll = -mean(ln p(t))``
+    rounded to 6 dp. Pass a precomputed ``vocab`` (``term, n`` — e.g.
+    from a reference corpus) to score against a FIXED model; otherwise
+    the input corpus itself is the model (two passes over the exploded
+    tokens, shuffles carry ``(term, count)`` and ``(id, term)`` — never
+    document text). The term→logprob table is vocabulary-sized, so
+    Catalyst/AQE broadcasts the scoring join at any realistic scale.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    if vocab is None:
+        vocab = toks.groupBy("term").agg(F.count("*").alias("n"))
+    totals = vocab.agg(
+        F.sum("n").alias("N"), F.count("*").alias("V")
+    ).first()
+    n_total, v_size = int(totals["N"] or 0), int(totals["V"] or 0)
+    denom = float(n_total + v_size)
+    logp = F.log((F.coalesce(F.col("n"), F.lit(0)) + 1) / F.lit(denom))
+    return (
+        toks.join(vocab, "term", "left")  # OOV terms get the +1 floor
+        .select(F.col(id_col), logp.alias("_lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg("_lp"), 6).alias("mean_nll"),
+        )
+    )

@@ -529,3 +529,34 @@ def test_knn_ivf_pq_composition(spark):
     full = [r["vec_id"] for r in knn_ivf_pq(index, cents, books, q, k=5, n_probe=2).collect()]
     plain = [r["vec_id"] for r in knn_pq(index, books, q, k=5).collect()]
     assert full == plain
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """2-doc corpus with hand-computed add-one unigram NLLs; rare-token
+    docs score higher; a fixed external vocab scores OOV at the floor."""
+    import math
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    # corpus counts: a=2, b=1, c=1; N=4, V=3, denom=7
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+        for r in unigram_surprisal(df, "doc_id", "text").collect()
+    }
+    nll = lambda c: -math.log((c + 1) / 7.0)  # noqa: E731
+    assert got[1][0] == 3
+    assert abs(got[1][1] - round((2 * nll(2) + nll(1)) / 3, 6)) < 1e-9
+    assert abs(got[2][1] - round(nll(1), 6)) < 1e-9
+    assert got[2][1] > got[1][1]  # rarer tokens -> more surprising
+
+    # fixed external vocab: 'z' is OOV -> add-one floor
+    vocab = spark.createDataFrame([("a", 9)], "term string, n long")
+    ext = {
+        r["doc_id"]: r["mean_nll"]
+        for r in unigram_surprisal(df, "doc_id", "text", vocab=vocab).collect()
+    }
+    floor = -math.log(1 / 10.0)  # N=9, V=1, denom=10
+    assert abs(ext[2] - round(floor, 6)) < 1e-9
