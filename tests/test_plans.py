@@ -179,3 +179,34 @@ def test_pq_encode_is_map_only_and_adc_avoids_global_sort(spark):
     q = plan_text(knn_pq(enc, books, [0.0] * 64, k=5))
     assert "TakeOrdered" in q, q
     assert "Join" not in q, q
+
+
+def test_knn_ivf_pq_prunes_partitions_and_skips_vectors(spark, tmp_path):
+    """IVF-PQ against an at-rest index: the coarse probe must show up as
+    PartitionFilters on `cluster`, and the ADC scan must read ONLY the
+    id + code columns — the full embedding column staying unread is the
+    entire storage story of PQ."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index,
+        knn_ivf_pq,
+        pq_codebooks,
+        pq_encode,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    vecs = load(spark, SF_DIR, "embeddings").filter("vec_id != 0")
+    cents = ivf_centroids(vecs, k=4, iterations=1)
+    books = pq_codebooks(vecs, dim=64, m=4, k=4, iterations=1)
+    path = str(tmp_path / "ivfpq")
+    pq_encode(ivf_index(vecs, cents), books, dim=64).write.partitionBy(
+        "cluster"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    q = [0.1] * 64
+    p = plan_text(knn_ivf_pq(index, cents, books, q, k=5, n_probe=2))
+    part_line = next(ln for ln in p.splitlines() if "PartitionFilters" in ln)
+    assert "cluster" in part_line, p
+    read_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "code" in read_line, p
+    assert "embedding" not in read_line, p  # vectors never touched
