@@ -268,6 +268,24 @@ def ensure_ivf_index(
     )
 
 
+def _probe_ids(
+    cents: list[tuple[int, list[float]]], query: list[float], n_probe: int
+) -> list[int]:
+    """Driver-side coarse-probe selection shared by ``knn_ivf`` and
+    ``knn_ivf_pq``: the ``n_probe`` nearest centroid ids, ties broken by
+    cluster id (deterministic). Validates the query dimensionality —
+    ``zip`` would otherwise silently truncate and probe wrong clusters."""
+    if cents and len(query) != len(cents[0][1]):
+        raise ValueError(
+            f"query has {len(query)} dims, centroids have {len(cents[0][1])}"
+        )
+
+    def _d2(c: list[float]) -> float:
+        return sum((a - b) * (a - b) for a, b in zip(query, c))
+
+    return [c for c, _ in sorted(cents, key=lambda t: (_d2(t[1]), t[0]))[:n_probe]]
+
+
 def knn_ivf(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -288,12 +306,7 @@ def knn_ivf(
     on the corpus.
     """
     cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
-
-    def _d2(c: list[float]) -> float:
-        return sum((a - b) * (a - b) for a, b in zip(query, c))
-
-    probe = sorted(cents, key=lambda t: _d2(t[1]))[:n_probe]
-    probe_ids = [c for c, _ in probe]
+    probe_ids = _probe_ids(cents, query, n_probe)
     if "cluster" in vectors.columns:
         assigned = vectors
     else:
@@ -618,11 +631,7 @@ def knn_ivf_pq(
     the surviving ids.
     """
     cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
-
-    def _d2(c: list[float]) -> float:
-        return sum((a - b) * (a - b) for a, b in zip(query, c))
-
-    probe_ids = [c for c, _ in sorted(cents, key=lambda t: _d2(t[1]))[:n_probe]]
+    probe_ids = _probe_ids(cents, query, n_probe)
     return knn_pq(
         index.filter(F.col("cluster").isin(probe_ids)), codebooks, query, k, id_col
     )

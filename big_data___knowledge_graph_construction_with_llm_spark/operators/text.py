@@ -274,25 +274,31 @@ def unigram_surprisal(
     corpus distribution are junk or out-of-domain; a full deployment
     swaps in a real KenLM behind the same per-token-logprob join).
 
-    ``p(t) = (count(t) + 1) / (N + V)``; returns
+    ``p(t) = (count(t) + 1) / (N + V)``; returns one row per input doc
     ``(id, n_tokens, mean_nll)`` with ``mean_nll = -mean(ln p(t))``
-    rounded to 6 dp. Pass a precomputed ``vocab`` (``term, n`` — e.g.
-    from a reference corpus) to score against a FIXED model; otherwise
-    the input corpus itself is the model (two passes over the exploded
-    tokens, shuffles carry ``(term, count)`` and ``(id, term)`` — never
-    document text). The term→logprob table is vocabulary-sized, so
+    rounded to 6 dp — token-less docs (null/empty text) keep their row
+    with ``n_tokens = 0`` and a null ``mean_nll`` (surprisal of nothing
+    is undefined, not zero), so downstream filters see every doc. Pass
+    a precomputed ``vocab`` (``term, n`` — e.g. from a reference
+    corpus) to score against a FIXED model; otherwise the input corpus
+    itself is the model (the vocab aggregation is materialized through
+    the pluggable seam — it feeds both the totals fetch and the scoring
+    join). Shuffles carry ``(term, count)`` and ``(id, term)`` — never
+    document text; the term→logprob side is vocabulary-sized, so
     Catalyst/AQE broadcasts the scoring join at any realistic scale.
     """
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     if vocab is None:
-        vocab = toks.groupBy("term").agg(F.count("*").alias("n"))
+        vocab = materialize(toks.groupBy("term").agg(F.count("*").alias("n")))
     totals = vocab.agg(
         F.sum("n").alias("N"), F.count("*").alias("V")
     ).first()
     n_total, v_size = int(totals["N"] or 0), int(totals["V"] or 0)
     denom = float(n_total + v_size)
     logp = F.log((F.coalesce(F.col("n"), F.lit(0)) + 1) / F.lit(denom))
-    return (
+    scores = (
         toks.join(vocab, "term", "left")  # OOV terms get the +1 floor
         .select(F.col(id_col), logp.alias("_lp"))
         .groupBy(id_col)
@@ -300,4 +306,9 @@ def unigram_surprisal(
             F.count("*").alias("n_tokens"),
             F.round(-F.avg("_lp"), 6).alias("mean_nll"),
         )
+    )
+    return (
+        df.select(id_col)
+        .join(scores, id_col, "left")
+        .na.fill({"n_tokens": 0})
     )

@@ -163,13 +163,19 @@ def curate_stream(
 
     toks = T.token_count(text_col)
     gated = docs.filter(toks.between(min_tokens, max_tokens))
-    hashed = gated.withColumn("_h", F.xxhash64(text_col)).withColumn(
-        "_m", F.md5(text_col)
+    # hash columns get names guaranteed absent from the input, so a
+    # source that already carries e.g. an upstream `_h` fingerprint is
+    # passed through untouched rather than clobbered-and-dropped
+    h_col, m_col = "_curate_h", "_curate_m"
+    while h_col in docs.columns or m_col in docs.columns:
+        h_col, m_col = h_col + "_", m_col + "_"
+    hashed = gated.withColumns(
+        {h_col: F.xxhash64(text_col), m_col: F.md5(text_col)}
     )
     deduped = (
         hashed.withWatermark(ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["_h", "_m"])
-        .drop("_h", "_m")
+        .dropDuplicatesWithinWatermark([h_col, m_col])
+        .drop(h_col, m_col)
     )
     if redact:
         deduped = deduped.withColumn(text_col, T.redact_pii(text_col))

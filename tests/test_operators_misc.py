@@ -539,7 +539,7 @@ def test_unigram_surprisal_hand_computed(spark):
     from big_data___knowledge_graph_construction_with_llm_spark.operators.text import unigram_surprisal
 
     df = spark.createDataFrame(
-        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+        [(1, "a a b"), (2, "c"), (3, None)], "doc_id long, text string"
     )
     # corpus counts: a=2, b=1, c=1; N=4, V=3, denom=7
     got = {
@@ -551,6 +551,7 @@ def test_unigram_surprisal_hand_computed(spark):
     assert abs(got[1][1] - round((2 * nll(2) + nll(1)) / 3, 6)) < 1e-9
     assert abs(got[2][1] - round(nll(1), 6)) < 1e-9
     assert got[2][1] > got[1][1]  # rarer tokens -> more surprising
+    assert got[3] == (0, None)  # null-text doc keeps its row, null score
 
     # fixed external vocab: 'z' is OOV -> add-one floor
     vocab = spark.createDataFrame([("a", 9)], "term string, n long")
