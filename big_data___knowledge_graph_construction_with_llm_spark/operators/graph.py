@@ -85,3 +85,82 @@ def two_hop(edges: DataFrame) -> DataFrame:
             F.col("b.dst").alias("dst"),
         )
     )
+
+
+def resolve_entities(
+    vertices: DataFrame,
+    id_col: str = "id",
+    max_edit: int = 2,
+    block_fn=None,
+) -> DataFrame:
+    """Entity resolution over the vertex names: blocked fuzzy self-match
+    → connected components over the match graph → canonical (min)
+    representative per cluster. This is the deterministic version of the
+    entity merging the reference delegates to its LLM prompts (same
+    entity spelled differently lands as distinct Neo4j nodes there) —
+    "Duerer"/"Durer" collapse to one canonical id here before the graph
+    is built.
+
+    Returns ``(id, canonical)`` covering EVERY input vertex (unmatched
+    vertices map to themselves), ready to rewrite an edge list with two
+    broadcast-or-shuffle joins.
+
+    Scale shape: candidate pairs form only inside a block
+    (``block_fn(col) -> Column``, default first-lowercased-character —
+    swap in a phonetic key or minhash band for real data); verification
+    is the early-exit 3-arg ``levenshtein``; the cluster step is the
+    same bounded-iteration min-label propagation every other component
+    op uses. Names and ids shuffle; nothing quadratic in the table.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    if block_fn is None:
+        block_fn = lambda c: F.lower(F.substring(c, 1, 1))  # noqa: E731
+    names = vertices.select(F.col(id_col).alias("_n")).distinct()
+    blocked = names.withColumn("_blk", block_fn(F.col("_n")))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(
+        F.lower(F.col("a._n")), F.lower(F.col("b._n")), max_edit
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._n") < F.col("b._n")),
+        )
+        .withColumn("_d", dist)
+        .filter((F.col("_d") >= 0) & (F.col("_d") <= max_edit))
+        .select(F.col("a._n").alias("src"), F.col("b._n").alias("dst"))
+    )
+    comps = connected_components(pairs)
+    return (
+        names.join(comps, names["_n"] == comps["id"], "left")
+        .select(
+            F.col("_n").alias(id_col),
+            F.coalesce(F.col("comp"), F.col("_n")).alias("canonical"),
+        )
+    )
+
+
+def apply_canonical(
+    edges: DataFrame, mapping: DataFrame, cols: tuple[str, ...] = ("src", "dst")
+) -> DataFrame:
+    """Rewrite an edge list through a ``resolve_entities`` mapping: each
+    endpoint column is replaced by its canonical id (unmapped endpoints
+    pass through). One join per endpoint column; the mapping is
+    (distinct-entity)-sized, so Catalyst/AQE broadcasts it when it fits
+    — at larger scales both joins shuffle on the endpoint key, which
+    bucketing the edge table co-locates."""
+    out = edges
+    for c in cols:
+        m = mapping.select(
+            F.col("id").alias(c), F.col("canonical").alias(f"_canon_{c}")
+        )
+        out = (
+            out.join(m, c, "left")
+            .withColumn(c, F.coalesce(F.col(f"_canon_{c}"), F.col(c)))
+            .drop(f"_canon_{c}")
+        )
+    return out

@@ -165,3 +165,51 @@ def test_k_core_peels_to_triangle(spark):
 
     with pytest.raises(ValueError):
         k_core(e, k=0)
+
+
+def test_resolve_entities_clusters_and_covers_all(spark):
+    """Near-identical names collapse to the min representative; distinct
+    names map to themselves; chains resolve through CC (A~B~C with A,C
+    not directly within the edit bound)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import resolve_entities
+
+    rows = [
+        ("Albrecht Duerer",),
+        ("Albrecht Durer",),     # edit 1 of Duerer
+        ("Albrecht Durero",),    # edit 1 of Durer, edit 2 of Duerer
+        ("Tiziano",),
+        ("tiziano",),            # case-insensitive edit 0
+        ("Rembrandt",),
+    ]
+    df = spark.createDataFrame(rows, "id string")
+    got = {r["id"]: r["canonical"] for r in resolve_entities(df, max_edit=1).collect()}
+    # chain resolves into ONE cluster via CC even though ends are edit-2 apart
+    assert (
+        got["Albrecht Duerer"] == got["Albrecht Durer"] == got["Albrecht Durero"]
+        == "Albrecht Duerer"
+    )
+    assert got["Tiziano"] == got["tiziano"] == "Tiziano"
+    assert got["Rembrandt"] == "Rembrandt"  # unmatched -> itself
+
+
+def test_apply_canonical_rewrites_edges(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import (
+        apply_canonical,
+        resolve_entities,
+    )
+
+    edges = spark.createDataFrame(
+        [("Albrecht Durer", "Melencolia I", "created"),
+         ("Albrecht Duerer", "Rhinoceros", "created"),
+         ("Rembrandt", "Night Watch", "created")],
+        "src string, dst string, relationship string",
+    )
+    verts = edges.select(F.col("src").alias("id")).union(
+        edges.select("dst")
+    ).distinct()
+    mapping = resolve_entities(verts, max_edit=1)
+    out = {(r["src"], r["dst"]) for r in apply_canonical(edges, mapping).collect()}
+    # both Duerer spellings now share one canonical source id
+    assert ("Albrecht Duerer", "Melencolia I") in out
+    assert ("Albrecht Duerer", "Rhinoceros") in out
+    assert ("Rembrandt", "Night Watch") in out
