@@ -53,6 +53,21 @@ def sanitize_identifier(name: str, default: str = "Entity") -> str:
     return cleaned
 
 
+def sanitize_identifier_col(col, default: str = "Entity"):
+    """Column-expression twin of :func:`sanitize_identifier` (identical
+    semantics, asserted by a shared unit test) — JVM-side so distributed
+    exports never pay a per-row Python round-trip."""
+    from pyspark.sql import functions as F
+
+    cleaned = F.regexp_replace(
+        F.trim(F.coalesce(col, F.lit(""))), "[^A-Za-z0-9_]", ""
+    )
+    prefixed = F.when(
+        cleaned.rlike("^[0-9]"), F.concat(F.lit("_"), cleaned)
+    ).otherwise(cleaned)
+    return F.when(prefixed == "", F.lit(default)).otherwise(prefixed)
+
+
 def merge_nodes_cypher(label: str) -> str:
     """Batched node upsert for one (sanitized) label group."""
     lbl = sanitize_identifier(label)
@@ -140,3 +155,49 @@ def write_graph(
             driver.close()
 
     edges.foreachPartition(_write_partition)
+
+
+def export_neo4j_bulk_csv(
+    vertices: DataFrame, edges: DataFrame, path: str
+) -> None:
+    """Export the graph in ``neo4j-admin database import`` CSV layout —
+    the bulk path for graphs too large for transactional MERGE (the
+    bolt sink above upserts ~10⁴ rows/s/connection; admin import loads
+    ~10⁶/s offline, which at a 100 TB-corpus graph is the only viable
+    initial load; the MERGE sink remains the incremental-update path).
+
+    Layout written (one directory per file role, Spark-partitioned CSV
+    so the export itself is distributed):
+
+    - ``{path}/nodes/``  with header ``name:ID,label:LABEL``
+    - ``{path}/rels/``   with header ``:START_ID,:END_ID,:TYPE``
+
+    Labels/types go through ``sanitize_identifier_col`` (the expression
+    twin of ``sanitize_identifier`` — JVM-side, no Python in the export
+    path) — same injection discipline as the Cypher path. Load with::
+
+        neo4j-admin database import full --nodes=nodes/ --relationships=rels/ ...
+    """
+    from pyspark.sql import functions as F
+
+    (
+        vertices.select(
+            F.col("id").alias("name:ID"),
+            sanitize_identifier_col(F.col("label")).alias("label:LABEL"),
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(f"{path.rstrip('/')}/nodes")
+    )
+    (
+        edges.select(
+            F.col("src").alias(":START_ID"),
+            F.col("dst").alias(":END_ID"),
+            sanitize_identifier_col(F.col("relationship")).alias(":TYPE"),
+        )
+        .distinct()
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(f"{path.rstrip('/')}/rels")
+    )

@@ -152,3 +152,57 @@ def test_write_graph_requires_uri_or_factory(spark):
     )
     with pytest.raises((NotImplementedError, ValueError)):
         neo4j_sink.write_graph(edges)
+
+
+def test_sanitize_identifier_col_matches_python(spark):
+    """The expression twin must agree with sanitize_identifier on every
+    edge case the Python version handles."""
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.neo4j_sink import (
+        sanitize_identifier,
+        sanitize_identifier_col,
+    )
+
+    cases = ["Artist", "oil painting", "3dmodel", "", None, "a-b.c", "  x  ", "__ok__", "é$ü"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["o"] for r in df.select(sanitize_identifier_col(F.col("s")).alias("o")).collect()]
+    want = [sanitize_identifier(c or "") for c in cases]
+    assert got == want
+
+
+def test_export_neo4j_bulk_csv_layout(spark, tmp_path):
+    """Bulk-import CSVs carry the admin-import headers, sanitized
+    labels/types, and deduplicated rows."""
+    import csv
+    import glob
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.neo4j_sink import export_neo4j_bulk_csv
+
+    verts = spark.createDataFrame(
+        [("Tiziano", "Person"), ("Venezia", "art city"), ("Tiziano", "Person")],
+        "id string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("Tiziano", "Venezia", "born-in"), ("Tiziano", "Venezia", "born-in")],
+        "src string, dst string, relationship string",
+    )
+    out = str(tmp_path / "bulk")
+    export_neo4j_bulk_csv(verts, edges, out)
+
+    def read_all(subdir):
+        rows = []
+        header = None
+        for f in sorted(glob.glob(f"{out}/{subdir}/part-*.csv")):
+            with open(f) as fh:
+                r = list(csv.reader(fh))
+                header = r[0]
+                rows.extend(r[1:])
+        return header, sorted(rows)
+
+    h, rows = read_all("nodes")
+    assert h == ["name:ID", "label:LABEL"]
+    assert rows == [["Tiziano", "Person"], ["Venezia", "artcity"]]
+    h, rows = read_all("rels")
+    assert h == [":START_ID", ":END_ID", ":TYPE"]
+    assert rows == [["Tiziano", "Venezia", "bornin"]]
