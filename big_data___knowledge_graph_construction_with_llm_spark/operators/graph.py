@@ -92,6 +92,8 @@ def resolve_entities(
     id_col: str = "id",
     max_edit: int = 2,
     block_fn=None,
+    max_iter: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Entity resolution over the vertex names: blocked fuzzy self-match
     → connected components over the match graph → canonical (min)
@@ -111,6 +113,11 @@ def resolve_entities(
     is the early-exit 3-arg ``levenshtein``; the cluster step is the
     same bounded-iteration min-label propagation every other component
     op uses. Names and ids shuffle; nothing quadratic in the table.
+
+    ``max_iter``/``strict`` pass through to ``connected_components``:
+    a similarity chain longer than ``max_iter`` would otherwise resolve
+    one logical cluster to several canonicals with only a logged
+    warning — ``strict=True`` makes that a hard error.
     """
     from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
         connected_components,
@@ -134,7 +141,7 @@ def resolve_entities(
         .filter((F.col("_d") >= 0) & (F.col("_d") <= max_edit))
         .select(F.col("a._n").alias("src"), F.col("b._n").alias("dst"))
     )
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, max_iter=max_iter, strict=strict)
     return (
         names.join(comps, names["_n"] == comps["id"], "left")
         .select(

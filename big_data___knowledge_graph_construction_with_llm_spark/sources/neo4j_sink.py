@@ -166,38 +166,60 @@ def export_neo4j_bulk_csv(
     ~10⁶/s offline, which at a 100 TB-corpus graph is the only viable
     initial load; the MERGE sink remains the incremental-update path).
 
-    Layout written (one directory per file role, Spark-partitioned CSV
-    so the export itself is distributed):
+    Layout written (header as its OWN single-line file — neo4j-admin
+    treats only the first line of the first file in a group as a
+    header, so per-part-file headers would be ingested as data rows):
 
-    - ``{path}/nodes/``  with header ``name:ID,label:LABEL``
-    - ``{path}/rels/``   with header ``:START_ID,:END_ID,:TYPE``
+    - ``{path}/nodes_header.csv`` + ``{path}/nodes/part-*.csv`` —
+      ``name:ID,label:LABEL``; ONE row per node id, multiple labels
+      joined with ``;`` (the admin-import multi-label convention —
+      emitting one row per (id, label) would abort on duplicate ids)
+    - ``{path}/rels_header.csv`` + ``{path}/rels/part-*.csv`` —
+      ``:START_ID,:END_ID,:TYPE``
 
-    Labels/types go through ``sanitize_identifier_col`` (the expression
-    twin of ``sanitize_identifier`` — JVM-side, no Python in the export
-    path) — same injection discipline as the Cypher path. Load with::
+    Quoting is RFC4180 (doubled quotes, ``escape='"'``) — Spark's
+    default backslash escaping mis-parses under neo4j-admin. Types
+    default to ``RELATED`` (same fallback as ``merge_edges_cypher``, so
+    a bulk load + incremental MERGEs agree); labels default to
+    ``Entity``. All sanitization is ``sanitize_identifier_col`` —
+    JVM-side, no per-row Python. Load with::
 
-        neo4j-admin database import full --nodes=nodes/ --relationships=rels/ ...
+        neo4j-admin database import full \\
+          --nodes "nodes_header.csv,nodes/part-.*" \\
+          --relationships "rels_header.csv,rels/part-.*" ...
     """
+    import os
+
     from pyspark.sql import functions as F
 
+    root = path.rstrip("/")
+    csv_opts = {"header": False, "escape": '"'}
     (
         vertices.select(
-            F.col("id").alias("name:ID"),
-            sanitize_identifier_col(F.col("label")).alias("label:LABEL"),
+            F.col("id").alias("name"),
+            sanitize_identifier_col(F.col("label")).alias("_lbl"),
         )
-        .distinct()
+        .groupBy("name")
+        .agg(F.array_join(F.sort_array(F.collect_set("_lbl")), ";").alias("labels"))
         .write.mode("overwrite")
-        .option("header", True)
-        .csv(f"{path.rstrip('/')}/nodes")
+        .options(**csv_opts)
+        .csv(f"{root}/nodes")
     )
     (
         edges.select(
-            F.col("src").alias(":START_ID"),
-            F.col("dst").alias(":END_ID"),
-            sanitize_identifier_col(F.col("relationship")).alias(":TYPE"),
+            F.col("src"),
+            F.col("dst"),
+            sanitize_identifier_col(
+                F.col("relationship"), default="RELATED"
+            ).alias("type"),
         )
         .distinct()
         .write.mode("overwrite")
-        .option("header", True)
-        .csv(f"{path.rstrip('/')}/rels")
+        .options(**csv_opts)
+        .csv(f"{root}/rels")
     )
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/nodes_header.csv", "w") as fh:
+        fh.write("name:ID,label:LABEL\n")
+    with open(f"{root}/rels_header.csv", "w") as fh:
+        fh.write(":START_ID,:END_ID,:TYPE\n")

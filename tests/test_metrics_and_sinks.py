@@ -172,37 +172,50 @@ def test_sanitize_identifier_col_matches_python(spark):
 
 
 def test_export_neo4j_bulk_csv_layout(spark, tmp_path):
-    """Bulk-import CSVs carry the admin-import headers, sanitized
-    labels/types, and deduplicated rows."""
+    """Bulk-import layout: header as its own single-line file, data part
+    files header-less (neo4j-admin reads only the first line of the
+    first file in a group as a header), ONE node row per id with
+    ;-joined multi-labels, RFC4180 doubled-quote escaping, and the
+    Cypher sink's RELATED fallback for unsanitizable types."""
     import csv
     import glob
 
     from big_data___knowledge_graph_construction_with_llm_spark.sources.neo4j_sink import export_neo4j_bulk_csv
 
     verts = spark.createDataFrame(
-        [("Tiziano", "Person"), ("Venezia", "art city"), ("Tiziano", "Person")],
+        [
+            ("Tiziano", "Person"),
+            ("Tiziano", "Artist"),          # multi-label, same id
+            ('The "Night Watch"', "art work"),
+        ],
         "id string, label string",
     )
     edges = spark.createDataFrame(
-        [("Tiziano", "Venezia", "born-in"), ("Tiziano", "Venezia", "born-in")],
+        [
+            ("Tiziano", 'The "Night Watch"', "born-in"),
+            ("Tiziano", 'The "Night Watch"', "born-in"),  # dup collapses
+            ("Tiziano", "Tiziano", "!!!"),                # -> RELATED fallback
+        ],
         "src string, dst string, relationship string",
     )
     out = str(tmp_path / "bulk")
     export_neo4j_bulk_csv(verts, edges, out)
 
-    def read_all(subdir):
+    assert open(f"{out}/nodes_header.csv").read() == "name:ID,label:LABEL\n"
+    assert open(f"{out}/rels_header.csv").read() == ":START_ID,:END_ID,:TYPE\n"
+
+    def read_data(subdir):
         rows = []
-        header = None
         for f in sorted(glob.glob(f"{out}/{subdir}/part-*.csv")):
             with open(f) as fh:
-                r = list(csv.reader(fh))
-                header = r[0]
-                rows.extend(r[1:])
-        return header, sorted(rows)
+                rows.extend(csv.reader(fh))  # RFC4180: stdlib csv parses it
+        return sorted(rows)
 
-    h, rows = read_all("nodes")
-    assert h == ["name:ID", "label:LABEL"]
-    assert rows == [["Tiziano", "Person"], ["Venezia", "artcity"]]
-    h, rows = read_all("rels")
-    assert h == [":START_ID", ":END_ID", ":TYPE"]
-    assert rows == [["Tiziano", "Venezia", "bornin"]]
+    assert read_data("nodes") == [
+        ['The "Night Watch"', "artwork"],
+        ["Tiziano", "Artist;Person"],
+    ]
+    assert read_data("rels") == [
+        ["Tiziano", 'The "Night Watch"', "bornin"],
+        ["Tiziano", "Tiziano", "RELATED"],
+    ]
