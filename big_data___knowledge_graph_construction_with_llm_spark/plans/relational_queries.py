@@ -369,21 +369,38 @@ def q_asof(spark: SparkSession, sf: str) -> DataFrame:
     "q_rank_in_group",
     oracle="""
     SELECT c_nationkey, c_custkey, c_acctbal,
-           CAST(rank() OVER (PARTITION BY c_nationkey
-                             ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+           CAST(rank() OVER w AS INT) AS rnk,
+           round(percent_rank() OVER w, 6) AS pct_rnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS INT) AS quartile
     FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
     QUALIFY rnk <= 5
     """,
 )
 def q_rank_in_group(spark: SparkSession, sf: str) -> DataFrame:
+    """SURVEY §2.5 ranking family in one window: rank / percent_rank /
+    cume_dist / ntile over the same total order (the custkey tiebreak
+    makes every function deterministic, and percent_rank's
+    ``(rank-1)/(n-1)`` divides identical ints in both engines, so the
+    doubles hash-match exactly). All four ride ONE window = one shuffle
+    + one per-partition sort; the top-5 filter applies after, as
+    QUALIFY does."""
     c = load(spark, sf, "customer")
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
     return (
         c.withColumn("rnk", F.rank().over(w).cast("int"))
+        .withColumn("pct_rnk", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cdist", F.round(F.cume_dist().over(w), 6))
+        .withColumn("quartile", F.ntile(4).over(w).cast("int"))
         .filter(F.col("rnk") <= 5)
-        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+        .select(
+            "c_nationkey", "c_custkey", "c_acctbal",
+            "rnk", "pct_rnk", "cdist", "quartile",
+        )
     )
 
 
