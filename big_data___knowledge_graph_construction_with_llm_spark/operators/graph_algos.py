@@ -121,11 +121,13 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # fuse out_degree into the edge table ONCE and materialize it: the
     # loop then does a single join + aggregation per iteration instead of
-    # re-scanning the source and re-joining out_deg every time
-    e_w = materialize(
-        e.join(out_deg, "src")
-        .select("src", "dst", "deg", (F.lit(1.0) / F.col("deg")).alias("w"))
+    # re-scanning the source and re-joining out_deg every time. Each
+    # mode carries only ITS division operand (int deg / float 1/deg) so
+    # the per-iteration join doesn't shuffle a dead column
+    weight = (
+        F.col("deg") if exact_scale is not None else (F.lit(1.0) / F.col("deg")).alias("w")
     )
+    e_w = materialize(e.join(out_deg, "src").select("src", "dst", weight))
     verts = materialize(
         e_w.select(F.col("src").alias("id"))
         .unionByName(e_w.select(F.col("dst").alias("id")))
