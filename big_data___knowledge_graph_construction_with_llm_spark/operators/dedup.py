@@ -471,7 +471,11 @@ def simhash64(text_col: str, shingle_n: int = 2) -> F.Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per document as ``(id, _sim)`` via explode + partial agg —
     the 100 TB path (same shape as ``minhash_signatures``).
@@ -479,18 +483,46 @@ def simhash_signatures(
     Explode distinct shingles, hash each once, then groupBy(id) with 64
     ``sum(±1)`` bit-counter aggregates (map-side combined); a final
     projection folds the 64 signs into one 64-bit long.
+
+    ``hash_mode``: ``"xxhash64"`` (default — fastest JVM-side hash) or
+    ``"md5"`` — 64 bits taken as two 32-bit halves of the md5 hex digest.
+    md5 is the CROSS-ENGINE-PORTABLE mode: any engine with md5 (DuckDB,
+    Trino, Postgres…) reproduces the identical simhash bit-for-bit, which
+    is what lets ``q_simhash_dedup`` be verified against an independent
+    SQL oracle. Both modes are pure built-in expressions; the signature
+    semantics (bit = sign of the ±1 shingle-bit sum) are identical.
     """
     tok = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s"),
     )
-    h = tok.select("_id", F.xxhash64("_s").alias("_h"))
-    aggs = [
-        F.sum(
-            F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"_b{i}")
-        for i in range(64)
-    ]
+    if hash_mode == "md5":
+        # hi = md5 hex[0:8], lo = hex[8:16]; bit i<32 reads lo, i>=32 reads hi
+        h = tok.select(
+            "_id",
+            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_hi"),
+            F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("long").alias("_lo"),
+        )
+        aggs = [
+            F.sum(
+                F.shiftright(
+                    F.col("_lo") if i < 32 else F.col("_hi"), i % 32
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    elif hash_mode == "xxhash64":
+        h = tok.select("_id", F.xxhash64("_s").alias("_h"))
+        aggs = [
+            F.sum(
+                F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    else:
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'md5', got {hash_mode!r}")
     counters = h.groupBy("_id").agg(*aggs)
     sim = F.lit(0).cast("long")
     for i in range(64):
@@ -508,6 +540,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs blocked on simhash bit-bands.
 
@@ -525,6 +558,9 @@ def simhash_near_dup_pairs(
     before the join (see ``_cap_buckets``); ``None`` keeps exhaustive
     small-data semantics. Same shuffle-on-small-key property as MinHash
     LSH either way.
+
+    ``hash_mode`` passes through to ``simhash_signatures`` (``"md5"`` =
+    cross-engine-portable bits for oracle verification).
     """
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 64:
@@ -544,7 +580,7 @@ def simhash_near_dup_pairs(
             .bitwiseAND(F.lit((1 << widths[i]) - 1))
         )
 
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_mode=hash_mode)
     banded = sigs.select(
         "_id",
         "_sim",

@@ -122,23 +122,87 @@ def q_minhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q_simhash_dedup")  # banded hamming blocking — rows-only check
+def _simhash_oracle() -> str:
+    """Exhaustive DuckDB twin of the md5-mode 64-bit simhash + hamming≤6
+    pair set. Recomputes the SAME signature (bit i = sign of the ±1 sum
+    of shingle-hash bit i; hash = md5 hex split into two 32-bit halves)
+    and compares ALL doc pairs — affordable at oracle scale. Built
+    programmatically: 64 bit-counter sums + two 32-bit folds."""
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN ({'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    lo_fold = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32)
+    )
+    hi_fold = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (1::BIGINT << {i - 32}) ELSE 0 END)"
+        for i in range(32, 64)
+    )
+    return rf"""
+    WITH full_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+      WHERE doc_id % 20 = 0
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM full_docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS s
+      FROM tok
+    ),
+    hh AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 8))::BIGINT AS hi,
+             ('0x' || substring(md5(s), 9, 8))::BIGINT AS lo
+      FROM sh
+    ),
+    bits AS (
+      SELECT doc_id,
+             {sums}
+      FROM hh GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT doc_id, {lo_fold} AS sim_lo, {hi_fold} AS sim_hi FROM bits
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON b.doc_id > a.doc_id
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+        + bit_count(xor(a.sim_hi, b.sim_hi)) <= 6
+    """
+
+
+@query("q_simhash_dedup", oracle=_simhash_oracle())
 def q_simhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (7 derived bands, hamming ≤ 6 verify — the
-    band count follows max_hamming so the pigeonhole recall guarantee
-    holds).
+    """SimHash near-dup pairs (7 derived bands, exact hamming ≤ 6 verify —
+    the band count follows max_hamming so the pigeonhole recall guarantee
+    holds: any pair within hamming 6 shares at least one of 7 exact
+    bands, so the banded join + exact verify returns EXACTLY the set
+    {pairs : hamming(simhash a, simhash b) ≤ 6}. That completeness is
+    what makes this oracle-checkable: the oracle recomputes the same
+    md5-mode simhash exhaustively over all pairs and must agree pair-for-
+    pair (``hash_mode="md5"`` exists precisely so an independent engine
+    can reproduce the bits; production runs keep the faster xxhash64).
 
     max_hamming=6 is a measured recall point for the planted clones: the
-    " qq ww ee" suffix moves short docs' simhash by a median of 5 bits
-    (17/25 clones within 6, only 7/25 within 4) — tightening the radius
-    to buy back bucket size would silently halve what this query finds.
-    At radius 6 the bands are only 9-10 bits wide, so the max_bucket cap
-    is NOT optional at scale: it bounds every band bucket before the
-    self-join (see ``simhash_near_dup_pairs`` docstring for the math).
+    " qq ww ee" suffix moves short docs' simhash by a median of ~5 bits —
+    tightening the radius to buy back bucket size would silently halve
+    what this query finds. At radius 6 the bands are only 9-10 bits wide,
+    so the max_bucket cap is NOT optional at scale: it bounds every band
+    bucket before the self-join (see ``simhash_near_dup_pairs``); at
+    oracle scale no bucket reaches the cap, so capping does not perturb
+    the verified set.
     """
     full = _with_near_dup_clones(load(spark, sf, "documents"))
     return simhash_near_dup_pairs(
-        full, "doc_id", "text", max_hamming=6, max_bucket=10_000
+        full, "doc_id", "text", max_hamming=6, max_bucket=10_000, hash_mode="md5"
     )
 
 
