@@ -87,6 +87,37 @@ def two_hop(edges: DataFrame) -> DataFrame:
     )
 
 
+# lowercase accented latin chars → ascii fold (applied after lower();
+# covers the latin-1 range the reference's art-museum data actually uses)
+_ACCENTED = "áàâäãåéèêëíìîïóòôöõúùûüçñÿý"
+_FOLDED = "aaaaaaeeeeiiiioooooouuuucnyy"
+
+
+def default_entity_block(c: F.Column) -> F.Column:
+    """Default blocking key for ``resolve_entities``: accent-folded
+    lowercase first-2-characters + length bucket (width 8), e.g.
+    ``"ém|1"`` for ``"Émile Zola"`` → ``"em|1"``.
+
+    Why composite: a first-single-character key yields ~26 blocks over an
+    entire vertex set, and the within-block candidate join is quadratic
+    in the largest block — a foot-gun at corpus scale. Two characters ×
+    length bucket multiplies the block count by ~100× and keeps true
+    pairs together: an edit-distance-2 pair differs by at most 2 in
+    length, so only pairs straddling a bucket boundary AND differing in
+    the folded first two characters are missed (document-level recall
+    trade every blocking scheme makes; swap in a phonetic key or a
+    minhash band over name shingles via ``block_fn`` when that matters).
+    Accent folding keeps "Émile"/"Emile" in one block — the miss the
+    plain first-character key silently made.
+    """
+    folded = F.translate(F.lower(c), _ACCENTED, _FOLDED)
+    return F.concat(
+        F.substring(folded, 1, 2),
+        F.lit("|"),
+        F.floor(F.length(c) / F.lit(8)).cast("string"),
+    )
+
+
 def resolve_entities(
     vertices: DataFrame,
     id_col: str = "id",
@@ -94,6 +125,7 @@ def resolve_entities(
     block_fn=None,
     max_iter: int = 20,
     strict: bool = False,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Entity resolution over the vertex names: blocked fuzzy self-match
     → connected components over the match graph → canonical (min)
@@ -108,25 +140,33 @@ def resolve_entities(
     broadcast-or-shuffle joins.
 
     Scale shape: candidate pairs form only inside a block
-    (``block_fn(col) -> Column``, default first-lowercased-character —
-    swap in a phonetic key or minhash band for real data); verification
-    is the early-exit 3-arg ``levenshtein``; the cluster step is the
-    same bounded-iteration min-label propagation every other component
-    op uses. Names and ids shuffle; nothing quadratic in the table.
+    (``block_fn(col) -> Column``, default ``default_entity_block`` —
+    accent-folded first-2-chars × length bucket; swap in a phonetic key
+    or minhash band for real data); verification is the early-exit 3-arg
+    ``levenshtein``; the cluster step is the same bounded-iteration
+    min-label propagation every other component op uses. Names and ids
+    shuffle; nothing quadratic in the table — EXCEPT within a block,
+    which is why ``max_block`` exists: blocks larger than it are skipped
+    before the self-join (same ``_cap_buckets`` backstop the dedup/LSH
+    family uses — a block of a million near-identical names is better
+    handled by exact dedup than by a 10¹² levenshtein join). Set it at
+    corpus scale; ``None`` keeps exhaustive small-data semantics.
 
     ``max_iter``/``strict`` pass through to ``connected_components``:
     a similarity chain longer than ``max_iter`` would otherwise resolve
     one logical cluster to several canonicals with only a logged
     warning — ``strict=True`` makes that a hard error.
     """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import _cap_buckets
     from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
         connected_components,
     )
 
     if block_fn is None:
-        block_fn = lambda c: F.lower(F.substring(c, 1, 1))  # noqa: E731
+        block_fn = default_entity_block
     names = vertices.select(F.col(id_col).alias("_n")).distinct()
     blocked = names.withColumn("_blk", block_fn(F.col("_n")))
+    blocked = _cap_buckets(blocked, max_block, ["_blk"])
     a, b = blocked.alias("a"), blocked.alias("b")
     dist = F.levenshtein(
         F.lower(F.col("a._n")), F.lower(F.col("b._n")), max_edit

@@ -289,3 +289,63 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     ).distinct()
     return pagerank(edges, iterations=10, exact_scale=10**12)
+
+
+@query(
+    "q_resolve_entities",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT DISTINCT p_name AS n FROM part
+      UNION
+      SELECT DISTINCT substring(p_name, 1, 3) || 'z' || substring(p_name, 5)
+      FROM part
+    ),
+    blocked AS (
+      SELECT n,
+             substring(lower(n), 1, 2) || '|'
+               || CAST(length(n) // 8 AS VARCHAR) AS blk
+      FROM names
+    ),
+    e AS (
+      SELECT a.n AS src, b.n AS dst
+      FROM blocked a JOIN blocked b ON b.blk = a.blk AND a.n < b.n
+      WHERE levenshtein(lower(a.n), lower(b.n)) <= 2
+    ),
+    sym AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT dst AS src, src AS dst FROM e
+    ),
+    r(a, b) AS (
+      SELECT n, n FROM names
+      UNION
+      SELECT r.a, s.dst FROM r JOIN sym s ON s.src = r.b
+    )
+    SELECT a AS name, min(b) AS canonical FROM r GROUP BY a
+    """,
+)
+def q_resolve_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution end-to-end (``operators.graph.resolve_entities``):
+    blocked fuzzy self-match (default composite block key — accent-folded
+    first-2-chars × length bucket) → levenshtein ≤ 2 verify → connected
+    components over the match graph → min-canonical per cluster,
+    covering every input vertex. This is the deterministic twin of the
+    reference's central LLM step (entity merging via prompts,
+    ``…AWS/LLM/chains.py:37-104``): typo'd clones of the part vocabulary
+    (4th char replaced with 'z') are planted and must collapse onto
+    their originals. The oracle replays blocking + matching in SQL and
+    resolves clusters with a recursive transitive closure — affordable
+    because components are small, exactly the regime blocking is
+    designed to produce. ``strict=True``: non-convergence would be a
+    hard error, not a silent wrong answer.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import resolve_entities
+
+    p = load(spark, sf, "part").select(F.col("p_name").alias("name")).distinct()
+    clones = p.select(
+        F.concat(
+            F.substring("name", 1, 3), F.lit("z"), F.expr("substring(name, 5)")
+        ).alias("name")
+    )
+    vertices = p.unionByName(clones).distinct()
+    return resolve_entities(vertices, id_col="name", max_edit=2, strict=True)

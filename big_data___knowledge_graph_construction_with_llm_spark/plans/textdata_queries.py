@@ -312,19 +312,6 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return clean.select("doc_id", "lang")
 
 
-@query(
-    "q_fingerprint",
-    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
-)
-def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    """Content fingerprint (md5 hex) per document — the cross-engine-stable
-    fingerprint. The order-sensitive polynomial rolling-hash variant
-    (``operators.text.fingerprint64``, one aggregate pass, no shuffle) is
-    not oracle-expressible and is covered by unit tests
-    (``tests/test_operators_misc.py``) instead of a registry slot."""
-    return load(spark, sf, "documents").select("doc_id", F.md5("text").alias("fp"))
-
-
 # --- similarity search ----------------------------------------------------------
 
 def _query_vec(spark: SparkSession, sf: str) -> list[float]:
@@ -480,17 +467,24 @@ def q_sim_join_names(spark: SparkSession, sf: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                AS INT) AS n_pieces
+                AS INT) AS n_pieces,
+           md5(text) AS fp
     FROM documents
     """,
 )
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    """Token counting (whitespace tokens + BPE-ish regex pieces) plus the
+    cross-engine-stable md5 content fingerprint — one scan-speed
+    projection per document. The order-sensitive polynomial rolling-hash
+    fingerprint (``operators.text.fingerprint64``, one aggregate pass, no
+    shuffle) is not oracle-expressible and is covered by unit tests
+    (``tests/test_operators_misc.py``) instead of a registry slot."""
     d = load(spark, sf, "documents")
     return d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_pieces"),
+        F.md5("text").alias("fp"),
     )
 
 

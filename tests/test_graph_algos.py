@@ -213,3 +213,50 @@ def test_apply_canonical_rewrites_edges(spark):
     assert ("Albrecht Duerer", "Melencolia I") in out
     assert ("Albrecht Duerer", "Rhinoceros") in out
     assert ("Rembrandt", "Night Watch") in out
+
+
+def test_default_entity_block_splits_skewed_names(spark):
+    """The composite default block key must split a skewed name set (all
+    sharing one first letter) into many bounded blocks — the old
+    first-character default put all of these in ONE block, making the
+    candidate join quadratic in the whole set."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import default_entity_block
+
+    rows = [(f"S{chr(97 + i % 26)}{'x' * (i % 40)}name{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "id string")
+    sizes = [
+        r["n"]
+        for r in df.select(default_entity_block(F.col("id")).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) > 26          # more blocks than any single-char key can make
+    assert max(sizes) < 400 * 0.2   # largest block is a small fraction of the set
+
+
+def test_default_entity_block_folds_accents(spark):
+    """'Émile'/'Emile' must share a block (the miss the old default made)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import resolve_entities
+
+    df = spark.createDataFrame([("Émile Zola",), ("Emile Zola",)], "id string")
+    got = {r["id"]: r["canonical"] for r in resolve_entities(df, max_edit=1).collect()}
+    assert got["Émile Zola"] == got["Emile Zola"]
+
+
+def test_resolve_entities_max_block_skips_oversize(spark):
+    """Blocks over max_block are skipped before the join (skew backstop):
+    their members map to themselves; small blocks still resolve."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import resolve_entities
+
+    # 50 near-identical names in one block (the pathology) + one true pair
+    big = [(f"aaaaname{i:02d}",) for i in range(50)]
+    small = [("Rembrandt",), ("Rembrandtt",)]
+    df = spark.createDataFrame(big + small, "id string")
+    got = {
+        r["id"]: r["canonical"]
+        for r in resolve_entities(df, max_edit=1, max_block=10).collect()
+    }
+    assert all(got[n] == n for (n,) in big)        # capped block: self-mapped
+    assert got["Rembrandtt"] == "Rembrandt"        # uncapped block still resolves
+    assert len(got) == 52                          # coverage: every vertex mapped
