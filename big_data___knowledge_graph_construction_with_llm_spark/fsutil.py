@@ -1,0 +1,65 @@
+"""Tiny Hadoop-FileSystem helpers (py4j; no extra dependencies).
+
+Driver-side file operations that must work on WHATEVER filesystem a path
+points at — ``file://`` locally, ``hdfs://`` / ``s3a://`` on a cluster.
+Python ``os``/``open`` silently operate on the driver's local disk, which
+is exactly the failure mode these helpers exist to avoid (a marker or
+header file landing next to the driver instead of next to the data).
+
+Used by ``operators.similarity.ensure_ivf_index`` (index commit markers)
+and ``sources.neo4j_sink.export_neo4j_bulk_csv`` (header files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under the session's Hadoop conf."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Create/overwrite a single small file with ``content`` (utf-8).
+
+    One object write: on S3 this is a single atomic PUT (visible all or
+    nothing); on HDFS/local the file appears at create and fills at
+    close, so readers that can observe a mid-write file must tolerate a
+    short/empty read (see ``read_text`` callers).
+    """
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Read a small file fully as utf-8 text.
+
+    Goes through commons-io on the JVM side: py4j passes ``byte[]``
+    arguments one-way, so a read-into-buffer loop from Python would see
+    none of the bytes the JVM wrote into the buffer.
+    """
+    fs, p = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs(spark, path)
+    return bool(fs.delete(p, recursive))

@@ -233,38 +233,62 @@ def ensure_ivf_index(
     """Build-once, probe-many: materialize the IVF layout at ``path`` if
     absent and return ``(index, centroids)`` read back FROM DISK.
 
-    Layout: ``path/index`` is the corpus + ``cluster`` written
-    ``partitionBy("cluster")`` (so a probe filter is partition pruning —
-    the query-time scan reads ~n_probe/k of the data, which at 100 TB is
-    the entire point of IVF); ``path/centroids`` is the k-row quantizer
-    table. Training cost is paid once at index-build time, never at
-    query time. Build is crash-safe: written to a scratch dir and
-    renamed into place, so a concurrent builder loses the race cleanly
-    and reads the winner's index.
-    """
-    import os
-    import shutil
+    Layout: each build writes a self-contained attempt directory
+    ``path/attempt-<id>/{index,centroids,_COMPLETE}`` — ``index`` is the
+    corpus + ``cluster`` written ``partitionBy("cluster")`` (so a probe
+    filter is partition pruning: the query-time scan reads ~n_probe/k of
+    the data, which at 100 TB is the entire point of IVF), ``centroids``
+    the k-row quantizer table. Training cost is paid once at index-build
+    time, never at query time.
 
-    done = os.path.join(path, "_DONE")
-    if not os.path.exists(done):
-        tmp = f"{path}.tmp-{os.getpid()}"
+    Commit protocol — MARKER-LAST, no rename anywhere, because ``path``
+    should live on SHARED storage on a cluster (hdfs:// or s3a://; see
+    DEPLOYMENT.md) and S3 has no atomic rename: the top-level marker
+    ``path/_DONE`` is one small object whose CONTENT names the winning
+    attempt, written only after that attempt is fully on disk
+    (``_COMPLETE`` inside it first). Concurrent builders never touch the
+    same files — each writes its own attempt dir — and whichever marker
+    write lands last wins; every reader resolves the marker to a
+    complete attempt either way. All driver-side file ops go through the
+    Hadoop FileSystem API (``fsutil``), never ``os.*``, so the protocol
+    is identical on file:/hdfs:/s3a:. Losing attempt dirs are
+    unreferenced and cheap; GC them by age externally if they bother you.
+    """
+    import uuid
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    marker = f"{path}/_DONE"
+
+    def _resolve() -> str | None:
+        """Marker → attempt dir, tolerating the HDFS/local mid-write
+        window (empty read) and a vanished attempt (stale marker)."""
+        if not fsutil.exists(spark, marker):
+            return None
+        name = fsutil.read_text(spark, marker).strip()
+        if name and fsutil.exists(spark, f"{path}/{name}/_COMPLETE"):
+            return f"{path}/{name}"
+        return None
+
+    attempt_dir = _resolve()
+    if attempt_dir is None:
+        name = f"attempt-{uuid.uuid4().hex[:12]}"
+        base = f"{path}/{name}"
         cents = ivf_centroids(
             vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
         )
         ivf_index(vectors, cents, id_col=id_col, vec_col=vec_col).write.mode(
             "overwrite"
-        ).partitionBy("cluster").parquet(os.path.join(tmp, "index"))
-        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
-        open(os.path.join(tmp, "_DONE"), "w").close()
-        if os.path.isdir(path) and not os.path.exists(done):
-            shutil.rmtree(path, ignore_errors=True)  # half-built leftover
-        try:
-            os.rename(tmp, path)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race; use winner's
+        ).partitionBy("cluster").parquet(f"{base}/index")
+        cents.write.mode("overwrite").parquet(f"{base}/centroids")
+        fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+        fsutil.write_text(spark, marker, name)  # the commit point
+        attempt_dir = _resolve()
+        if attempt_dir is None:  # raced with another builder mid-marker-write
+            attempt_dir = base
     return (
-        spark.read.parquet(os.path.join(path, "index")),
-        spark.read.parquet(os.path.join(path, "centroids")),
+        spark.read.parquet(f"{attempt_dir}/index"),
+        spark.read.parquet(f"{attempt_dir}/centroids"),
     )
 
 

@@ -188,9 +188,9 @@ def export_neo4j_bulk_csv(
           --nodes "nodes_header.csv,nodes/part-.*" \\
           --relationships "rels_header.csv,rels/part-.*" ...
     """
-    import os
-
     from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
 
     root = path.rstrip("/")
     csv_opts = {"header": False, "escape": '"'}
@@ -218,8 +218,10 @@ def export_neo4j_bulk_csv(
         .options(**csv_opts)
         .csv(f"{root}/rels")
     )
-    os.makedirs(root, exist_ok=True)
-    with open(f"{root}/nodes_header.csv", "w") as fh:
-        fh.write("name:ID,label:LABEL\n")
-    with open(f"{root}/rels_header.csv", "w") as fh:
-        fh.write(":START_ID,:END_ID,:TYPE\n")
+    # headers go through the Hadoop FileSystem API so they land NEXT TO
+    # the part files whatever the scheme (hdfs://, s3a://, file:/) —
+    # a driver-local open() would silently write them to the driver's
+    # disk for any remote destination, orphaning the data files
+    spark = vertices.sparkSession
+    fsutil.write_text(spark, f"{root}/nodes_header.csv", "name:ID,label:LABEL\n")
+    fsutil.write_text(spark, f"{root}/rels_header.csv", ":START_ID,:END_ID,:TYPE\n")

@@ -220,6 +220,66 @@ def test_ensure_ivf_index_builds_once_and_probes(spark, tmp_path):
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in brute]
 
 
+def test_ensure_ivf_index_concurrent_builders(spark, tmp_path):
+    """Two builders race on ONE path (thread barrier: both pass the
+    marker-absent check before either commits). The marker-last commit
+    protocol must leave BOTH with a complete readable index — whichever
+    marker write landed last is the winner every later reader resolves."""
+    import threading
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0).cache()
+    n = vecs.count()
+    path = str(tmp_path / "ivf_race")
+    results, errors = [], []
+    barrier = threading.Barrier(2)
+
+    def build():
+        try:
+            barrier.wait(timeout=60)  # both enter before either commits
+            results.append(ensure_ivf_index(spark, vecs, path, k=4, iterations=1))
+        except Exception as e:  # noqa: BLE001 - surface in main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=build) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 2
+    for idx, cents in results:
+        assert idx.count() == n          # complete index, no partial reads
+        assert cents.count() == 4
+    # a fresh reader resolves the winning attempt and sees a full index
+    idx3, cents3 = ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    assert idx3.count() == n and cents3.count() == 4
+    vecs.unpersist()
+
+
+def test_ensure_ivf_index_tolerates_bad_marker(spark, tmp_path):
+    """An empty marker (HDFS mid-write observation) or a marker naming a
+    vanished attempt (stale) must trigger a clean rebuild, never a read
+    of a half-written index."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    n = vecs.count()
+    for bad in ("", "attempt-deadbeef0000"):
+        path = str(tmp_path / f"ivf_bad_{len(bad)}")
+        fsutil.write_text(spark, f"{path}/_DONE", bad)
+        idx, cents = ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+        assert idx.count() == n and cents.count() == 4
+        # and the rebuild repaired the marker for the next reader
+        assert fsutil.read_text(spark, f"{path}/_DONE").strip().startswith("attempt-")
+
+
 def test_decontaminate_rejects_negative_corpus_ids(spark):
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
 
