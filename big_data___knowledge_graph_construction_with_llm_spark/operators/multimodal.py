@@ -38,15 +38,50 @@ def attach_binary_meta(
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, int]:
     """STUB decoder: deterministic fake (width, height, channels) derived
-    from the payload length so tests are reproducible.
-
-    Replace with e.g. PIL/opencv in a real deployment::
-
-        img = PIL.Image.open(io.BytesIO(payload))
-        return img.width, img.height, len(img.getbands())
+    from the payload length so tests are reproducible. Fallback when no
+    codec library is installed — see ``decode_image_pil`` /
+    ``best_image_decoder`` for the real path behind the same seam.
     """
     n = len(payload)
     return (64 + n % 512, 64 + (n // 7) % 512, 3)
+
+
+def decode_image_pil(payload: bytes) -> tuple[int, int, int]:
+    """Real decoder behind the same seam: PIL/Pillow, imported lazily so
+    the module (and every stub-path test) works in codec-less
+    containers. Same contract as the stub — ``(width, height,
+    n_channels)`` — so swapping decoders never changes the DataFrame
+    schema or the plan shape (contract-tested in
+    ``tests/test_multimodal.py``).
+
+    Import-time cost: PIL import happens once per executor interpreter
+    (Python caches it), not per image; the per-image work is
+    ``Image.open`` on an in-memory buffer, which reads only the header
+    for dimensions — cheap even before any pixel decode.
+    """
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised via best_image_decoder
+        raise ImportError(
+            "decode_image_pil needs Pillow (`pip install pillow`); "
+            "use decode_image_stub or best_image_decoder() for a fallback"
+        ) from e
+
+    img = Image.open(io.BytesIO(payload))
+    return (img.width, img.height, len(img.getbands()))
+
+
+def best_image_decoder() -> Callable[[bytes], tuple[int, int, int]]:
+    """The real PIL decoder when Pillow is installed, else the stub —
+    resolved ONCE on the driver so the choice is uniform across the job
+    (a per-executor probe could mix real and fake dims in one output)."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        return decode_image_pil
+    return decode_image_stub
 
 
 def decode_images(

@@ -63,3 +63,53 @@ def test_frame_sample_explodes(spark):
     a = sorted(tuple(r) for r in out.filter("doc_id = 1").collect())
     b = sorted(tuple(r) for r in frame_sample_stub(df, every_n=10).filter("doc_id = 1").collect())
     assert a == b
+
+
+def test_best_image_decoder_resolution():
+    """best_image_decoder: PIL decoder when Pillow is importable, stub
+    otherwise — resolved driver-side, so one job never mixes the two."""
+    import importlib.util
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+        best_image_decoder,
+        decode_image_pil,
+    )
+
+    got = best_image_decoder()
+    if importlib.util.find_spec("PIL") is None:
+        assert got is decode_image_stub
+    else:
+        assert got is decode_image_pil
+
+
+def test_pil_and_stub_share_schema_contract(spark):
+    """Swapping the decoder must never change the DataFrame schema or
+    move work out of the single mapInPandas stage — the seam contract.
+    Runs with BOTH decoders when PIL is present, schema-only otherwise."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+        best_image_decoder,
+    )
+
+    df = _payloads(spark)
+    stub_out = decode_images(df, decoder=decode_image_stub)
+    real_out = decode_images(df, decoder=best_image_decoder())
+    assert stub_out.schema == real_out.schema
+
+
+def test_decode_images_with_pil_real_png(spark):
+    """Gated on Pillow: a real 7x5 PNG decodes to its true dimensions
+    through the same mapInPandas stage the stub uses."""
+    import io
+
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import decode_image_pil
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(1, payload)], "doc_id bigint, payload binary")
+    row = decode_images(df, decoder=decode_image_pil).head()
+    assert (row["width"], row["height"], row["n_channels"]) == (7, 5, 3)
