@@ -284,34 +284,29 @@ def decontaminate(
     confirmed leaks. Corpus text never shuffles: signatures and ids do.
 
     Requires non-negative corpus ids: benchmark rows are assigned ids in
-    a disjoint strictly-negative range so the pair columns stay id-typed.
-    ``validate_ids=True`` (default) enforces that with one column-pruned
-    ``min(id)`` pass over the corpus — an honest extra job; pass False
-    when the ids are known-valid (e.g. produced by this pipeline) to
-    skip it.
+    a disjoint range at or below ``-2^61`` so the pair columns stay
+    id-typed and a negative corpus id is DETECTABLE after the union
+    (anything in ``(-2^61, 0)`` must be an invalid corpus id — only a
+    corpus id at or below ``-2^61`` could still masquerade, which no real
+    id space reaches). ``validate_ids=True`` (default) enforces that for
+    free: the check rides the same census aggregation the skew cap needs
+    (see below), so it costs no Spark job of its own. A detected
+    violation raises AFTER the signature pass (the census is the first
+    action that can see the union) — pass False only if that error
+    timing matters and the ids are known-valid.
     """
     corpus = docs.select(F.col(id_col), F.col(text_col))
-    # a negative corpus id would masquerade as a benchmark row: it would
-    # never be leak-checked AND could false-drop real corpus docs. It
-    # cannot be detected downstream (the banded frame distinguishes the
-    # two sides BY SIGN), hence this up-front aggregation — a scan of the
-    # id column only (parquet reads one column), not of the text.
-    if validate_ids:
-        row = docs.agg(F.min(F.col(id_col)).alias("m")).first()
-        if row is not None and row["m"] is not None and row["m"] < 0:
-            raise ValueError(
-                f"decontaminate requires non-negative corpus ids in {id_col!r}: "
-                "negative ids collide with the synthetic benchmark id range"
-            )
-    # strictly negative synthetic ids: pmod ∈ [0, 2^62) → negate(+1)
+    # synthetic bench ids ≤ -2^61: pmod ∈ [0, 2^61) → +2^61 → negate
     bench = benchmark.select(
-        (-(F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 62)) + 1)).alias(id_col),
+        (-(F.pmod(F.xxhash64(F.col(text_col)), F.lit(1 << 61)) + F.lit(1 << 61))).alias(
+            id_col
+        ),
         F.col(text_col),
     )
     both_docs = corpus.unionByName(bench)
     # ONE signature pipeline over the union (one codegen unit, one pass),
     # materialized HERE — before the cap split — because everything below
-    # (cap sides, oversize census, blind-spot count, candidate join)
+    # (cap sides, oversize census, blind-spot accounting, candidate join)
     # derives from it; materializing a derived frame instead would
     # re-run the shingle+hash pass once per consumer. The skew cap
     # counts and drops CORPUS rows only: benchmark rows are few and
@@ -328,37 +323,81 @@ def decontaminate(
             bands,
         )
     )
-    if max_bucket is None:
-        banded = raw_banded
-    else:
-        corpus_side = raw_banded.filter(F.col("_id") >= 0)
-        bench_side = raw_banded.filter(F.col("_id") < 0)
-        oversize = (
-            corpus_side.groupBy("band", "bucket")
-            .agg(F.count("*").alias("_bsz"))
-            .filter(F.col("_bsz") > max_bucket)
-            .select("band", "bucket")
+    corpus_side = raw_banded.filter(F.col("_id") >= 0)
+    bench_side = raw_banded.filter(F.col("_id") < 0)
+    # ONE census collect does triple duty — (a) the oversize bucket keys
+    # the cap needs, (b) the bench ids hashing into those buckets (the
+    # blind-spot warning, exact), (c) the invalid-corpus-id guard — so
+    # the blind-spot accounting and the id validation cost no Spark job
+    # of their own (round 3 spent one action on each). Both legs scan the
+    # MATERIALIZED banded frame inside a single collect; output is the
+    # pathology list (tiny by definition) plus one validation row.
+    is_bench = F.col("_id") < F.lit(-(1 << 61) + 1)  # ids ≤ -2^61
+    legs = []
+    if max_bucket is not None:
+        legs.append(
+            raw_banded.groupBy("band", "bucket")
+            .agg(
+                F.sum(F.when(~is_bench, 1).otherwise(0)).alias("_n_corpus"),
+                F.collect_set(F.when(is_bench, F.col("_id"))).alias("_bench_ids"),
+            )
+            .filter(F.col("_n_corpus") > max_bucket)
+            .select("band", "bucket", "_bench_ids", F.lit(None).cast("long").alias("_bad_id"))
         )
-        capped = corpus_side.join(F.broadcast(oversize), ["band", "bucket"], "left_anti")
-        # cheap lineage over the materialized raw_banded — consumers that
-        # scan it twice only repeat the filter+anti-join, not signatures
-        banded = capped.unionByName(bench_side)
-        n_blind = (
-            bench_side.join(F.broadcast(oversize), ["band", "bucket"], "left_semi")
-            .select("_id")
-            .distinct()
-            .count()
+    if validate_ids:
+        legs.append(
+            raw_banded.agg(
+                F.min(F.when((F.col("_id") < 0) & ~is_bench, F.col("_id"))).alias("_bad_id")
+            ).select(
+                F.lit(None).cast("int").alias("band"),
+                F.lit(None).cast("long").alias("bucket"),
+                F.lit(None).cast("array<long>").alias("_bench_ids"),
+                "_bad_id",
+            )
         )
-        if n_blind:
+    census = []
+    if legs:
+        from functools import reduce
+
+        census = reduce(lambda a, b: a.unionByName(b), legs).collect()
+    bad = [r["_bad_id"] for r in census if r["_bad_id"] is not None]
+    if bad:
+        raise ValueError(
+            f"decontaminate requires non-negative corpus ids in {id_col!r}: "
+            f"found {bad[0]} — negative ids collide with the synthetic "
+            "benchmark id range"
+        )
+    oversize_keys = [(r["band"], r["bucket"]) for r in census if r["band"] is not None]
+    if oversize_keys:
+        blind = {i for r in census for i in (r["_bench_ids"] or [])}
+        if blind:
             log.warning(
                 "decontaminate: %d benchmark doc(s) hash into buckets over "
                 "max_bucket=%d — leaks hiding in those buckets are NOT "
                 "detected; lower max_bucket only with an exact-dedup pass "
                 "in front",
-                n_blind,
+                len(blind),
                 max_bucket,
             )
-    cross = materialize(_cross_candidates(banded))
+        if len(oversize_keys) <= 256:
+            # literal predicate: downstream jobs never recompute the census
+            from functools import reduce as _reduce
+
+            hit = _reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("band") == F.lit(b)) & (F.col("bucket") == F.lit(k))
+                    for b, k in oversize_keys
+                ],
+            )
+            corpus_side = corpus_side.filter(~hit)
+        else:  # degenerate corpora: keep the predicate small via anti-join
+            spark = raw_banded.sparkSession
+            ov = spark.createDataFrame(oversize_keys, "band int, bucket long")
+            corpus_side = corpus_side.join(
+                F.broadcast(ov), ["band", "bucket"], "left_anti"
+            )
+    cross = materialize(_cross_from_sides(bench_side, corpus_side))
     # verify only candidate docs: prune both sides to ids in `cross`
     both = corpus.join(
         cross.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
@@ -376,20 +415,26 @@ def decontaminate(
     return docs.join(leaked, id_col, "left_anti")
 
 
-def _cross_candidates(banded: DataFrame) -> DataFrame:
-    """CROSS-dataset candidate pairs from a banded signature table whose
-    benchmark rows carry negative ids: benchmark × corpus on the
+def _cross_from_sides(bench_side: DataFrame, corpus_side: DataFrame) -> DataFrame:
+    """CROSS-dataset candidate pairs: benchmark × corpus on the
     (band, bucket) key — never a self-join of the union, so no
     corpus×corpus candidate is ever produced (at 10⁹ docs that
     difference is the whole cost). Plan-pinned in
     ``tests/test_plans.py::test_decontaminate_is_cross_dataset_only``.
     Output: ``(id_a=benchmark id, id_b=corpus id)``, distinct."""
     return (
-        banded.filter(F.col("_id") < 0)
-        .withColumnRenamed("_id", "_bid")
-        .join(banded.filter(F.col("_id") >= 0), ["band", "bucket"])
+        bench_side.withColumnRenamed("_id", "_bid")
+        .join(corpus_side, ["band", "bucket"])
         .select(F.col("_bid").alias("id_a"), F.col("_id").alias("id_b"))
         .distinct()
+    )
+
+
+def _cross_candidates(banded: DataFrame) -> DataFrame:
+    """``_cross_from_sides`` over one banded table whose benchmark rows
+    carry negative ids (the sign IS the dataset tag)."""
+    return _cross_from_sides(
+        banded.filter(F.col("_id") < 0), banded.filter(F.col("_id") >= 0)
     )
 
 
