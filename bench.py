@@ -92,9 +92,52 @@ def main() -> None:
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # accuracy contract for q_approx_sketches (untimed): the sketches are
+    # rows-only in the correctness gate (HLL++/KLL internals are
+    # engine-specific), so the bench records the observed error vs the
+    # exact values at this sf — the documented bounds (rsd=0.02;
+    # percentile_approx accuracy=10000) must hold where the driver can
+    # see them, not just in a unit test at toy scale
+    sketch_accuracy: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load as _load
+
+        o = _load(spark, sf_dir, "orders")
+        approx = o.agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("acd"),
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95"),
+        ).first()
+        exact = o.agg(
+            F.countDistinct("o_custkey").alias("cd"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+        ).first()
+        sketch_accuracy = {
+            "acd_rel_err": round(abs(approx["acd"] - exact["cd"]) / exact["cd"], 6),
+            "acd_rsd_bound": 0.02,
+            "p50_rel_err": round(abs(approx["p50"] - exact["p50"]) / abs(exact["p50"]), 6),
+            "p95_rel_err": round(abs(approx["p95"] - exact["p95"]) / abs(exact["p95"]), 6),
+            "percentile_accuracy_param": 10000,
+        }
+    except Exception as exc:
+        print(f"bench: sketch accuracy check failed: {exc!r}", file=sys.stderr)
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
-        json.dump({"sf": sf, "queries": timings, "shuffle": shuffles}, fh, indent=1)
+        json.dump(
+            {
+                "sf": sf,
+                "queries": timings,
+                "shuffle": shuffles,
+                "sketch_accuracy": sketch_accuracy,
+            },
+            fh,
+            indent=1,
+        )
     spark.stop()
     # compact headline MUST be the last stdout line (driver tail-parses it)
     print(
