@@ -20,6 +20,7 @@ import asyncio
 import json
 import random
 import re
+import time
 from collections.abc import Awaitable, Callable
 
 #: Server-directed wait, e.g. "Please try again in 1m22.71s"
@@ -89,6 +90,45 @@ async def call_with_retry(
                 delay *= rng(*backoff_range)
     # chain the provider's last error: its status code / request id is
     # what an operator needs to diagnose the exhaustion
+    raise RuntimeError(
+        f"rate limit persisted after {max_retries} attempts"
+    ) from last_exc
+
+
+def call_with_retry_sync(
+    func: Callable[..., object],
+    *args,
+    max_retries: int = 5,
+    initial_delay: float = 1.0,
+    backoff_range: tuple[float, float] = (5.5, 6.0),
+    is_rate_limit: Callable[[BaseException], bool] = default_is_rate_limit,
+    sleep: Callable[[float], None] = time.sleep,
+    rng: Callable[[float, float], float] = random.uniform,
+    **kwargs,
+):
+    """Synchronous twin of :func:`call_with_retry` — same discipline
+    (server-directed wait, ×uniform(5.5, 6.0) backoff, ``max_retries``
+    then ``RuntimeError`` chaining the provider's last error), no event
+    loop. This is what per-record extractors should use: creating and
+    destroying an ``asyncio`` loop per call costs ~ms each and raises
+    ``RuntimeError`` when invoked from a thread that already runs a loop
+    (async drivers, notebooks). The async form remains the right tool
+    where there is real fan-out to overlap (``gather_in_batches``)."""
+    delay = float(initial_delay)
+    last_exc: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            return func(*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — filtered just below
+            if not is_rate_limit(exc):
+                raise
+            last_exc = exc
+            wait = parse_server_wait(str(exc))
+            if wait is not None:
+                sleep(wait)
+            else:
+                sleep(delay)
+                delay *= rng(*backoff_range)
     raise RuntimeError(
         f"rate limit persisted after {max_retries} attempts"
     ) from last_exc
@@ -195,10 +235,10 @@ def http_chat_extractor(
             ],
         }
 
-        async def _call(p: dict) -> str:
-            return await asyncio.to_thread(send, p)
-
-        body = asyncio.run(call_with_retry(_call, payload, **retry_kwargs))
+        # synchronous retry around the synchronous transport: no event
+        # loop per record (costly, and a hard error from a thread that
+        # already runs one — async drivers/notebooks)
+        body = call_with_retry_sync(send, payload, **retry_kwargs)
         try:
             content = json.loads(body)["choices"][0]["message"]["content"]
         except (KeyError, IndexError, TypeError, ValueError):

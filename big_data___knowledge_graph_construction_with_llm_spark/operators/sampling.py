@@ -66,6 +66,12 @@ def stratified_sample(
     cluster size, and appends only ever *displace* rows at the boundary
     (ranks are stable).
 
+    Precondition: ``id_col`` values are UNIQUE within a stratum. With
+    duplicate ids the rank order between the duplicates is a tie even
+    after the id tie-break, so WHICH physical row is selected can differ
+    across runs/partitionings (the selected id set is still stable).
+    Dedup first, or pass a column that is unique.
+
     Scale shape: one shuffle keyed on the stratum, then a per-stratum
     rank. A mega-stratum makes that a single-task sort; when only an
     approximate ``n`` is needed, prefer :func:`hash_sample` with
@@ -88,13 +94,22 @@ def stratified_sample(
     )
 
 
+def derive_prefix_partitions(df: DataFrame) -> int:
+    """``pack_sequences``' default partition count: ``2 × input
+    partitions``, clamped to [32, 65536], rounded up to a power of two.
+    Reads the physical plan's partitioning (no job is run). See the
+    sizing discussion in ``pack_sequences``."""
+    n = max(32, min(65536, 2 * df.rdd.getNumPartitions()))
+    return 1 << (n - 1).bit_length()
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
     n_tokens_col: str,
     budget: int,
     order_col: str | None = None,
-    prefix_partitions: int = 64,
+    prefix_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each document to a training-sequence bin of roughly
     ``budget`` tokens (the pretraining sequence-packing step): order
@@ -128,6 +143,15 @@ def pack_sequences(
     ``order_col`` need not be unique: ties are broken by ``id_col``, so
     the assignment is deterministic across runs either way.
 
+    ``prefix_partitions=None`` (default) derives the partition count from
+    the input's scan parallelism: ``clamp(2 × input_partitions, 32,
+    65536)`` rounded up to a power of two. Each input partition is
+    ≤ ``spark.sql.files.maxPartitionBytes`` (128 MB default) of rows, so
+    two prefix partitions per input partition keeps the per-task window
+    sort comfortably under the scan task's size — the documented
+    two-level rule made automatic. Pass an explicit value when the input
+    partitioning is not representative (e.g. a fresh ``repartition(1)``).
+
     Returns the input plus ``seq_id`` (bigint) and ``offset_in_seq``
     (the document's starting token offset inside its bin).
     """
@@ -135,6 +159,8 @@ def pack_sequences(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if prefix_partitions is None:
+        prefix_partitions = derive_prefix_partitions(df)
     if prefix_partitions <= 0:
         raise ValueError(
             f"prefix_partitions must be positive, got {prefix_partitions}"

@@ -102,19 +102,40 @@ def _chunks(rows: Iterator, size: int):
         yield buf
 
 
+def is_transient_bolt_error(exc: BaseException) -> bool:
+    """Duck-typed retriable-bolt-error check (no neo4j import needed):
+    the driver's ``TransientError``/``ServiceUnavailable``/
+    ``SessionExpired`` class names, or an ``is_retryable()`` hook (the
+    neo4j 5.x exception protocol). Everything else — constraint
+    violations, syntax errors, auth — fails fast."""
+    name = type(exc).__name__
+    if name in ("TransientError", "ServiceUnavailable", "SessionExpired"):
+        return True
+    retryable = getattr(exc, "is_retryable", None)
+    return bool(retryable()) if callable(retryable) else False
+
+
 def write_graph(
     edges: DataFrame,
     uri: str | None = None,
     auth: tuple[str, str] | None = None,
     batch_size: int = 500,
     driver_factory=None,
+    max_batch_retries: int = 3,
 ) -> None:
     """Write an ``edges(src, dst, relationship)`` DataFrame to Neo4j with
     size-``batch_size`` UNWIND batches per partition (the AWS variant's
     bootstrap default, ``…AWS/EMR-config/EMR_bootstrap.sh:17``).
 
     MERGE-only ⇒ re-running a failed Spark task re-applies upserts, so the
-    sink is idempotent under task retry.
+    sink is idempotent under task retry (SURVEY §7 hard-point 4); each
+    UNWIND batch is additionally retried up to ``max_batch_retries``
+    times on TRANSIENT bolt errors (leader switch, connection drop —
+    ``is_transient_bolt_error``) with the same backoff discipline as the
+    LLM client, in a FRESH session per attempt (the old session may be
+    poisoned by the failure). Non-transient errors fail the task
+    immediately and surface through Spark's own task-retry machinery —
+    which is safe for the same MERGE-idempotence reason.
 
     ``driver_factory`` is an optional zero-arg callable, run ON EACH
     EXECUTOR, returning a driver with the neo4j interface
@@ -140,17 +161,31 @@ def write_graph(
             return _n.GraphDatabase.driver(uri, auth=auth)
 
     def _write_partition(rows: Iterator) -> None:
+        from big_data___knowledge_graph_construction_with_llm_spark.llm_client import call_with_retry_sync
+
         driver = driver_factory()
-        try:
+
+        def _run_batch(cypher: str, batch: list[dict]) -> None:
+            # fresh session per attempt: one (auto-commit) tx per batch,
+            # and a transient failure never reuses a poisoned session
             with driver.session() as session:
-                for chunk in _chunks(rows, batch_size):
-                    by_rel: dict[str, list[dict]] = {}
-                    for r in chunk:
-                        by_rel.setdefault(r["relationship"], []).append(
-                            {"src": r["src"], "dst": r["dst"]}
-                        )
-                    for rel, batch in sorted(by_rel.items()):
-                        session.run(merge_edges_cypher(rel), batch=batch)
+                session.run(cypher, batch=batch)
+
+        try:
+            for chunk in _chunks(rows, batch_size):
+                by_rel: dict[str, list[dict]] = {}
+                for r in chunk:
+                    by_rel.setdefault(r["relationship"], []).append(
+                        {"src": r["src"], "dst": r["dst"]}
+                    )
+                for rel, batch in sorted(by_rel.items()):
+                    call_with_retry_sync(
+                        _run_batch,
+                        merge_edges_cypher(rel),
+                        batch,
+                        max_retries=max_batch_retries,
+                        is_rate_limit=is_transient_bolt_error,
+                    )
         finally:
             driver.close()
 

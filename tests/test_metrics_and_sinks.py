@@ -219,3 +219,117 @@ def test_export_neo4j_bulk_csv_layout(spark, tmp_path):
         ["Tiziano", 'The "Night Watch"', "bornin"],
         ["Tiziano", "Tiziano", "RELATED"],
     ]
+
+
+def test_write_graph_retries_transient_and_stays_idempotent(spark, tmp_path):
+    """Full bolt-session lifecycle against a scripted fake driver:
+    - one (auto-commit) tx per UNWIND batch, each in a FRESH session,
+      and every session is closed;
+    - the FIRST run() raises a TransientError → the batch is retried in
+      a new session and the data still arrives exactly once;
+    - a non-transient error is NOT retried (fails fast);
+    - MERGE idempotence under task retry: replaying the whole write
+      leaves the upserted store unchanged (SURVEY §7 hard-point 4)."""
+    import json as _json
+    import os
+    import uuid
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.neo4j_sink import write_graph
+
+    outdir = str(tmp_path / "bolt")
+    os.makedirs(outdir, exist_ok=True)
+
+    def factory(_dir=outdir):
+        class TransientError(Exception):  # duck-typed by class NAME
+            pass
+
+        class FakeSession:
+            def __init__(self):
+                self.sid = uuid.uuid4().hex
+                self.closed = False
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                self.closed = True
+                with open(os.path.join(_dir, f"close-{self.sid}"), "w"):
+                    pass
+                return False
+
+            def run(self, cypher, batch):
+                flag = os.path.join(_dir, "fail-once")
+                if not os.path.exists(flag):
+                    with open(flag, "w"):
+                        pass
+                    raise TransientError("leader switch, retry me")
+                # MERGE semantics: upsert keyed on (cypher, src, dst)
+                for r in batch:
+                    key = f"{hash((cypher, r['src'], r['dst'])) & 0xFFFFFFFF:08x}"
+                    with open(os.path.join(_dir, f"edge-{key}.json"), "w") as fh:
+                        _json.dump({"cypher": cypher, **r}, fh)
+                with open(os.path.join(_dir, f"run-{uuid.uuid4().hex}"), "w"):
+                    pass
+
+        class FakeDriver:
+            def session(self):
+                return FakeSession()
+
+            def close(self):
+                with open(os.path.join(_dir, f"driverclose-{uuid.uuid4().hex}"), "w"):
+                    pass
+
+        return FakeDriver()
+
+    rows = [(f"s{i}", f"t{i}", "DEPICTS") for i in range(8)]
+    edges = spark.createDataFrame(
+        rows, "src string, dst string, relationship string"
+    ).coalesce(1)
+    write_graph(edges, batch_size=4, driver_factory=factory, max_batch_retries=3)
+
+    names = os.listdir(outdir)
+    store = sorted(n for n in names if n.startswith("edge-"))
+    assert len(store) == 8                       # every edge exactly once
+    runs = [n for n in names if n.startswith("run-")]
+    assert len(runs) == 2                        # 8 rows / batch_size 4
+    closes = [n for n in names if n.startswith("close-")]
+    assert len(closes) == 3                      # 2 ok txs + 1 failed attempt
+    assert [n for n in names if n.startswith("driverclose-")]
+
+    # task retry replay: same input again → store unchanged (MERGE upsert)
+    write_graph(edges, batch_size=4, driver_factory=factory, max_batch_retries=3)
+    assert sorted(
+        n for n in os.listdir(outdir) if n.startswith("edge-")
+    ) == store
+
+    # non-transient errors must fail fast (no retry loop)
+    def bad_factory(_dir=outdir):
+        class SyntaxError_(Exception):
+            pass
+
+        class S:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *exc):
+                return False
+
+            def run(self, cypher, batch):
+                with open(os.path.join(_dir, f"badrun-{uuid.uuid4().hex}"), "w"):
+                    pass
+                raise SyntaxError_("bad cypher")
+
+        class D:
+            def session(self):
+                return S()
+
+            def close(self):
+                pass
+
+        return D()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bad cypher|SyntaxError|Py4J"):
+        write_graph(edges.coalesce(1), batch_size=100, driver_factory=bad_factory)
+    assert len([n for n in os.listdir(outdir) if n.startswith("badrun-")]) == 1

@@ -561,3 +561,25 @@ def test_unigram_surprisal_hand_computed(spark):
     }
     floor = -math.log(1 / 10.0)  # N=9, V=1, denom=10
     assert abs(ext[2] - round(floor, 6)) < 1e-9
+
+
+def test_pack_sequences_derives_prefix_partitions(spark):
+    """prefix_partitions=None derives from input parallelism: power of
+    two, in [32, 65536], ≥ 2x the input's partition count — and packing
+    under the derived default matches an explicit value semantically."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        derive_prefix_partitions,
+        pack_sequences,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n")
+    )
+    n_in = df.rdd.getNumPartitions()
+    d = derive_prefix_partitions(df)
+    assert d >= 32 and d <= 65536
+    assert d & (d - 1) == 0               # power of two
+    assert d >= min(65536, 2 * n_in)
+    out = pack_sequences(df, "doc_id", "n", budget=16)  # derived default
+    explicit = pack_sequences(df, "doc_id", "n", budget=16, prefix_partitions=d)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, explicit.collect()))

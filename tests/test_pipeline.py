@@ -283,3 +283,57 @@ def test_default_is_rate_limit_recognizes_urllib_429():
     assert not default_is_rate_limit(
         urllib.error.HTTPError("http://x", 500, "Server Error", {}, None)
     )
+
+
+def test_call_with_retry_sync_fake_clock():
+    """Sync twin: same wait parsing + backoff discipline, no event loop."""
+    from big_data___knowledge_graph_construction_with_llm_spark.llm_client import call_with_retry_sync
+
+    class RateLimitError(Exception):
+        pass
+
+    sleeps, calls = [], []
+
+    def flaky(x):
+        calls.append(x)
+        if len(calls) == 1:
+            raise RateLimitError("Please try again in 1m30.5s")
+        if len(calls) == 2:
+            raise RateLimitError("slow down")  # no server wait -> backoff
+        return x * 2
+
+    got = call_with_retry_sync(
+        flaky, 21, sleep=sleeps.append, rng=lambda a, b: 2.0
+    )
+    assert got == 42
+    assert sleeps == [90.5, 1.0]  # server-directed wait, then initial delay
+
+    def always(x):
+        raise RateLimitError("nope")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="rate limit persisted"):
+        call_with_retry_sync(always, 1, max_retries=2, sleep=sleeps.append)
+
+
+def test_http_chat_extractor_inside_running_loop():
+    """The extractor must work from a thread that already runs an asyncio
+    loop (async drivers/notebooks) — the old asyncio.run-per-record form
+    raised RuntimeError there."""
+    import asyncio as _asyncio
+    import json as _json
+
+    from big_data___knowledge_graph_construction_with_llm_spark.llm_client import http_chat_extractor
+
+    def transport(payload):
+        content = '{"subject": "a", "relation": "r", "object": "b"}'
+        return _json.dumps({"choices": [{"message": {"content": content}}]})
+
+    ex = http_chat_extractor("http://unit.test", model="m", prompt="p", transport=transport)
+
+    async def drive():
+        return ex('{"id": 1}')
+
+    got = _asyncio.run(drive())
+    assert got == [{"subject": "a", "relation": "r", "object": "b"}]
