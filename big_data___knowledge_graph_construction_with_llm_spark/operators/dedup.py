@@ -48,13 +48,12 @@ def exact_dedup_by_hash(
     has expected birthday collisions at corpus sizes this module targets
     (~40% chance of one at 2^32 docs), which would silently merge two
     DIFFERENT documents; at 192 bits the collision probability is
-    negligible at any physical corpus size.
+    negligible at any physical corpus size. The fingerprint definition
+    is ``content_fingerprints`` — the SAME projection the incremental
+    at-rest store uses, so a full-corpus pass and append-batch dedup
+    can never disagree.
     """
-    h = df.select(
-        F.col(id_col),
-        F.xxhash64(F.col(text_col)).alias("_h64"),
-        F.md5(F.col(text_col).cast("string")).alias("_h128"),
-    )
+    h = content_fingerprints(df, text_col, id_col)
     keep = h.groupBy("_h64", "_h128").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
@@ -289,11 +288,11 @@ def decontaminate(
     (anything in ``(-2^61, 0)`` must be an invalid corpus id — only a
     corpus id at or below ``-2^61`` could still masquerade, which no real
     id space reaches). ``validate_ids=True`` (default) enforces that for
-    free: the check rides the same census aggregation the skew cap needs
-    (see below), so it costs no Spark job of its own. A detected
-    violation raises AFTER the signature pass (the census is the first
-    action that can see the union) — pass False only if that error
-    timing matters and the ids are known-valid.
+    free: a column-pruned ``min(id)`` leg over the corpus rides the same
+    census collect the skew cap needs (see below), so it costs no Spark
+    job of its own. A detected violation raises after the signature
+    materialization (the census is the next action) — pass False only
+    if that error timing matters and the ids are known-valid.
     """
     corpus = docs.select(F.col(id_col), F.col(text_col))
     # synthetic bench ids ≤ -2^61: pmod ∈ [0, 2^61) → +2^61 → negate
@@ -329,9 +328,14 @@ def decontaminate(
     # the cap needs, (b) the bench ids hashing into those buckets (the
     # blind-spot warning, exact), (c) the invalid-corpus-id guard — so
     # the blind-spot accounting and the id validation cost no Spark job
-    # of their own (round 3 spent one action on each). Both legs scan the
-    # MATERIALIZED banded frame inside a single collect; output is the
-    # pathology list (tiny by definition) plus one validation row.
+    # of their own (round 3 spent one action on each). The bucket leg
+    # scans the MATERIALIZED banded frame; the validation leg scans the
+    # corpus id column directly (column-pruned — and NOT the banded
+    # frame, where a NULL-text row sheds no shingles and its invalid id
+    # would go unseen); both run inside a single collect whose output is
+    # the pathology list (tiny by definition) plus one validation row.
+    from functools import reduce
+
     is_bench = F.col("_id") < F.lit(-(1 << 61) + 1)  # ids ≤ -2^61
     legs = []
     if max_bucket is not None:
@@ -346,20 +350,17 @@ def decontaminate(
         )
     if validate_ids:
         legs.append(
-            raw_banded.agg(
-                F.min(F.when((F.col("_id") < 0) & ~is_bench, F.col("_id"))).alias("_bad_id")
-            ).select(
+            docs.agg(F.min(F.col(id_col)).alias("_m"))
+            .select(
                 F.lit(None).cast("int").alias("band"),
                 F.lit(None).cast("long").alias("bucket"),
                 F.lit(None).cast("array<long>").alias("_bench_ids"),
-                "_bad_id",
+                F.when(F.col("_m") < 0, F.col("_m")).alias("_bad_id"),
             )
         )
-    census = []
-    if legs:
-        from functools import reduce
-
-        census = reduce(lambda a, b: a.unionByName(b), legs).collect()
+    census = (
+        reduce(lambda a, b: a.unionByName(b), legs).collect() if legs else []
+    )
     bad = [r["_bad_id"] for r in census if r["_bad_id"] is not None]
     if bad:
         raise ValueError(
@@ -379,24 +380,14 @@ def decontaminate(
                 len(blind),
                 max_bucket,
             )
-        if len(oversize_keys) <= 256:
-            # literal predicate: downstream jobs never recompute the census
-            from functools import reduce as _reduce
-
-            hit = _reduce(
-                lambda a, b: a | b,
-                [
-                    (F.col("band") == F.lit(b)) & (F.col("bucket") == F.lit(k))
-                    for b, k in oversize_keys
-                ],
-            )
-            corpus_side = corpus_side.filter(~hit)
-        else:  # degenerate corpora: keep the predicate small via anti-join
-            spark = raw_banded.sparkSession
-            ov = spark.createDataFrame(oversize_keys, "band int, bucket long")
-            corpus_side = corpus_side.join(
-                F.broadcast(ov), ["band", "bucket"], "left_anti"
-            )
+        # the keys are driver-local already, so downstream jobs broadcast
+        # the tiny literal table instead of ever recomputing the census
+        ov = raw_banded.sparkSession.createDataFrame(
+            oversize_keys, "band int, bucket long"
+        )
+        corpus_side = corpus_side.join(
+            F.broadcast(ov), ["band", "bucket"], "left_anti"
+        )
     cross = materialize(_cross_from_sides(bench_side, corpus_side))
     # verify only candidate docs: prune both sides to ids in `cross`
     both = corpus.join(
@@ -658,3 +649,104 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
+
+
+def content_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The at-rest fingerprint table ``(id, _h64, _h128)`` that makes
+    dedup INCREMENTAL: store this (a few dozen bytes/doc) next to the
+    corpus once, and every future append dedups against it without ever
+    re-reading, re-hashing, or shuffling the existing documents — the
+    layout decision DEPLOYMENT.md's table describes. Same 192-bit
+    (xxhash64, md5) pair as ``exact_dedup_by_hash`` and for the same
+    reason: 64 bits alone birthday-collides at ~2³² docs."""
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("_h64"),
+        F.md5(F.col(text_col).cast("string")).alias("_h128"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    fingerprints: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an APPEND batch against an existing corpus represented only
+    by its ``content_fingerprints`` table: returns ``(new_rows,
+    new_fingerprints)`` where ``new_rows`` are the batch rows that are
+    duplicates of neither the existing corpus nor of each other (first
+    id wins within the batch), and ``new_fingerprints`` is exactly the
+    rows to append to the fingerprint store so the next batch repeats
+    the cycle.
+
+    Scale shape: the batch is hashed once; the join against the store is
+    fingerprint-vs-fingerprint (16-byte keys — with the store bucketed
+    on ``_h64`` at rest the shuffle is one-sided), and corpus text is
+    never touched. This is the steady-state form of dedup at 100 TB:
+    the full-corpus pass happens once; every day after is
+    batch-sized work.
+    """
+    bfp = content_fingerprints(batch, text_col, id_col)
+    # within-batch: keep min id per fingerprint (same rule as the full op)
+    keep = bfp.groupBy("_h64", "_h128").agg(F.min(id_col).alias(id_col))
+    # against the store: drop fingerprints the corpus already has
+    fresh = keep.join(
+        fingerprints.select("_h64", "_h128"), ["_h64", "_h128"], "left_anti"
+    )
+    new_rows = batch.join(fresh.select(id_col), id_col, "left_semi")
+    new_fps = fresh.select(id_col, "_h64", "_h128")
+    return new_rows, new_fps
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+    max_iter: int = 20,
+    strict: bool = False,
+) -> DataFrame:
+    """Near-duplicate REMOVAL (not just pair detection): MinHash-LSH
+    candidates → exact n-gram-Jaccard verify at ``threshold`` →
+    connected components over the verified pair graph → keep the
+    minimum id of every cluster. Returns the surviving rows.
+
+    Components, not pairwise drops: near-duplication is transitive in
+    practice (A≈B, B≈C ⇒ one boilerplate family) and pairwise "drop the
+    larger id" can drop BOTH rows of a pair that chains (B of A−B, then
+    C of B−C keeps nothing of B's family except A — fine — but with
+    A−B and C−D∪B−C orderings a naive drop-list can also orphan
+    clusters). The component minimum is deterministic and keeps exactly
+    one representative per family, matching ``exact_dedup_by_hash``'s
+    min-id rule. ``max_iter``/``strict`` pass through to
+    ``connected_components`` (cluster chains longer than ``max_iter``
+    would split — strict makes that an error).
+
+    Scale: pairs are LSH-blocked and capped (``max_bucket``), the
+    component step runs on the PAIR graph (candidate-sized, not
+    corpus-sized), and only ids shuffle in the cluster/keep joins.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, cand, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=max_iter,
+        strict=strict,
+    )
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -90,7 +90,11 @@ def two_hop(edges: DataFrame) -> DataFrame:
 # lowercase accented latin chars → ascii fold (applied after lower();
 # covers the latin-1 range the reference's art-museum data actually uses)
 _ACCENTED = "áàâäãåéèêëíìîïóòôöõúùûüçñÿý"
-_FOLDED = "aaaaaaeeeeiiiioooooouuuucnyy"
+_FOLDED = "aaaaaaeeeeiiiiooooouuuucnyy"
+# translate() maps positionally — a length drift would silently shift
+# every mapping after the drift point (ú→o, ç→u, …), missing exactly
+# the accent-variant matches the fold exists for
+assert len(_ACCENTED) == len(_FOLDED)
 
 
 def default_entity_block(c: F.Column) -> F.Column:

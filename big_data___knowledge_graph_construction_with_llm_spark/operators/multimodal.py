@@ -69,14 +69,25 @@ def decode_image_pil(payload: bytes) -> tuple[int, int, int]:
             "use decode_image_stub or best_image_decoder() for a fallback"
         ) from e
 
-    img = Image.open(io.BytesIO(payload))
-    return (img.width, img.height, len(img.getbands()))
+    try:
+        img = Image.open(io.BytesIO(payload))
+        return (img.width, img.height, len(img.getbands()))
+    except Exception:  # noqa: BLE001 - any undecodable payload
+        # sentinel, never an exception: one corrupt image in a 10⁹-row
+        # corpus must not fail the task (and with it, after Spark's task
+        # retries, the whole job) — downstream filters on width > 0
+        return (-1, -1, 0)
 
 
 def best_image_decoder() -> Callable[[bytes], tuple[int, int, int]]:
     """The real PIL decoder when Pillow is installed, else the stub —
     resolved ONCE on the driver so the choice is uniform across the job
-    (a per-executor probe could mix real and fake dims in one output)."""
+    (a per-executor probe could mix real and fake dims in one output).
+
+    Assumes a homogeneous environment: if the driver has Pillow but
+    executors don't, tasks raise ImportError at runtime — deliberate
+    (silently mixing stub and real dims would be worse); install Pillow
+    cluster-wide or pass ``decode_image_stub`` explicitly."""
     import importlib.util
 
     if importlib.util.find_spec("PIL") is not None:

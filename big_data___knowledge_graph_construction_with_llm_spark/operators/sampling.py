@@ -95,11 +95,25 @@ def stratified_sample(
 
 
 def derive_prefix_partitions(df: DataFrame) -> int:
-    """``pack_sequences``' default partition count: ``2 × input
-    partitions``, clamped to [32, 65536], rounded up to a power of two.
-    Reads the physical plan's partitioning (no job is run). See the
-    sizing discussion in ``pack_sequences``."""
-    n = max(32, min(65536, 2 * df.rdd.getNumPartitions()))
+    """``pack_sequences``' default partition count:
+    ``clamp(2 × max(input files, default parallelism), 32, 65536)``
+    rounded up to a power of two.
+
+    Derived WITHOUT executing anything: ``df.inputFiles()`` reads the
+    scan's file listing from the plan and each parquet part file is at
+    most ``spark.sql.files.maxPartitionBytes`` of rows, so two prefix
+    partitions per file keeps every per-task window sort under a scan
+    task's size; ``defaultParallelism`` floors non-scan inputs.
+    (``df.rdd.getNumPartitions()`` would be more precise but under AQE
+    it MATERIALIZES the plan's shuffle stages — an expensive upstream
+    would run twice per ``pack_sequences`` call.) See the sizing
+    discussion in ``pack_sequences``."""
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-scan plans (e.g. createDataFrame)  # noqa: BLE001
+        n_files = 0
+    base = max(n_files, df.sparkSession.sparkContext.defaultParallelism)
+    n = max(32, min(65536, 2 * base))
     return 1 << (n - 1).bit_length()
 
 

@@ -129,8 +129,10 @@ def write_graph(
 
     MERGE-only ⇒ re-running a failed Spark task re-applies upserts, so the
     sink is idempotent under task retry (SURVEY §7 hard-point 4); each
-    UNWIND batch is additionally retried up to ``max_batch_retries``
-    times on TRANSIENT bolt errors (leader switch, connection drop —
+    UNWIND batch is additionally attempted up to ``max_batch_retries``
+    times IN TOTAL (i.e. ``max_batch_retries - 1`` retries after the
+    first failure) on TRANSIENT bolt errors (leader switch, connection
+    drop —
     ``is_transient_bolt_error``) with the same backoff discipline as the
     LLM client, in a FRESH session per attempt (the old session may be
     poisoned by the failure). Non-transient errors fail the task

@@ -316,3 +316,17 @@ def test_decontaminate_warns_when_benchmark_hits_capped_bucket(spark, caplog):
     assert any("benchmark doc" in r.message for r in caplog.records)
     # capped bucket -> the leak goes undetected (documented recall loss)
     assert out.count() == 5
+
+
+def test_decontaminate_rejects_negative_id_with_null_text(spark):
+    """Regression: a NULL-text row sheds no shingles and never reaches
+    the banded frame, so the id validation must scan the corpus ids
+    directly — not the signature table."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(-5, None), (2, "fine doc")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("fine doc",)], "text string")
+    with pytest.raises(ValueError, match="non-negative corpus ids"):
+        decontaminate(docs, bench, "doc_id", "text", max_bucket=100)

@@ -260,3 +260,20 @@ def test_resolve_entities_max_block_skips_oversize(spark):
     assert all(got[n] == n for (n,) in big)        # capped block: self-mapped
     assert got["Rembrandtt"] == "Rembrandt"        # uncapped block still resolves
     assert len(got) == 52                          # coverage: every vertex mapped
+
+
+def test_default_entity_block_folds_late_alphabet_accents(spark):
+    """Regression: the fold table must stay positionally aligned — a
+    length drift shifts every mapping after the drift point, so pin the
+    chars PAST the first vowels (ú, ç, ñ) explicitly."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import default_entity_block
+
+    pairs = [("Núñez", "Nunez"), ("Çelik", "Celik"), ("Über", "Uber")]
+    rows = [(n,) for p in pairs for n in p]
+    df = spark.createDataFrame(rows, "id string")
+    keys = {
+        r["id"]: r["b"]
+        for r in df.select("id", default_entity_block(F.col("id")).alias("b")).collect()
+    }
+    for accented, plain in pairs[:2]:
+        assert keys[accented] == keys[plain], (accented, keys)

@@ -333,3 +333,20 @@ def test_write_graph_retries_transient_and_stays_idempotent(spark, tmp_path):
     with _pytest.raises(Exception, match="bad cypher|SyntaxError|Py4J"):
         write_graph(edges.coalesce(1), batch_size=100, driver_factory=bad_factory)
     assert len([n for n in os.listdir(outdir) if n.startswith("badrun-")]) == 1
+
+
+def test_fsutil_roundtrip_and_delete(spark, tmp_path):
+    """Hadoop-FS helpers: write/read/exists/delete round-trip on a
+    local path (same code path as hdfs:///s3a: — only the scheme's
+    FileSystem impl differs)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    p = str(tmp_path / "nested" / "marker.txt")
+    assert not fsutil.exists(spark, p)
+    fsutil.write_text(spark, p, "attempt-abc\n")
+    assert fsutil.exists(spark, p)
+    assert fsutil.read_text(spark, p) == "attempt-abc\n"
+    fsutil.write_text(spark, p, "overwritten")       # create(True) semantics
+    assert fsutil.read_text(spark, p) == "overwritten"
+    assert fsutil.delete(spark, p)
+    assert not fsutil.exists(spark, p)

@@ -583,3 +583,54 @@ def test_pack_sequences_derives_prefix_partitions(spark):
     out = pack_sequences(df, "doc_id", "n", budget=16)  # derived default
     explicit = pack_sequences(df, "doc_id", "n", budget=16, prefix_partitions=d)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, explicit.collect()))
+
+
+def test_incremental_dedup_against_fingerprint_store(spark):
+    """Append-batch dedup touches only fingerprints: batch rows duplicate
+    of the store OR of each other are dropped (min id wins), and the
+    returned fingerprint delta is exactly what the store needs for the
+    next batch to repeat the cycle."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], "doc_id long, text string"
+    )
+    store = content_fingerprints(corpus, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha doc"),    # dup of corpus -> dropped
+            (11, "gamma doc"),    # new -> kept
+            (12, "gamma doc"),    # within-batch dup -> dropped (11 wins)
+            (13, "delta doc"),    # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    new_rows, new_fps = incremental_dedup(batch, store, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in new_rows.collect()) == [11, 13]
+    # appending the delta makes the next identical batch a full no-op
+    store2 = store.unionByName(new_fps)
+    again, delta2 = incremental_dedup(batch, store2, "text", "doc_id")
+    assert again.count() == 0 and delta2.count() == 0
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """A≈B≈C chain collapses to min-id A even though A,C are not a
+    verified pair themselves; unrelated docs survive untouched."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import semantic_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base + " x1"),            # ≈ 1
+        (3, base + " x1 x2"),         # ≈ 2, chains to 1
+        (7, "completely different text about spark dataframes and shuffles here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in semantic_dedup(df, "doc_id", "text", threshold=0.5).collect()
+    )
+    assert got == [1, 7]
