@@ -533,11 +533,13 @@ def simhash_signatures(
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s"),
     )
     if hash_mode == "md5":
-        # hi = md5 hex[0:8], lo = hex[8:16]; bit i<32 reads lo, i>=32 reads hi
-        h = tok.select(
+        # hi = md5 hex[0:8], lo = hex[8:16]; bit i<32 reads lo, i>=32 reads
+        # hi. md5 is materialized in its own projection so it is computed
+        # once per shingle by construction, not by relying on codegen CSE.
+        h = tok.select("_id", F.md5("_s").alias("_m")).select(
             "_id",
-            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_hi"),
-            F.conv(F.substring(F.md5("_s"), 9, 8), 16, 10).cast("long").alias("_lo"),
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_hi"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_lo"),
         )
         aggs = [
             F.sum(

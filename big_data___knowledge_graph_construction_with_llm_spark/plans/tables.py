@@ -52,3 +52,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if t == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL entry point: register every synthetic table as a temp view
+    (normalized through :func:`load`, so timestamp quirks are already
+    handled) and any ``spark.sql`` query runs against them — the
+    "register tables → spark.sql" surface SURVEY §3 promises. Views are
+    lazy: registration reads nothing.
+    """
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -309,3 +309,26 @@ def test_parse_rdfxml_rows_real_europeana_file():
     assert any(r["subject"] == "Paul Gauguin" for r in rows)
     # hexBinary componentColor literals never leak through
     assert not any(str(r["object"]).startswith("#") for r in rows)
+
+
+def test_register_views_sql_surface(spark):
+    """spark.sql works against all registered tables, with the same
+    normalized timestamps the DataFrame API sees."""
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import TABLES, register_views
+    from tests.conftest import SF_DIR
+
+    register_views(spark, SF_DIR)
+    for t in TABLES:
+        assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
+    row = spark.sql(
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 1
+        """
+    ).head()
+    assert row["n"] >= 1
+    # timestamp normalization flows through SQL too (no NTZ cast errors)
+    assert spark.sql(
+        "SELECT CAST(ts AS BIGINT) AS e FROM events LIMIT 1"
+    ).head() is not None
