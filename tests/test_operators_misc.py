@@ -634,3 +634,35 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
         for r in semantic_dedup(df, "doc_id", "text", threshold=0.5).collect()
     )
     assert got == [1, 7]
+
+
+def test_incremental_dedup_matches_full_pass_on_texts(spark):
+    """Invariant: corpus + incremental(batch) keeps exactly the same SET
+    OF TEXTS as a full exact_dedup_by_hash over corpus ∪ batch. (Kept
+    ids may differ: the full pass keeps the global min id, the
+    incremental path keeps the already-stored corpus representative —
+    first-seen-wins, which is what an append pipeline wants.)"""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+        exact_dedup_by_hash,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(5, "alpha"), (6, "beta"), (7, "gamma")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "delta"), (3, "delta"), (4, "beta")],
+        "doc_id long, text string",
+    )
+    full = exact_dedup_by_hash(
+        corpus.unionByName(batch), "text", "doc_id"
+    )
+    new_rows, _ = incremental_dedup(
+        batch, content_fingerprints(corpus, "text", "doc_id"), "text", "doc_id"
+    )
+    incr_texts = {
+        r["text"] for r in corpus.unionByName(new_rows).collect()
+    }
+    assert incr_texts == {r["text"] for r in full.collect()}
+    assert incr_texts == {"alpha", "beta", "gamma", "delta"}
