@@ -52,6 +52,24 @@ def default_is_rate_limit(exc: BaseException) -> bool:
     )
 
 
+def _next_wait(
+    exc: BaseException,
+    delay: float,
+    rng: Callable[[float, float], float],
+    backoff_range: tuple[float, float],
+    wait_parser: Callable[[str], float | None] | None,
+) -> tuple[float, float]:
+    """The ONE retry-schedule rule both the async and sync loops consume:
+    ``(sleep_now, next_delay)`` — a server-directed wait when the parser
+    finds one (delay unchanged), else the current delay multiplied by
+    ``uniform(*backoff_range)`` for next time. Keeping this shared means
+    a policy change (capping waits, jitter) can never diverge the twins."""
+    wait = wait_parser(str(exc)) if wait_parser else None
+    if wait is not None:
+        return wait, delay
+    return delay, delay * rng(*backoff_range)
+
+
 async def call_with_retry(
     func: Callable[..., Awaitable],
     *args,
@@ -61,6 +79,8 @@ async def call_with_retry(
     is_rate_limit: Callable[[BaseException], bool] = default_is_rate_limit,
     sleep: Callable[[float], Awaitable] = asyncio.sleep,
     rng: Callable[[float, float], float] = random.uniform,
+    wait_parser: Callable[[str], float | None] | None = parse_server_wait,
+    failure_label: str = "rate limit",
     **kwargs,
 ):
     """Await ``func`` with the reference's rate-limit retry discipline
@@ -71,7 +91,9 @@ async def call_with_retry(
     errors propagate immediately.
 
     ``sleep`` and ``rng`` are injectable so tests run on a fake clock;
-    the defaults are the production behavior.
+    the defaults are the production behavior. ``wait_parser``/
+    ``failure_label`` let non-LLM callers (the bolt sink) opt out of
+    LLM-message parsing and name their own failure mode.
     """
     delay = float(initial_delay)
     last_exc: Exception | None = None
@@ -82,16 +104,12 @@ async def call_with_retry(
             if not is_rate_limit(exc):
                 raise
             last_exc = exc
-            wait = parse_server_wait(str(exc))
-            if wait is not None:
-                await sleep(wait)
-            else:
-                await sleep(delay)
-                delay *= rng(*backoff_range)
+            wait, delay = _next_wait(exc, delay, rng, backoff_range, wait_parser)
+            await sleep(wait)
     # chain the provider's last error: its status code / request id is
     # what an operator needs to diagnose the exhaustion
     raise RuntimeError(
-        f"rate limit persisted after {max_retries} attempts"
+        f"{failure_label} persisted after {max_retries} attempts"
     ) from last_exc
 
 
@@ -104,16 +122,21 @@ def call_with_retry_sync(
     is_rate_limit: Callable[[BaseException], bool] = default_is_rate_limit,
     sleep: Callable[[float], None] = time.sleep,
     rng: Callable[[float, float], float] = random.uniform,
+    wait_parser: Callable[[str], float | None] | None = parse_server_wait,
+    failure_label: str = "rate limit",
     **kwargs,
 ):
     """Synchronous twin of :func:`call_with_retry` — same discipline
     (server-directed wait, ×uniform(5.5, 6.0) backoff, ``max_retries``
-    then ``RuntimeError`` chaining the provider's last error), no event
-    loop. This is what per-record extractors should use: creating and
-    destroying an ``asyncio`` loop per call costs ~ms each and raises
-    ``RuntimeError`` when invoked from a thread that already runs a loop
-    (async drivers, notebooks). The async form remains the right tool
-    where there is real fan-out to overlap (``gather_in_batches``)."""
+    TOTAL attempts then ``RuntimeError`` chaining the provider's last
+    error), no event loop. The schedule itself lives in the shared
+    :func:`_next_wait`, so the twins cannot diverge; only the loop
+    skeleton (await vs not) differs. This is what per-record extractors
+    should use: creating and destroying an ``asyncio`` loop per call
+    costs ~ms each and raises ``RuntimeError`` when invoked from a
+    thread that already runs a loop (async drivers, notebooks). The
+    async form remains the right tool where there is real fan-out to
+    overlap (``gather_in_batches``)."""
     delay = float(initial_delay)
     last_exc: Exception | None = None
     for _ in range(max_retries):
@@ -123,14 +146,10 @@ def call_with_retry_sync(
             if not is_rate_limit(exc):
                 raise
             last_exc = exc
-            wait = parse_server_wait(str(exc))
-            if wait is not None:
-                sleep(wait)
-            else:
-                sleep(delay)
-                delay *= rng(*backoff_range)
+            wait, delay = _next_wait(exc, delay, rng, backoff_range, wait_parser)
+            sleep(wait)
     raise RuntimeError(
-        f"rate limit persisted after {max_retries} attempts"
+        f"{failure_label} persisted after {max_retries} attempts"
     ) from last_exc
 
 

@@ -737,10 +737,26 @@ def semantic_dedup(
         connected_components,
     )
 
-    cand = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    # materialize the candidates: they feed both the suspect prune and
+    # the verify join, and recomputing them means re-running the whole
+    # LSH pipeline per consumer
+    cand = materialize(
+        lsh_candidate_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        )
     )
-    pairs = ngram_jaccard_pairs(df, id_col, text_col, cand, shingle_n).filter(
+    # verify only candidate docs — same prune decontaminate does: at
+    # corpus scale this is the difference between re-shingling the
+    # corpus and re-shingling a few thousand suspects
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    suspects = df.select(F.col(id_col), F.col(text_col)).join(
+        ids, id_col, "left_semi"
+    )
+    pairs = ngram_jaccard_pairs(suspects, id_col, text_col, cand, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
     comps = connected_components(

@@ -196,14 +196,30 @@ def pack_sequences(
     for p in range(prefix_partitions):
         prefix.append(acc)
         acc += int(totals.get(p, 0))
-    prefix_arr = F.array(*[F.lit(x) for x in prefix])
-    start = F.element_at(prefix_arr, F.col("_pk") + 1) + within
-    return part.withColumns(
+    if prefix_partitions <= 1024:
+        # small counts: literal array lookup, no join in the plan
+        prefix_arr = F.array(*[F.lit(x) for x in prefix])
+        start = F.element_at(prefix_arr, F.col("_pk") + 1) + within
+        out = part.withColumn("_start", start)
+    else:
+        # wide counts: a 65536-element literal array would cost one py4j
+        # round-trip per element at plan-build time (tens of seconds on
+        # the driver) — ship the offsets as a tiny broadcast-joined table
+        spark = df.sparkSession
+        offsets = spark.createDataFrame(
+            list(enumerate(prefix)), "_pk int, _prefix long"
+        )
+        out = (
+            part.join(F.broadcast(offsets), "_pk")
+            .withColumn("_start", F.col("_prefix") + within)
+            .drop("_prefix")
+        )
+    return out.withColumns(
         {
-            "seq_id": F.floor(start / budget).cast("long"),
-            "offset_in_seq": (start % budget).cast("long"),
+            "seq_id": F.floor(F.col("_start") / budget).cast("long"),
+            "offset_in_seq": (F.col("_start") % budget).cast("long"),
         }
-    ).drop("_pk")
+    ).drop("_pk", "_start")
 
 
 def chunk_documents(

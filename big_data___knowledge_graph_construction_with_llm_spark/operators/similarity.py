@@ -282,7 +282,11 @@ def ensure_ivf_index(
         ).partitionBy("cluster").parquet(f"{base}/index")
         cents.write.mode("overwrite").parquet(f"{base}/centroids")
         fsutil.write_text(spark, f"{base}/_COMPLETE", "")
-        fsutil.write_text(spark, marker, name)  # the commit point
+        try:
+            fsutil.write_text(spark, marker, name)  # the commit point
+        except Exception:  # noqa: BLE001 - lost the marker race (e.g. HDFS
+            pass  # lease conflict with a concurrent committer) — our attempt
+            # is complete either way; resolve the winner below
         attempt_dir = _resolve()
         if attempt_dir is None:  # raced with another builder mid-marker-write
             attempt_dir = base

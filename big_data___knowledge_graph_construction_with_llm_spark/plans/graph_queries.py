@@ -291,9 +291,22 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(edges, iterations=10, exact_scale=10**12)
 
 
+def _accent_fold_sql(expr: str) -> str:
+    """DuckDB twin of ``default_entity_block``'s accent fold: the SAME
+    27-char map (imported, not copied) as nested ``replace`` calls, so
+    the oracle's blocking agrees with Spark's even if the regenerated
+    testdata ever grows accented names."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph import _ACCENTED, _FOLDED
+
+    out = expr
+    for a, f in zip(_ACCENTED, _FOLDED):
+        out = f"replace({out}, '{a}', '{f}')"
+    return out
+
+
 @query(
     "q_resolve_entities",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE names AS (
       SELECT DISTINCT p_name AS n FROM part
       UNION
@@ -302,7 +315,7 @@ def q_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ),
     blocked AS (
       SELECT n,
-             substring(lower(n), 1, 2) || '|'
+             substring({_accent_fold_sql("lower(n)")}, 1, 2) || '|'
                || CAST(length(n) // 8 AS VARCHAR) AS blk
       FROM names
     ),

@@ -187,6 +187,11 @@ def write_graph(
                         batch,
                         max_retries=max_batch_retries,
                         is_rate_limit=is_transient_bolt_error,
+                        # bolt errors carry no LLM-style "XmY.Zs" wait
+                        # directives — a duration-looking token in a bolt
+                        # message must not become a half-hour sleep
+                        wait_parser=None,
+                        failure_label="transient bolt error",
                     )
         finally:
             driver.close()

@@ -275,5 +275,5 @@ def test_default_entity_block_folds_late_alphabet_accents(spark):
         r["id"]: r["b"]
         for r in df.select("id", default_entity_block(F.col("id")).alias("b")).collect()
     }
-    for accented, plain in pairs[:2]:
+    for accented, plain in pairs:
         assert keys[accented] == keys[plain], (accented, keys)
