@@ -17,16 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
 from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
 from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
     decontaminate,
     exact_dedup_by_hash,
-    lsh_candidate_pairs,
-    ngram_jaccard_pairs,
-)
-from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
-    connected_components,
+    semantic_dedup,
 )
 from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import dataset_split
 
@@ -49,24 +44,21 @@ def near_dedup(
 
     ``strict=True`` makes CC non-convergence (a duplicate cluster with
     diameter > its max_iter) a hard error instead of a logged warning —
-    without it extra near-duplicates would be silently kept."""
-    cand = lsh_candidate_pairs(
-        docs, id_col, text_col, shingle_n=shingle_n, max_bucket=max_bucket
-    )
-    confirmed = materialize(
-        ngram_jaccard_pairs(docs, id_col, text_col, cand, shingle_n)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b")
-        # consumed twice below (CC symmetrizes + iterates); materialize
-    )
-    comps = connected_components(
-        confirmed.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    without it extra near-duplicates would be silently kept.
+
+    Thin wrapper over :func:`operators.dedup.semantic_dedup` (the ONE
+    implementation of cluster-collapse near-dedup — it also prunes the
+    exact-verify stage to candidate ids, so the corpus is never
+    re-shingled wholesale) with this pipeline's defaults."""
+    return semantic_dedup(
+        docs,
+        id_col,
+        text_col,
+        threshold=jaccard_threshold,
+        shingle_n=shingle_n,
+        max_bucket=max_bucket,
         strict=strict,
     )
-    drop = comps.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col)
-    )
-    return docs.join(drop, id_col, "left_anti")
 
 
 def curate(
