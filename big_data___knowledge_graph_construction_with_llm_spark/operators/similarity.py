@@ -412,6 +412,51 @@ def cosine_near_dup_pairs(
     )
 
 
+def embedding_dedup(
+    vectors: DataFrame,
+    threshold: float,
+    block_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 2,
+    max_iter: int = 20,
+    strict: bool = False,
+) -> DataFrame:
+    """Embedding-space near-duplicate REMOVAL (SemDeDup-style): blocked
+    cosine pairs above ``threshold`` → connected components over the
+    pair graph → keep the minimum-id representative of every near-dup
+    family. Returns the surviving rows of ``vectors``.
+
+    Components rather than pairwise drops for the same reason as
+    ``dedup.semantic_dedup``: near-duplication chains (A≈B, B≈C is one
+    family), and the component minimum keeps exactly one deterministic
+    representative per family. The component step runs on the PAIR
+    graph (candidate-sized, not corpus-sized), and only ids shuffle in
+    the drop join — vectors never re-shuffle past the pair stage.
+    ``max_iter``/``strict`` pass through to ``connected_components``.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        connected_components,
+    )
+
+    # materialized: the pair graph feeds every CC iteration, and
+    # recomputing it would re-run the blocked self-join per iteration
+    pairs = materialize(
+        cosine_near_dup_pairs(
+            vectors, threshold, block_cols, id_col, vec_col, sign_dims
+        )
+    )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=max_iter,
+        strict=strict,
+    )
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return vectors.join(drop, id_col, "left_anti")
+
+
 def name_similarity_join(
     left: DataFrame,
     right: DataFrame,

@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
 from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+    content_fingerprints,
+    exact_dedup_by_hash,
+    incremental_dedup,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -40,28 +44,65 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 30 = 0
+    ),
+    rk AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn,
+             count(*) OVER (PARTITION BY text) AS n_copies
+      FROM full_docs
     )
-    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-    FROM full_docs GROUP BY text
+    SELECT doc_id, batch, n_copies FROM rk WHERE rn = 1
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup by content hash: shuffle a 192-bit (xxhash64, md5)
-    fingerprint pair, never the document text — 64 bits alone
-    birthday-collides at ~2³² docs, exactly the scale this targets
-    (same rationale as ``exact_dedup_by_hash``). Clones are planted
-    (10%) so groups >1 exist. The oracle groups on the text itself:
-    parity proves the fingerprint introduced no collision here."""
+    """Exact dedup by 192-bit content fingerprint — full-pass AND
+    incremental in one pipeline, the steady-state 100 TB shape: batch 0
+    is the base corpus deduped with a full ``exact_dedup_by_hash`` pass,
+    and batches 1 and 2 arrive as APPENDS deduped purely against the
+    at-rest ``content_fingerprints`` store (corpus text is never
+    re-read; only (xxhash64, md5) pairs shuffle — 64 bits alone
+    birthday-collides at ~2³² docs). Clones planted at +1e6 (every 10th
+    id) and +3e6 (every 30th id) land in DIFFERENT batches mod 3, so
+    the survivor of a duplicate family is decided by
+    store-wins-then-min-id — NOT global min-id: a clone landing in an
+    earlier batch than its original beats the original, which the
+    oracle's ``ORDER BY batch, doc_id`` ranking reproduces exactly.
+    ``n_copies`` is the family size. The oracle groups on the text
+    itself: parity proves the fingerprint introduced no collision and
+    that the full-pass and incremental paths enforce one keep-rule."""
     d = load(spark, sf, "documents").select("doc_id", "text")
-    clones = d.filter(F.col("doc_id") % 10 == 0).select(
+    clone1 = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    full = d.unionByName(clones)
+    clone3 = d.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+    )
+    full = d.unionByName(clone1).unionByName(clone3)
+    batches = [full.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    base = exact_dedup_by_hash(batches[0], "text", "doc_id")
+    # the store is materialized per step, as it would be at rest: each
+    # append reads fingerprints, never the corpus (or the lineage of the
+    # previous append's full dedup)
+    fps = materialize(content_fingerprints(base, "text", "doc_id"))
+    kept = base.select("doc_id").withColumn("batch", F.lit(0))
+    for i in (1, 2):
+        new_rows, new_fps = incremental_dedup(batches[i], fps, "text", "doc_id")
+        kept = kept.unionByName(
+            new_rows.select("doc_id").withColumn("batch", F.lit(i))
+        )
+        fps = materialize(fps.unionByName(new_fps))
+
+    # family sizes: one partial-aggregated count over the fingerprint
+    # table (ids + 24-byte fingerprints shuffle; text does not)
+    all_fps = content_fingerprints(full, "text", "doc_id")
+    sizes = all_fps.groupBy("_h64", "_h128").agg(F.count("*").alias("n_copies"))
     return (
-        full.select("doc_id", F.xxhash64("text").alias("_h"), F.md5("text").alias("_m"))
-        .groupBy("_h", "_m")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
-        .select("doc_id", "n_copies")
+        kept.join(all_fps, "doc_id")
+        .join(sizes, ["_h64", "_h128"])
+        .select("doc_id", F.col("batch").cast("int").alias("batch"), "n_copies")
     )
 
 
@@ -379,7 +420,7 @@ def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_cosine_sim",
     oracle="""
-    WITH e AS (
+    WITH RECURSIVE e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
       UNION ALL
       SELECT vec_id + 1000000, label,
@@ -394,18 +435,44 @@ def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
               + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
               + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt
       FROM e
-    )
-    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, c.v), 4) AS cosine
-    FROM b a JOIN b c
-      ON a.label = c.label AND a.bkt = c.bkt AND a.vec_id < c.vec_id
-    WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.95
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, c.v), 4) AS cosine
+      FROM b a JOIN b c
+        ON a.label = c.label AND a.bkt = c.bkt AND a.vec_id < c.vec_id
+      WHERE round(list_cosine_similarity(a.v, c.v), 4) >= 0.95
+    ),
+    sym AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    r(a, m) AS (
+      SELECT s, s FROM sym
+      UNION
+      SELECT r.a, s.d FROM r JOIN sym s ON s.s = r.m
+    ),
+    comp AS (SELECT a AS vid, min(m) AS family FROM r GROUP BY a)
+    SELECT p.id_a, p.id_b, p.cosine, comp.family
+    FROM p JOIN comp ON comp.vid = p.id_a
     """,
 )
 def q_cosine_sim(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-duplicate pairs ≥ 0.95 cosine, blocked on
-    (label × 4 sign-LSH bits) — the pair space never goes quadratic in the
-    corpus. Clones (dim-1 perturbed) are planted so true pairs exist."""
+    (label × 4 sign-LSH bits) — the pair space never goes quadratic in
+    the corpus — then SemDeDup-style family resolution: connected
+    components over the pair graph, ``family`` = min vec_id of each
+    near-dup cluster (chains A≈B≈C are ONE family even when A,C are not
+    a pair themselves). ``operators.similarity.embedding_dedup`` is this
+    exact pipeline plus a 2-line min-id anti-join (unit-tested); the
+    oracle replays blocking + pairs in SQL and resolves families with a
+    recursive transitive closure. Clones (dim-1 perturbed) are planted
+    so true pairs exist."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        connected_components,
+    )
+
     e = load(spark, sf, "embeddings")
     ed = e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
@@ -419,9 +486,17 @@ def q_cosine_sim(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("embedding"),
     )
     full = ed.unionByName(clones)
-    return cosine_near_dup_pairs(
-        full, threshold=0.95, block_cols=["label"], sign_dims=4
+    pairs = materialize(
+        cosine_near_dup_pairs(full, threshold=0.95, block_cols=["label"], sign_dims=4)
     )
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        strict=True,
+    )
+    return pairs.join(
+        comps.select(F.col("id").alias("id_a"), F.col("comp").alias("family")),
+        "id_a",
+    ).select("id_a", "id_b", "cosine", "family")
 
 
 @query(

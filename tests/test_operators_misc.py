@@ -666,3 +666,25 @@ def test_incremental_dedup_matches_full_pass_on_texts(spark):
     }
     assert incr_texts == {r["text"] for r in full.collect()}
     assert incr_texts == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_embedding_dedup_collapses_chain_to_min_id(spark):
+    """Cosine chain A≈B≈C (one family via transitivity) keeps only the
+    min id; an isolated vector with no pair survives even though it
+    never enters the pair graph."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import embedding_dedup
+
+    rows = [
+        (1, "g", [1.0, 0.0, 0.0, 0.0]),
+        (2, "g", [0.999, 0.045, 0.0, 0.0]),   # ≈ 1
+        (3, "g", [0.996, 0.09, 0.0, 0.0]),    # ≈ 2, chains to 1
+        (9, "g", [0.0, 0.0, 1.0, 0.0]),       # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    got = sorted(
+        r["vec_id"]
+        for r in embedding_dedup(
+            df, threshold=0.995, block_cols=["label"], sign_dims=2, strict=True
+        ).collect()
+    )
+    assert got == [1, 9]
