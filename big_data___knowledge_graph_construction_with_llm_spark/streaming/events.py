@@ -15,6 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+
 
 def read_events_stream(
     spark, path: str, schema: str = (
@@ -131,6 +133,67 @@ def write_foreach_batch(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def incremental_dedup_sink(
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    emit: Callable[[DataFrame, int], None],
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` body that makes exact dedup STREAMING against a
+    durable store: each micro-batch is deduped against the at-rest
+    ``content_fingerprints`` table (``operators.dedup``) — never against
+    the landed corpus itself — survivors go to ``emit``, and only the
+    survivors' fingerprints (24 bytes/doc) are appended. This is the
+    streaming sibling of the batch ``incremental_dedup`` path and uses
+    the identical fingerprint definition, so a corpus bootstrapped by a
+    batch full-pass and continued by this sink can never disagree.
+
+    Unlike ``curate_stream``'s ``dropDuplicatesWithinWatermark`` (state
+    bounded by the watermark horizon — re-deliveries only), this sink
+    dedups against ALL history with ZERO streaming state: the history
+    lives in the store, not the state store.
+
+    Idempotent under batch replay (the ``foreachBatch`` contract is
+    at-least-once): fingerprints are partitioned by ``batch_id`` and a
+    replay (a) reads the store with its own and later partitions
+    pruned out, so it recomputes exactly the original survivor set
+    even if the failed attempt already appended, and (b) dynamically
+    overwrites only its own partition. ``emit`` must be idempotent per
+    ``batch_id``, as for any foreachBatch sink.
+    """
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+            content_fingerprints,
+            incremental_dedup,
+        )
+
+        spark = batch.sparkSession
+        if fsutil.exists(spark, store_path):
+            fps = spark.read.parquet(store_path).filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+        else:
+            fps = content_fingerprints(batch.limit(0), text_col, id_col)
+        new_rows, new_fps = incremental_dedup(batch, fps, text_col, id_col)
+        # survivors must be FIXED before emit and the store append can
+        # disagree: both consume the same materialized frame
+        new_rows = materialize(new_rows)
+        emit(new_rows, batch_id)
+        (
+            new_rows.select(id_col)
+            .join(content_fingerprints(batch, text_col, id_col), id_col, "inner")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(store_path)
+        )
+
+    return _sink
 
 
 def curate_stream(

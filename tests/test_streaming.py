@@ -260,3 +260,54 @@ def test_curate_stream_gates_dedups_redacts(spark, tmp_path):
     assert "user1@example.com" not in rows[1]
     assert "[PII]" in rows[1]
     assert rows[3].startswith("another distinct")
+
+
+def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
+    """Streaming exact dedup against the durable fingerprint store:
+    batch 1 survivors are deduped against batch 0's store (zero
+    streaming state), and replaying a batch recomputes the identical
+    survivor set even though its fingerprints were already appended."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        incremental_dedup_sink,
+        write_foreach_batch,
+    )
+
+    src = tmp_path / "docs-in"
+    src.mkdir()
+    store = str(tmp_path / "fp-store")
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit)
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    q = write_foreach_batch(stream, sink, checkpoint=str(tmp_path / "ckpt-incdedup"), trigger_seconds=1)
+
+    rows0 = [(1, "alpha"), (2, "beta"), (3, "beta")]
+    (src / "f0.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows0)
+    )
+    q.processAllAvailable()
+    rows1 = [(4, "alpha"), (5, "gamma"), (6, "gamma")]
+    (src / "f1.json").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows1)
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert emitted[0] == [1, 2]       # within-batch dup 3 collapsed
+    assert emitted[1] == [5]          # 4 dup-of-store, within-batch dup 6
+    fps = spark.read.parquet(store)
+    assert sorted(r["doc_id"] for r in fps.collect()) == [1, 2, 5]
+
+    # replay batch 1 (foreachBatch is at-least-once): its own partition is
+    # pruned from the store read, so the survivor set is recomputed
+    # identically and the store partition is overwritten, not doubled
+    replay = spark.createDataFrame(rows1, "doc_id long, text string")
+    sink(replay, 1)
+    assert emitted[1] == [5, 5]
+    fps2 = spark.read.parquet(store)
+    assert sorted(r["doc_id"] for r in fps2.collect()) == [1, 2, 5]
