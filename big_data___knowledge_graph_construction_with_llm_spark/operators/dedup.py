@@ -734,7 +734,7 @@ def semantic_dedup(
     corpus-sized), and only ids shuffle in the cluster/keep joins.
     """
     from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
-        connected_components,
+        keep_min_id_per_component,
     )
 
     # materialize the candidates: they feed both the suspect prune and
@@ -759,12 +759,6 @@ def semantic_dedup(
     pairs = ngram_jaccard_pairs(suspects, id_col, text_col, cand, shingle_n).filter(
         F.col("jaccard") >= threshold
     )
-    comps = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_iter=max_iter,
-        strict=strict,
+    return keep_min_id_per_component(
+        df, pairs, id_col, max_iter=max_iter, strict=strict
     )
-    drop = comps.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col)
-    )
-    return df.join(drop, id_col, "left_anti")

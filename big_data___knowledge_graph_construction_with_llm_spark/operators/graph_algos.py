@@ -94,6 +94,42 @@ def connected_components(
     return labels
 
 
+def pair_components(
+    pairs: DataFrame, max_iter: int = 20, strict: bool = False
+) -> DataFrame:
+    """Components of an ``(id_a, id_b)`` pair graph — the shape every
+    near-dup family resolution produces — as ``(id, comp)``. Thin
+    adapter over :func:`connected_components`."""
+    return connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iter=max_iter,
+        strict=strict,
+    )
+
+
+def keep_min_id_per_component(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    max_iter: int = 20,
+    strict: bool = False,
+) -> DataFrame:
+    """THE cluster-collapse keep-rule, shared by every near-dup removal
+    path (``dedup.semantic_dedup``, ``similarity.embedding_dedup``,
+    ``curation``): resolve the verified pair graph into components and
+    keep the minimum-id representative of each — rows of ``df`` outside
+    any pair survive untouched. Components rather than pairwise drops
+    because near-duplication chains (A≈B, B≈C is one family), and the
+    component minimum is deterministic. Only ids shuffle in the drop
+    join; the component step runs on the PAIR graph (candidate-sized,
+    not corpus-sized)."""
+    comps = pair_components(pairs, max_iter=max_iter, strict=strict)
+    drop = comps.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

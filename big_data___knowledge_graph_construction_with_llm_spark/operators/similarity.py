@@ -427,16 +427,14 @@ def embedding_dedup(
     pair graph → keep the minimum-id representative of every near-dup
     family. Returns the surviving rows of ``vectors``.
 
-    Components rather than pairwise drops for the same reason as
-    ``dedup.semantic_dedup``: near-duplication chains (A≈B, B≈C is one
-    family), and the component minimum keeps exactly one deterministic
-    representative per family. The component step runs on the PAIR
-    graph (candidate-sized, not corpus-sized), and only ids shuffle in
-    the drop join — vectors never re-shuffle past the pair stage.
-    ``max_iter``/``strict`` pass through to ``connected_components``.
+    The collapse is ``graph_algos.keep_min_id_per_component`` — the one
+    shared keep-rule for every near-dup family (see
+    ``dedup.semantic_dedup``); vectors never re-shuffle past the pair
+    stage. ``max_iter``/``strict`` pass through to
+    ``connected_components``.
     """
     from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
-        connected_components,
+        keep_min_id_per_component,
     )
 
     # materialized: the pair graph feeds every CC iteration, and
@@ -446,15 +444,9 @@ def embedding_dedup(
             vectors, threshold, block_cols, id_col, vec_col, sign_dims
         )
     )
-    comps = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        max_iter=max_iter,
-        strict=strict,
+    return keep_min_id_per_component(
+        vectors, pairs, id_col, max_iter=max_iter, strict=strict
     )
-    drop = comps.filter(F.col("id") != F.col("comp")).select(
-        F.col("id").alias(id_col)
-    )
-    return vectors.join(drop, id_col, "left_anti")
 
 
 def name_similarity_join(

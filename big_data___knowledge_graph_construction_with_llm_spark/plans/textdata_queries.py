@@ -63,12 +63,15 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     and batches 1 and 2 arrive as APPENDS deduped purely against the
     at-rest ``content_fingerprints`` store (corpus text is never
     re-read; only (xxhash64, md5) pairs shuffle — 64 bits alone
-    birthday-collides at ~2³² docs). Clones planted at +1e6 (every 10th
-    id) and +3e6 (every 30th id) land in DIFFERENT batches mod 3, so
-    the survivor of a duplicate family is decided by
-    store-wins-then-min-id — NOT global min-id: a clone landing in an
-    earlier batch than its original beats the original, which the
-    oracle's ``ORDER BY batch, doc_id`` ranking reproduces exactly.
+    birthday-collides at ~2³² docs). Two clone plants cover both keep
+    paths: +1e6 clones (every 10th id; 1e6 % 3 == 1) land one batch
+    AFTER their original mod 3 — and one batch BEFORE it when the
+    original sits in batch 2 — so survivors are decided by
+    store-wins-then-min-id, NOT global min-id (a clone landing in an
+    earlier batch beats its original); +3e6 clones (every 30th id;
+    3e6 % 3 == 0) land in the SAME batch as their original,
+    exercising the within-batch min-id rule. The oracle's
+    ``ORDER BY batch, doc_id`` ranking reproduces both exactly.
     ``n_copies`` is the family size. The oracle groups on the text
     itself: parity proves the fingerprint introduced no collision and
     that the full-pass and incremental paths enforce one keep-rule."""
@@ -470,7 +473,7 @@ def q_cosine_sim(spark: SparkSession, sf: str) -> DataFrame:
     recursive transitive closure. Clones (dim-1 perturbed) are planted
     so true pairs exist."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
-        connected_components,
+        pair_components,
     )
 
     e = load(spark, sf, "embeddings")
@@ -489,10 +492,7 @@ def q_cosine_sim(spark: SparkSession, sf: str) -> DataFrame:
     pairs = materialize(
         cosine_near_dup_pairs(full, threshold=0.95, block_cols=["label"], sign_dims=4)
     )
-    comps = connected_components(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        strict=True,
-    )
+    comps = pair_components(pairs, strict=True)
     return pairs.join(
         comps.select(F.col("id").alias("id_a"), F.col("comp").alias("family")),
         "id_a",

@@ -135,33 +135,69 @@ def write_foreach_batch(
     )
 
 
+def bootstrap_fingerprint_store(
+    corpus: DataFrame, store_path: str, text_col: str, id_col: str
+) -> None:
+    """Seed an ``incremental_dedup_sink`` store from an existing
+    (already deduplicated) corpus — the batch full-pass → streaming
+    handoff. Writes ``content_fingerprints`` under the reserved
+    ``lineage="bootstrap"`` partition, which no stream lineage ever
+    prunes or overwrites, so the stream dedups against the whole
+    bootstrapped corpus from its very first batch."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+    )
+
+    (
+        content_fingerprints(corpus, text_col, id_col)
+        .withColumn("lineage", F.lit("bootstrap"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.partitionBy("lineage", "batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(store_path)
+    )
+
+
 def incremental_dedup_sink(
     store_path: str,
     text_col: str,
     id_col: str,
     emit: Callable[[DataFrame, int], None],
+    lineage: str,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` body that makes exact dedup STREAMING against a
     durable store: each micro-batch is deduped against the at-rest
     ``content_fingerprints`` table (``operators.dedup``) — never against
     the landed corpus itself — survivors go to ``emit``, and only the
-    survivors' fingerprints (24 bytes/doc) are appended. This is the
-    streaming sibling of the batch ``incremental_dedup`` path and uses
-    the identical fingerprint definition, so a corpus bootstrapped by a
-    batch full-pass and continued by this sink can never disagree.
+    survivors' fingerprints (24 bytes/doc) are appended. Same
+    fingerprint definition as the batch ``incremental_dedup`` path;
+    seed the store from a batch full-pass with
+    :func:`bootstrap_fingerprint_store` and the two can never disagree.
 
     Unlike ``curate_stream``'s ``dropDuplicatesWithinWatermark`` (state
     bounded by the watermark horizon — re-deliveries only), this sink
     dedups against ALL history with ZERO streaming state: the history
     lives in the store, not the state store.
 
+    ``lineage`` names the checkpoint lineage this sink serves: pass the
+    same string as long as the query restarts FROM THE SAME CHECKPOINT
+    (Spark then replays the same batch_ids), and a NEW string whenever
+    you start over with a fresh checkpoint (batch_id restarts at 0 —
+    under the old lineage those ids would collide with history).
+    History from other lineages — earlier runs, ``"bootstrap"`` — is
+    always honored and never touched.
+
     Idempotent under batch replay (the ``foreachBatch`` contract is
-    at-least-once): fingerprints are partitioned by ``batch_id`` and a
-    replay (a) reads the store with its own and later partitions
-    pruned out, so it recomputes exactly the original survivor set
-    even if the failed attempt already appended, and (b) dynamically
-    overwrites only its own partition. ``emit`` must be idempotent per
-    ``batch_id``, as for any foreachBatch sink.
+    at-least-once): fingerprints are partitioned by
+    ``(lineage, batch_id)`` and a replay (a) prunes its own and later
+    batches of ITS OWN lineage from the store read, so it recomputes
+    exactly the original survivor set even if the failed attempt
+    already appended, and (b) dynamically overwrites only its own
+    partition. ``emit`` must be idempotent per ``batch_id``, as for
+    any foreachBatch sink. The store read is schema-pinned (no
+    inference), so empty micro-batches and a not-yet-populated store
+    are safe.
     """
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -172,22 +208,31 @@ def incremental_dedup_sink(
         )
 
         spark = batch.sparkSession
+        empty_fps = content_fingerprints(batch.limit(0), text_col, id_col)
         if fsutil.exists(spark, store_path):
-            fps = spark.read.parquet(store_path).filter(
-                F.col("batch_id") < F.lit(batch_id)
+            store_schema = (
+                empty_fps.withColumn("lineage", F.lit(""))
+                .withColumn("batch_id", F.lit(0).cast("long"))
+                .schema
+            )
+            fps = spark.read.schema(store_schema).parquet(store_path).filter(
+                ~(
+                    (F.col("lineage") == F.lit(lineage))
+                    & (F.col("batch_id") >= F.lit(batch_id))
+                )
             )
         else:
-            fps = content_fingerprints(batch.limit(0), text_col, id_col)
-        new_rows, new_fps = incremental_dedup(batch, fps, text_col, id_col)
-        # survivors must be FIXED before emit and the store append can
-        # disagree: both consume the same materialized frame
-        new_rows = materialize(new_rows)
-        emit(new_rows, batch_id)
+            fps = empty_fps
+        _, new_fps = incremental_dedup(batch, fps, text_col, id_col)
+        # one materialized frame decides the batch: the emitted rows and
+        # the store append both derive from it, so they cannot disagree
+        # (and the batch is fingerprinted exactly once)
+        new_fps = materialize(new_fps)
+        emit(batch.join(new_fps.select(id_col), id_col, "left_semi"), batch_id)
         (
-            new_rows.select(id_col)
-            .join(content_fingerprints(batch, text_col, id_col), id_col, "inner")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.partitionBy("batch_id")
+            new_fps.withColumn("lineage", F.lit(lineage))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.partitionBy("lineage", "batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(store_path)

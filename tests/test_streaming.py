@@ -261,13 +261,15 @@ def test_curate_stream_gates_dedups_redacts(spark, tmp_path):
     assert "[PII]" in rows[1]
     assert rows[3].startswith("another distinct")
 
-
 def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
     """Streaming exact dedup against the durable fingerprint store:
-    batch 1 survivors are deduped against batch 0's store (zero
-    streaming state), and replaying a batch recomputes the identical
-    survivor set even though its fingerprints were already appended."""
+    batch 1 survivors are deduped against the bootstrap corpus and
+    batch 0's fingerprints (zero streaming state); replaying a batch
+    recomputes the identical survivor set even though its fingerprints
+    were already appended; a fresh checkpoint lineage keeps honoring —
+    and never clobbers — all prior history."""
     from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        bootstrap_fingerprint_store,
         incremental_dedup_sink,
         write_foreach_batch,
     )
@@ -282,11 +284,15 @@ def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
             sorted(r["doc_id"] for r in df.collect())
         )
 
-    sink = incremental_dedup_sink(store, "text", "doc_id", emit)
+    # batch full-pass -> streaming handoff: corpus fingerprints seeded
+    corpus = spark.createDataFrame([(100, "omega")], "doc_id long, text string")
+    bootstrap_fingerprint_store(corpus, store, "text", "doc_id")
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="run1")
     stream = spark.readStream.schema("doc_id long, text string").json(str(src))
     q = write_foreach_batch(stream, sink, checkpoint=str(tmp_path / "ckpt-incdedup"), trigger_seconds=1)
 
-    rows0 = [(1, "alpha"), (2, "beta"), (3, "beta")]
+    rows0 = [(1, "alpha"), (2, "beta"), (3, "beta"), (7, "omega")]
     (src / "f0.json").write_text(
         "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows0)
     )
@@ -298,16 +304,47 @@ def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    assert emitted[0] == [1, 2]       # within-batch dup 3 collapsed
+    assert emitted[0] == [1, 2]       # 3 = within-batch dup, 7 = dup of bootstrap
     assert emitted[1] == [5]          # 4 dup-of-store, within-batch dup 6
     fps = spark.read.parquet(store)
-    assert sorted(r["doc_id"] for r in fps.collect()) == [1, 2, 5]
+    assert sorted(r["doc_id"] for r in fps.collect()) == [1, 2, 5, 100]
 
-    # replay batch 1 (foreachBatch is at-least-once): its own partition is
-    # pruned from the store read, so the survivor set is recomputed
-    # identically and the store partition is overwritten, not doubled
+    # replay batch 1 (foreachBatch is at-least-once): its own lineage
+    # partition is pruned from the store read, so the survivor set is
+    # recomputed identically and the partition overwritten, not doubled
     replay = spark.createDataFrame(rows1, "doc_id long, text string")
     sink(replay, 1)
     assert emitted[1] == [5, 5]
-    fps2 = spark.read.parquet(store)
-    assert sorted(r["doc_id"] for r in fps2.collect()) == [1, 2, 5]
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 2, 5, 100]
+
+    # fresh checkpoint = new lineage: batch_id restarts at 0, but run1's
+    # and the bootstrap's history must stay visible and untouched
+    sink2 = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="run2")
+    b0 = spark.createDataFrame(
+        [(8, "alpha"), (9, "delta")], "doc_id long, text string"
+    )
+    sink2(b0, 0)
+    assert emitted[0] == [1, 2, 9]    # 8 dup of run1 history; 9 fresh
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 2, 5, 9, 100]
+
+
+def test_incremental_dedup_sink_empty_batches_are_safe(spark, tmp_path):
+    """An empty FIRST batch must not brick the store (the read is
+    schema-pinned, never inference), and later batches proceed."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-store-empty")
+    emitted: list[tuple[int, int]] = []
+
+    def emit(df, batch_id):
+        emitted.append((batch_id, df.count()))
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="r")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    sink(empty, 0)
+    sink(spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string"), 1)
+    sink(empty, 2)
+    assert emitted == [(0, 0), (1, 1), (2, 0)]
+    assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1]
