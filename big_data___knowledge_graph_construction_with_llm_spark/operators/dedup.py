@@ -762,3 +762,78 @@ def semantic_dedup(
     return keep_min_id_per_component(
         df, pairs, id_col, max_iter=max_iter, strict=strict
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """SUBSTRING-level duplication signal: token spans of length
+    ``span_tokens`` that recur across at least ``min_docs`` distinct
+    documents — boilerplate, licence headers, templated passages —
+    returned as ``(span_hash, span, n_docs)``. Whole-document dedup
+    (exact/MinHash/SimHash above) misses these entirely: two documents
+    sharing one 50-token licence block are nowhere near any whole-doc
+    similarity threshold, yet that block is duplicated training text.
+
+    Scale shape: explode per-doc DISTINCT spans → hash → one
+    partial-aggregated ``count(distinct doc)`` per hash. The shuffle
+    carries (hash, id) pairs plus one ``min(span)`` exemplar string per
+    hash — document text itself never shuffles. ``sample_mod > 1``
+    winnows deterministically: only spans with ``hash % sample_mod == 0``
+    are counted, cutting the explode volume by that factor; a repeated
+    REGION of L tokens yields L − span_tokens + 1 overlapping spans, so
+    it is detected with probability ≈ 1 − (1 − 1/m)^(L−span+1) — near 1
+    for regions much longer than ``span_tokens × sample_mod`` but NOT
+    guaranteed (this is sampling, not winnowing's min-in-window
+    guarantee). Use ``mark_repeated_spans`` to map hits back to
+    documents for removal.
+    """
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    if sample_mod < 1:
+        raise ValueError("sample_mod must be >= 1")
+    spans = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
+    ).select("_id", "_s", F.xxhash64("_s").alias("span_hash"))
+    if sample_mod > 1:
+        spans = spans.filter(F.pmod("span_hash", F.lit(sample_mod)) == 0)
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.min("_s").alias("span"),
+            F.countDistinct("_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def mark_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Per-document view of :func:`repeated_spans`: ``(id, span,
+    n_docs)`` for every document containing a cross-document repeated
+    span — the input to span excision or doc-level filtering (e.g. drop
+    docs that are mostly boilerplate). The hit table is hash-keyed and
+    candidate-sized; re-exploding the corpus joins against it on the
+    8-byte hash only."""
+    hits = repeated_spans(df, id_col, text_col, span_tokens, min_docs, sample_mod)
+    spans = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
+    ).select(id_col, F.xxhash64("_s").alias("span_hash"))
+    return (
+        spans.join(hits, "span_hash")
+        .select(id_col, "span", "n_docs")
+        .distinct()
+    )

@@ -56,6 +56,42 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(id_col), buckets) < int(fraction * buckets))
 
 
+def sample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-domain deterministic downsampling — the corpus-mixing step of
+    a training-data pipeline ("keep 100% of books, 30% of web, 5% of
+    boilerplate"): each row survives iff its id's hash bucket falls
+    below its OWN domain's cutoff. Domains absent from ``rates`` get
+    ``default_rate`` (0.0 = dropped — mixing is usually allow-listed).
+
+    Pure projection + filter like :func:`hash_sample` (no shuffle, no
+    RNG state, no join — the rate map folds into a single CASE
+    expression, so it must be small, which domain maps are): membership
+    is reproducible across runs, engines, and appends, and two tables
+    mixed by the same id column stay join-compatible. Rates are
+    per-domain FRACTIONS of that domain, not target corpus shares —
+    deriving cutoffs from target shares needs domain counts, which is a
+    separate (one aggregation) planning step.
+    """
+    for d, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for domain {d!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    cutoff = F.lit(int(default_rate * buckets))
+    for d, r in sorted(rates.items()):
+        cutoff = F.when(F.col(domain_col) == F.lit(d), int(r * buckets)).otherwise(
+            cutoff
+        )
+    return df.filter(hash_bucket(F.col(id_col), buckets) < cutoff)
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
 ) -> DataFrame:

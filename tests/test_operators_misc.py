@@ -688,3 +688,72 @@ def test_embedding_dedup_collapses_chain_to_min_id(spark):
         ).collect()
     )
     assert got == [1, 9]
+
+
+def test_sample_mixture_rates_and_determinism(spark):
+    """Per-domain cutoffs apply independently; absent domains use the
+    default; membership is a pure function of the id (same rows kept on
+    re-run and under repartitioning)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import sample_mixture
+
+    rows = [(i, "web" if i % 3 == 0 else ("books" if i % 3 == 1 else "junk"))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = sample_mixture(df, "domain", "doc_id", {"books": 1.0, "web": 0.3})
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom.get("books") == 200            # rate 1.0 keeps all
+    assert "junk" not in by_dom                  # default_rate 0.0 drops
+    assert 20 <= by_dom.get("web", 0) <= 100     # ~30% of 200, hash-bound slack
+    again = sample_mixture(
+        df.repartition(7), "domain", "doc_id", {"books": 1.0, "web": 0.3}
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_repeated_spans_finds_cross_doc_boilerplate(spark):
+    """A shared licence block recurs across docs and is reported with
+    its doc count; within-doc repetition alone does not count; marking
+    maps hits back to exactly the docs containing them."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        mark_repeated_spans,
+        repeated_spans,
+    )
+
+    lic = "licensed under the apache license version two zero see notice"
+    rows = [
+        (1, lic + " alpha content one"),
+        (2, lic + " beta content two"),
+        (3, "unique text " + "self self self self self self self self self self"),
+        (4, "entirely different document body with no shared block at all x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = repeated_spans(df, "doc_id", "text", span_tokens=8, min_docs=2)
+    got = {r["span"]: r["n_docs"] for r in hits.collect()}
+    assert any(s.startswith("licensed under") for s in got), got
+    assert all(n == 2 for n in got.values())
+    # doc 3's within-doc repetition is distinct-ed per doc -> no hit
+    marked = mark_repeated_spans(df, "doc_id", "text", span_tokens=8, min_docs=2)
+    assert sorted({r["doc_id"] for r in marked.collect()}) == [1, 2]
+
+
+def test_repeated_spans_sample_mod_subsets_full(spark):
+    """Winnowed output is a subset of the exhaustive output (hash-mod
+    sampling only ever drops spans, never invents them)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import repeated_spans
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base + " tail a"), (2, base + " tail b"), (3, "nothing shared here")],
+        "doc_id long, text string",
+    )
+    full = {r["span_hash"] for r in repeated_spans(df, "doc_id", "text", 4).collect()}
+    sampled = {
+        r["span_hash"]
+        for r in repeated_spans(df, "doc_id", "text", 4, sample_mod=3).collect()
+    }
+    assert sampled <= full and full

@@ -249,3 +249,39 @@ def test_stratified_sample_laws(spark, rows, n):
         assert per[stratum] == min(n, total)
     again = [(r["id"], r["s"]) for r in stratified_sample(df, "s", "id", n).collect()]
     assert sorted(got) == sorted(again)
+
+@given(
+    labels=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=24),
+    nb=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_incremental_dedup_store_wins_law(spark, labels, nb):
+    """Law: splitting any corpus into a base batch plus appends and
+    deduping incrementally keeps, per text, the row from the EARLIEST
+    batch with the MIN id inside it (store-wins-then-min-id) — for
+    every corpus and every batch split."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+        exact_dedup_by_hash,
+        incremental_dedup,
+    )
+
+    rows = [(i, t) for i, t in enumerate(labels)]
+    batches = [[r for r in rows if r[0] % nb == b] for b in range(nb)]
+    expect: dict[str, int] = {}
+    for batch in batches:
+        for i, t in sorted(batch):
+            expect.setdefault(t, i)
+
+    base_df = spark.createDataFrame(batches[0], "doc_id long, text string") \
+        if batches[0] else spark.createDataFrame([], "doc_id long, text string")
+    kept = exact_dedup_by_hash(base_df, "text", "doc_id")
+    fps = content_fingerprints(kept, "text", "doc_id")
+    survivors = {r["doc_id"] for r in kept.collect()}
+    for batch in batches[1:]:
+        bdf = spark.createDataFrame(batch, "doc_id long, text string") \
+            if batch else spark.createDataFrame([], "doc_id long, text string")
+        new_rows, new_fps = incremental_dedup(bdf, fps, "text", "doc_id")
+        survivors |= {r["doc_id"] for r in new_rows.collect()}
+        fps = fps.unionByName(new_fps)
+    assert survivors == set(expect.values())
