@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.operators import text as T
 from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+    boilerplate_fraction,
     decontaminate,
     exact_dedup_by_hash,
     semantic_dedup,
@@ -72,6 +73,8 @@ def curate(
     max_top_bigram_frac: float = 0.5,
     jaccard_threshold: float = 0.85,
     decontam_threshold: float = 0.8,
+    max_boilerplate_frac: float | None = None,
+    boilerplate_span_tokens: int = 8,
     strict: bool = False,
     redact: bool = False,
 ) -> DataFrame:
@@ -79,7 +82,12 @@ def curate(
     with a ``split`` column (train/val/test). Every stage is one of the
     engine's tested operators — this function only sequences them.
     ``strict`` hardens near-dedup: CC non-convergence raises instead of
-    keeping extra near-duplicates behind a warning. ``redact=True``
+    keeping extra near-duplicates behind a warning.
+    ``max_boilerplate_frac`` (optional) drops documents whose
+    repeated-span share exceeds it — "mostly templated" pages that
+    whole-document dedup keeps (each page IS unique) but that carry
+    little non-duplicated text; it runs after exact dedup and before
+    near-dedup, where templated docs would inflate the LSH buckets. ``redact=True``
     rewrites ``text_col`` through :func:`operators.text.redact_pii` as
     the LAST stage — after dedup/decontamination, so redaction (which
     collapses distinct emails to one token) cannot create or mask
@@ -95,6 +103,13 @@ def curate(
     ).select(id_col)
     kept = kept.join(rep_ok, id_col, "left_semi")
     kept = exact_dedup_by_hash(kept, text_col, id_col)
+    if max_boilerplate_frac is not None:
+        # after exact dedup (smaller corpus to explode), before near-dedup
+        # (templated docs inflate LSH buckets — gate them out first)
+        bf_ok = boilerplate_fraction(
+            kept, id_col, text_col, span_tokens=boilerplate_span_tokens
+        ).filter(F.col("boilerplate_frac") <= max_boilerplate_frac).select(id_col)
+        kept = kept.join(bf_ok, id_col, "left_semi")
     kept = near_dedup(kept, id_col, text_col, jaccard_threshold, strict=strict)
     if benchmark is not None:
         kept = decontaminate(

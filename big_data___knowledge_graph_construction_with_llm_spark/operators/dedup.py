@@ -764,6 +764,36 @@ def semantic_dedup(
     )
 
 
+def _doc_spans(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int, sample_mod: int
+) -> DataFrame:
+    """Shared span frame for the repeated-span family: per-doc DISTINCT
+    token spans as ``(id, _s, span_hash)``, optionally winnowed to
+    hashes ≡ 0 mod ``sample_mod``."""
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    if sample_mod < 1:
+        raise ValueError("sample_mod must be >= 1")
+    spans = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
+    ).select(id_col, "_s", F.xxhash64("_s").alias("span_hash"))
+    if sample_mod > 1:
+        spans = spans.filter(F.pmod("span_hash", F.lit(sample_mod)) == 0)
+    return spans
+
+
+def _repeated_from_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.min("_s").alias("span"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -791,25 +821,48 @@ def repeated_spans(
     for regions much longer than ``span_tokens × sample_mod`` but NOT
     guaranteed (this is sampling, not winnowing's min-in-window
     guarantee). Use ``mark_repeated_spans`` to map hits back to
-    documents for removal.
+    documents, or ``boilerplate_fraction`` for a doc-level gate.
     """
-    if span_tokens < 1:
-        raise ValueError("span_tokens must be >= 1")
-    if sample_mod < 1:
-        raise ValueError("sample_mod must be >= 1")
-    spans = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
-    ).select("_id", "_s", F.xxhash64("_s").alias("span_hash"))
-    if sample_mod > 1:
-        spans = spans.filter(F.pmod("span_hash", F.lit(sample_mod)) == 0)
-    return (
-        spans.groupBy("span_hash")
-        .agg(
-            F.min("_s").alias("span"),
-            F.countDistinct("_id").alias("n_docs"),
-        )
-        .filter(F.col("n_docs") >= min_docs)
+    return _repeated_from_spans(
+        _doc_spans(df, id_col, text_col, span_tokens, sample_mod), id_col, min_docs
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Per-document boilerplate share: ``(id, boilerplate_frac)`` where
+    the fraction is (spans repeated across ≥ ``min_docs`` docs) / (all
+    spans of the doc) — the doc-level gate for "mostly templated"
+    content. Docs too short to produce a span get fraction 0.0 (they
+    cannot be boilerplate-dominated by this measure).
+
+    With ``sample_mod > 1`` BOTH numerator and denominator count only
+    the hash-sampled spans, so the fraction stays an unbiased estimate
+    of the exhaustive one. The exploded span frame is materialized ONCE
+    and feeds the hit table, the per-doc totals, and the per-doc hit
+    counts; the join back is on the 8-byte span hash."""
+    spans = materialize(_doc_spans(df, id_col, text_col, span_tokens, sample_mod))
+    hits = _repeated_from_spans(spans, id_col, min_docs)
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("_n_spans"))
+    rep_counts = (
+        spans.join(hits.select("span_hash"), "span_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_rep"))
+    )
+    frac = totals.join(rep_counts, id_col, "left").select(
+        id_col,
+        (F.coalesce(F.col("_n_rep"), F.lit(0)) / F.col("_n_spans")).alias(
+            "boilerplate_frac"
+        ),
+    )
+    return df.select(id_col).join(frac, id_col, "left").select(
+        id_col, F.coalesce("boilerplate_frac", F.lit(0.0)).alias("boilerplate_frac")
     )
 
 
@@ -823,15 +876,11 @@ def mark_repeated_spans(
 ) -> DataFrame:
     """Per-document view of :func:`repeated_spans`: ``(id, span,
     n_docs)`` for every document containing a cross-document repeated
-    span — the input to span excision or doc-level filtering (e.g. drop
-    docs that are mostly boilerplate). The hit table is hash-keyed and
-    candidate-sized; re-exploding the corpus joins against it on the
-    8-byte hash only."""
-    hits = repeated_spans(df, id_col, text_col, span_tokens, min_docs, sample_mod)
-    spans = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
-    ).select(id_col, F.xxhash64("_s").alias("span_hash"))
+    span — the input to span excision or doc-level filtering. The
+    exploded span frame is materialized once and feeds both the hit
+    table and the join back; the join key is the 8-byte hash."""
+    spans = materialize(_doc_spans(df, id_col, text_col, span_tokens, sample_mod))
+    hits = _repeated_from_spans(spans, id_col, min_docs)
     return (
         spans.join(hits, "span_hash")
         .select(id_col, "span", "n_docs")

@@ -757,3 +757,50 @@ def test_repeated_spans_sample_mod_subsets_full(spark):
         for r in repeated_spans(df, "doc_id", "text", 4, sample_mod=3).collect()
     }
     assert sampled <= full and full
+
+
+def test_boilerplate_fraction_values(spark):
+    """A doc that is pure shared boilerplate scores 1.0; a doc that is
+    boilerplate plus unique tail scores in (0,1); all-unique docs and
+    docs too short to span score 0.0."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import boilerplate_fraction
+
+    lic = "licensed under the apache license version two zero"  # 8 tokens
+    rows = [
+        (1, lic),                                   # exactly the block -> 1.0
+        (2, lic + " plus a unique tail of words"),  # block + unique -> (0,1)
+        (3, "a totally unique document body with no shared text at all"),
+        (4, "too short"),                           # < span_tokens -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["boilerplate_frac"]
+        for r in boilerplate_fraction(df, "doc_id", "text", span_tokens=8).collect()
+    }
+    assert got[1] == 1.0
+    assert 0.0 < got[2] < 1.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+    assert set(got) == {1, 2, 3, 4}  # every input doc gets a row
+
+
+def test_curate_boilerplate_gate(spark):
+    """curate(max_boilerplate_frac=...) drops mostly-templated docs that
+    survive every other stage (each page is unique as a whole)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import curate
+
+    lic = "licensed under the apache license version two zero see notice file"
+    rows = [
+        (1, lic + " page one"),
+        (2, lic + " page two"),
+        (3, "a genuinely unique article with enough tokens to pass the gates fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # near-dedup at 0.85 does NOT collapse the two pages (tails differ,
+    # but short texts share most shingles — use a high threshold); the
+    # boilerplate gate is what must catch them
+    out = curate(
+        df, jaccard_threshold=0.99, max_boilerplate_frac=0.7,
+        min_tokens=3, strict=True,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]
