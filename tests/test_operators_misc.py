@@ -804,3 +804,67 @@ def test_curate_boilerplate_gate(spark):
         min_tokens=3, strict=True,
     )
     assert sorted(r["doc_id"] for r in out.collect()) == [3]
+
+
+def test_embed_documents_contract_and_semantics(spark):
+    """Encoder seam: all columns pass through with an array<float>
+    appended; the default hash encoder is deterministic across
+    partitionings and puts similar texts closer than dissimilar ones;
+    a wrong-dim encoder fails loudly at the first batch."""
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.embed import embed_documents
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import cosine
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "completely unrelated treatise on spark shuffle internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = embed_documents(df, "text", dim=32)
+    assert out.columns == ["doc_id", "text", "embedding"]
+    got = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    assert all(len(v) == 32 for v in got.values())
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in embed_documents(df.repartition(3), "text", dim=32).collect()
+    }
+    assert got == again
+
+    sims = (
+        out.alias("a").join(out.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("c"),
+        )
+    )
+    c = {(r["ia"], r["ib"]): r["c"] for r in sims.collect()}
+    assert c[(1, 2)] > c[(1, 3)] and c[(1, 2)] > c[(2, 3)]
+
+    def bad(texts):
+        return np.zeros((len(texts), 7), dtype=np.float32)
+
+    with _pytest.raises(Exception, match="output dim"):
+        embed_documents(df, "text", encoder=bad, dim=32).collect()
+
+
+def test_embed_to_ann_roundtrip(spark):
+    """End-to-end: raw text -> embed_documents -> embedding_dedup finds
+    the planted near-verbatim pair with no precomputed embeddings."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.embed import embed_documents
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import embedding_dedup
+
+    base = "large scale training data pipelines need deduplication and careful mixing of sources"
+    rows = [
+        (1, base),
+        (2, base + " indeed"),      # near-verbatim -> near-identical bag of words
+        (3, "an entirely different document about rdf parsing and neo4j bulk loads"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = embed_documents(df, "text", dim=64).withColumn("_blk", F.lit(1))
+    kept = embedding_dedup(
+        vecs, threshold=0.9, block_cols=["_blk"], id_col="doc_id", sign_dims=2
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
