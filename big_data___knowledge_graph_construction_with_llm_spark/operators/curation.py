@@ -75,6 +75,7 @@ def curate(
     decontam_threshold: float = 0.8,
     max_boilerplate_frac: float | None = None,
     boilerplate_span_tokens: int = 8,
+    boilerplate_min_docs: int = 3,
     strict: bool = False,
     redact: bool = False,
 ) -> DataFrame:
@@ -86,8 +87,14 @@ def curate(
     ``max_boilerplate_frac`` (optional) drops documents whose
     repeated-span share exceeds it — "mostly templated" pages that
     whole-document dedup keeps (each page IS unique) but that carry
-    little non-duplicated text; it runs after exact dedup and before
-    near-dedup, where templated docs would inflate the LSH buckets. ``redact=True``
+    little non-duplicated text. It runs AFTER near-dedup, deliberately:
+    before it, an ordinary near-duplicate pair would make both copies
+    score ~1.0 and the gate would annihilate the pair outright where
+    near-dedup keeps one representative. After near-dedup each family
+    is down to one survivor, so a high fraction can only come from
+    genuine cross-template repetition — and ``boilerplate_min_docs``
+    (default 3, i.e. stricter than a single surviving pair) raises the
+    bar for calling a span "boilerplate" further. ``redact=True``
     rewrites ``text_col`` through :func:`operators.text.redact_pii` as
     the LAST stage — after dedup/decontamination, so redaction (which
     collapses distinct emails to one token) cannot create or mask
@@ -103,14 +110,16 @@ def curate(
     ).select(id_col)
     kept = kept.join(rep_ok, id_col, "left_semi")
     kept = exact_dedup_by_hash(kept, text_col, id_col)
+    kept = near_dedup(kept, id_col, text_col, jaccard_threshold, strict=strict)
     if max_boilerplate_frac is not None:
-        # after exact dedup (smaller corpus to explode), before near-dedup
-        # (templated docs inflate LSH buckets — gate them out first)
         bf_ok = boilerplate_fraction(
-            kept, id_col, text_col, span_tokens=boilerplate_span_tokens
+            kept,
+            id_col,
+            text_col,
+            span_tokens=boilerplate_span_tokens,
+            min_docs=boilerplate_min_docs,
         ).filter(F.col("boilerplate_frac") <= max_boilerplate_frac).select(id_col)
         kept = kept.join(bf_ok, id_col, "left_semi")
-    kept = near_dedup(kept, id_col, text_col, jaccard_threshold, strict=strict)
     if benchmark is not None:
         kept = decontaminate(
             kept, benchmark, id_col, text_col, threshold=decontam_threshold

@@ -768,24 +768,46 @@ def _doc_spans(
     df: DataFrame, id_col: str, text_col: str, span_tokens: int, sample_mod: int
 ) -> DataFrame:
     """Shared span frame for the repeated-span family: per-doc DISTINCT
-    token spans as ``(id, _s, span_hash)``, optionally winnowed to
-    hashes ≡ 0 mod ``sample_mod``."""
+    token spans as ``(id, _s, _sh64, _sh128)``, optionally winnowed to
+    hashes ≡ 0 mod ``sample_mod``. Span identity is the same 192-bit
+    (xxhash64, md5) pair as ``content_fingerprints`` and for the same
+    reason: distinct spans cross 2³² (the 64-bit birthday horizon) far
+    sooner than documents do. Documents with fewer than ``span_tokens``
+    tokens contribute NO spans (``shingles`` would otherwise pad them
+    to one whole-text shingle, which is not a span of the requested
+    length)."""
     if span_tokens < 1:
         raise ValueError("span_tokens must be >= 1")
     if sample_mod < 1:
         raise ValueError("sample_mod must be >= 1")
-    spans = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
-    ).select(id_col, "_s", F.xxhash64("_s").alias("span_hash"))
+    spans = (
+        df.filter(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= span_tokens
+        )
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, span_tokens))).alias("_s"),
+        )
+        .select(
+            id_col,
+            "_s",
+            F.xxhash64("_s").alias("_sh64"),
+            F.md5("_s").alias("_sh128"),
+        )
+    )
     if sample_mod > 1:
-        spans = spans.filter(F.pmod("span_hash", F.lit(sample_mod)) == 0)
+        spans = spans.filter(F.pmod("_sh64", F.lit(sample_mod)) == 0)
     return spans
 
 
 def _repeated_from_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (a repeated span needs at least two "
+            f"documents), got {min_docs}"
+        )
     return (
-        spans.groupBy("span_hash")
+        spans.groupBy("_sh64", "_sh128")
         .agg(
             F.min("_s").alias("span"),
             F.countDistinct(id_col).alias("n_docs"),
@@ -803,19 +825,22 @@ def repeated_spans(
     sample_mod: int = 1,
 ) -> DataFrame:
     """SUBSTRING-level duplication signal: token spans of length
-    ``span_tokens`` that recur across at least ``min_docs`` distinct
-    documents — boilerplate, licence headers, templated passages —
-    returned as ``(span_hash, span, n_docs)``. Whole-document dedup
+    ``span_tokens`` that recur across at least ``min_docs`` (≥ 2)
+    distinct documents — boilerplate, licence headers, templated
+    passages — returned as ``(span, n_docs)``. Whole-document dedup
     (exact/MinHash/SimHash above) misses these entirely: two documents
     sharing one 50-token licence block are nowhere near any whole-doc
     similarity threshold, yet that block is duplicated training text.
 
-    Scale shape: explode per-doc DISTINCT spans → hash → one
-    partial-aggregated ``count(distinct doc)`` per hash. The shuffle
-    carries (hash, id) pairs plus one ``min(span)`` exemplar string per
-    hash — document text itself never shuffles. ``sample_mod > 1``
-    winnows deterministically: only spans with ``hash % sample_mod == 0``
-    are counted, cutting the explode volume by that factor; a repeated
+    Scale shape: explode per-doc DISTINCT spans → 192-bit (xxhash64,
+    md5) span fingerprint (same pair and same birthday rationale as
+    ``content_fingerprints`` — distinct spans cross 2³² long before
+    docs do) → one partial-aggregated ``count(distinct doc)`` per
+    fingerprint. The shuffle carries (fingerprint, id) pairs plus one
+    ``min(span)`` exemplar string per fingerprint — document text
+    itself never shuffles. ``sample_mod > 1`` winnows
+    deterministically: only spans with ``hash % sample_mod == 0`` are
+    counted, cutting the explode volume by that factor; a repeated
     REGION of L tokens yields L − span_tokens + 1 overlapping spans, so
     it is detected with probability ≈ 1 − (1 − 1/m)^(L−span+1) — near 1
     for regions much longer than ``span_tokens × sample_mod`` but NOT
@@ -825,7 +850,7 @@ def repeated_spans(
     """
     return _repeated_from_spans(
         _doc_spans(df, id_col, text_col, span_tokens, sample_mod), id_col, min_docs
-    )
+    ).select("span", "n_docs")
 
 
 def boilerplate_fraction(
@@ -851,7 +876,7 @@ def boilerplate_fraction(
     hits = _repeated_from_spans(spans, id_col, min_docs)
     totals = spans.groupBy(id_col).agg(F.count("*").alias("_n_spans"))
     rep_counts = (
-        spans.join(hits.select("span_hash"), "span_hash")
+        spans.join(hits.select("_sh64", "_sh128"), ["_sh64", "_sh128"])
         .groupBy(id_col)
         .agg(F.count("*").alias("_n_rep"))
     )
@@ -878,11 +903,12 @@ def mark_repeated_spans(
     n_docs)`` for every document containing a cross-document repeated
     span — the input to span excision or doc-level filtering. The
     exploded span frame is materialized once and feeds both the hit
-    table and the join back; the join key is the 8-byte hash."""
+    table and the join back; the join key is the 192-bit span
+    fingerprint."""
     spans = materialize(_doc_spans(df, id_col, text_col, span_tokens, sample_mod))
     hits = _repeated_from_spans(spans, id_col, min_docs)
     return (
-        spans.join(hits, "span_hash")
+        spans.join(hits, ["_sh64", "_sh128"])
         .select(id_col, "span", "n_docs")
         .distinct()
     )

@@ -21,7 +21,6 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 # encoder contract: list[str] -> float32 ndarray of shape (len(texts), dim)
 Encoder = Callable[[list[str]], np.ndarray]
@@ -81,6 +80,11 @@ def embed_documents(
     """
     from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists — drop it first (re-encoding "
+            "after a model change should rewrite the table, not stack columns)"
+        )
     enc = encoder if encoder is not None else hash_encoder(dim)
     payload = df if fanout_partitions is None else df.repartition(fanout_partitions)
     # a fresh StructType — StructType.add MUTATES the receiver, and

@@ -751,9 +751,9 @@ def test_repeated_spans_sample_mod_subsets_full(spark):
         [(1, base + " tail a"), (2, base + " tail b"), (3, "nothing shared here")],
         "doc_id long, text string",
     )
-    full = {r["span_hash"] for r in repeated_spans(df, "doc_id", "text", 4).collect()}
+    full = {r["span"] for r in repeated_spans(df, "doc_id", "text", 4).collect()}
     sampled = {
-        r["span_hash"]
+        r["span"]
         for r in repeated_spans(df, "doc_id", "text", 4, sample_mod=3).collect()
     }
     assert sampled <= full and full
@@ -786,24 +786,50 @@ def test_boilerplate_fraction_values(spark):
 
 def test_curate_boilerplate_gate(spark):
     """curate(max_boilerplate_frac=...) drops mostly-templated docs that
-    survive every other stage (each page is unique as a whole)."""
+    survive every other stage (each page is unique as a whole); the
+    min_docs bar (default 3) means a lone near-dup PAIR is never
+    treated as boilerplate — pairs belong to near-dedup."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import curate
 
     lic = "licensed under the apache license version two zero see notice file"
     rows = [
         (1, lic + " page one"),
         (2, lic + " page two"),
-        (3, "a genuinely unique article with enough tokens to pass the gates fine"),
+        (3, lic + " page three"),
+        (4, "a genuinely unique article with enough tokens to pass the gates fine"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    # near-dedup at 0.85 does NOT collapse the two pages (tails differ,
-    # but short texts share most shingles — use a high threshold); the
-    # boilerplate gate is what must catch them
+    # near-dedup at 0.99 does NOT collapse the templated pages (tails
+    # differ); the boilerplate gate is what must catch them — 3 pages
+    # share the block, meeting the default boilerplate_min_docs=3
     out = curate(
         df, jaccard_threshold=0.99, max_boilerplate_frac=0.7,
         min_tokens=3, strict=True,
     )
-    assert sorted(r["doc_id"] for r in out.collect()) == [3]
+    assert sorted(r["doc_id"] for r in out.collect()) == [4]
+
+    # a plain near-dup pair sharing the same spans is NOT annihilated:
+    # the gate runs after near-dedup and min_docs=3 exceeds a pair
+    pair = spark.createDataFrame(
+        [(1, lic + " same tail here"), (2, lic + " same tail here extra"),
+         (3, "another genuinely unique article with plenty of tokens in it")],
+        "doc_id long, text string",
+    )
+    out2 = curate(
+        pair, jaccard_threshold=0.99, max_boilerplate_frac=0.5,
+        min_tokens=3, strict=True,
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 3]
+
+
+def test_repeated_spans_min_docs_validated(spark):
+    import pytest as _pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import repeated_spans
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="min_docs"):
+        repeated_spans(df, "doc_id", "text", span_tokens=2, min_docs=1)
 
 
 def test_embed_documents_contract_and_semantics(spark):
