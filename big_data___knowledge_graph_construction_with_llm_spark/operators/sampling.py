@@ -79,6 +79,22 @@ def sample_mixture(
     deriving cutoffs from target shares needs domain counts, which is a
     separate (one aggregation) planning step.
     """
+    return df.filter(
+        mixture_keep_flag(domain_col, id_col, rates, default_rate, buckets)
+    )
+
+
+def mixture_keep_flag(
+    domain_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> F.Column:
+    """:func:`sample_mixture`'s membership as a boolean COLUMN — use it
+    directly when the consumer wants to count/inspect the mix rather
+    than filter (keeps the plan join-free: membership is a pure
+    expression of (domain, id), never a lookup)."""
     for d, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for domain {d!r} must be in [0, 1], got {r}")
@@ -89,7 +105,7 @@ def sample_mixture(
         cutoff = F.when(F.col(domain_col) == F.lit(d), int(r * buckets)).otherwise(
             cutoff
         )
-    return df.filter(hash_bucket(F.col(id_col), buckets) < cutoff)
+    return hash_bucket(F.col(id_col), buckets) < cutoff
 
 
 def stratified_sample(

@@ -536,30 +536,83 @@ def q_sim_join_names(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- text analysis ---------------------------------------------------------------
 
+#: deterministic boilerplate planted into every 5th document (the
+#: synthetic corpus shares no natural 8-grams) — 10 tokens, so each
+#: planted doc carries 3 full 8-token windows from inside the block
+_BOILER = "standard license header text common to many documents here"
+
+
 @query(
     "q_token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' {_BOILER}'
+                  ELSE text END AS ptext
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, string_split_regex(trim(ptext), '\s+') AS tk FROM t
+    ),
+    dsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 7 + 1),
+                    i -> array_to_string(list_slice(tk, i, i + 7), ' '))) AS s
+      FROM tok WHERE len(tk) >= 8
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+    rep AS (SELECT s FROM dsh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, count(*) AS h FROM dsh JOIN rep USING (s) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(string_split_regex(trim(t.text), '\s+')) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(t.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                 AS INT) AS n_pieces,
-           md5(text) AS fp
-    FROM documents
+           md5(t.text) AS fp,
+           CASE WHEN sizes.n IS NULL THEN 0.0
+                ELSE round(coalesce(hits.h, 0)::DOUBLE / sizes.n, 4)
+           END AS boilerplate_frac
+    FROM t
+    LEFT JOIN sizes ON sizes.doc_id = t.doc_id
+    LEFT JOIN hits ON hits.doc_id = t.doc_id
     """,
 )
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting (whitespace tokens + BPE-ish regex pieces) plus the
     cross-engine-stable md5 content fingerprint — one scan-speed
-    projection per document. The order-sensitive polynomial rolling-hash
-    fingerprint (``operators.text.fingerprint64``, one aggregate pass, no
-    shuffle) is not oracle-expressible and is covered by unit tests
+    projection per document — PLUS the repeated-span boilerplate leg:
+    a fixed 10-token licence block is planted into every 5th document
+    and ``operators.dedup.boilerplate_fraction`` (8-token spans,
+    min_docs=2) must score exactly the planted share, 0.0 everywhere
+    else; the oracle recomputes the span sets exhaustively. Token
+    counts and fp stay on the ORIGINAL text — the plant exists only for
+    the span leg. The order-sensitive polynomial rolling-hash
+    fingerprint (``operators.text.fingerprint64``, one aggregate pass,
+    no shuffle) is not oracle-expressible and is covered by unit tests
     (``tests/test_operators_misc.py``) instead of a registry slot."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import boilerplate_fraction
+
     d = load(spark, sf, "documents")
-    return d.select(
+    planted = d.select(
         "doc_id",
-        T.token_count("text").alias("n_tokens"),
-        T.bpe_ish_token_count("text").alias("n_pieces"),
-        F.md5("text").alias("fp"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" " + _BOILER))
+        ).otherwise(F.col("text")).alias("ptext"),
+    )
+    bf = boilerplate_fraction(planted, "doc_id", "ptext", span_tokens=8, min_docs=2)
+    return (
+        d.select(
+            "doc_id",
+            T.token_count("text").alias("n_tokens"),
+            T.bpe_ish_token_count("text").alias("n_pieces"),
+            F.md5("text").alias("fp"),
+        )
+        .join(bf, "doc_id")
+        .select(
+            "doc_id", "n_tokens", "n_pieces", "fp",
+            F.round("boilerplate_frac", 4).alias("boilerplate_frac"),
+        )
     )
 
 
@@ -771,26 +824,55 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     WITH b AS (
       SELECT lang,
              ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-               % 100 AS bucket
+               % 100 AS bucket,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS mbucket
       FROM documents
+    ),
+    s AS (
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             lang,
+             CASE WHEN mbucket < CASE lang WHEN 'en' THEN 10000
+                                           WHEN 'de' THEN 5000
+                                           WHEN 'fr' THEN 2500
+                                           WHEN 'es' THEN 1000
+                                           ELSE 0 END
+                  THEN 1 ELSE 0 END AS mixed
+      FROM b
     )
-    SELECT CASE WHEN bucket < 80 THEN 'train'
-                WHEN bucket < 90 THEN 'val'
-                ELSE 'test' END AS split,
-           lang, count(*) AS n
-    FROM b GROUP BY 1, 2
+    SELECT split, lang, count(*) AS n, CAST(sum(mixed) AS BIGINT) AS n_mixed
+    FROM s GROUP BY 1, 2
     """,
 )
 def q_dataset_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test split by id-hash bucket
     (``operators.sampling.dataset_split``) with per-split language
-    counts: membership is a pure projection of md5(doc_id), so the split
-    is identical on every run, engine and cluster size — the oracle
-    recomputes it independently in DuckDB and must agree row-for-row."""
-    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import dataset_split
+    counts, PLUS the corpus-mixing leg
+    (``operators.sampling.sample_mixture``): ``n_mixed`` counts the
+    rows surviving a per-language rate map (all en, half de, quarter
+    fr, 10% es, zh absent → default-dropped — exercising the
+    allow-list path). Membership for BOTH legs is a pure projection of
+    md5(doc_id), identical on every run, engine and cluster size; the
+    oracle recomputes split bucket and mixture cutoff independently in
+    DuckDB and must agree row-for-row (rate 1.0 must give
+    n_mixed == n, rate 0.0 exactly 0)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        dataset_split,
+        mixture_keep_flag,
+    )
 
-    d = dataset_split(load(spark, sf, "documents"), "doc_id")
-    return d.groupBy("split", "lang").agg(F.count("*").alias("n"))
+    d = load(spark, sf, "documents")
+    keep = mixture_keep_flag(
+        "lang", "doc_id", {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+    )
+    return (
+        dataset_split(d, "doc_id")
+        .withColumn("_mixed", keep.cast("int"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.sum("_mixed").alias("n_mixed"))
+    )
 
 
 @query(
