@@ -99,31 +99,123 @@ def curate(
     the LAST stage — after dedup/decontamination, so redaction (which
     collapses distinct emails to one token) cannot create or mask
     near-duplicate relationships the earlier stages decide on."""
-    feats = T.quality_features(docs)
-    kept = feats.filter(
-        F.col("n_tokens").between(min_tokens, max_tokens)
-    ).select(*docs.columns)
-    rep = T.repetition_features(kept, id_col, text_col)
-    rep_ok = rep.filter(
-        (F.col("dup_token_frac") <= max_dup_token_frac)
-        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
-    ).select(id_col)
-    kept = kept.join(rep_ok, id_col, "left_semi")
-    kept = exact_dedup_by_hash(kept, text_col, id_col)
-    kept = near_dedup(kept, id_col, text_col, jaccard_threshold, strict=strict)
+    kept = docs
+    for _name, stage in _curation_stages(
+        docs.columns, id_col, text_col, benchmark, min_tokens, max_tokens,
+        max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
+        decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
+        boilerplate_min_docs, strict, redact,
+    ):
+        kept = stage(kept)
+    return kept
+
+
+def _curation_stages(
+    doc_columns, id_col, text_col, benchmark, min_tokens, max_tokens,
+    max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
+    decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
+    boilerplate_min_docs, strict, redact,
+):
+    """The ordered ``(name, DataFrame → DataFrame)`` stage list behind
+    :func:`curate` — one source of truth for the pipeline order, shared
+    with :func:`curate_with_stats`."""
+
+    def quality_gate(df):
+        return T.quality_features(df).filter(
+            F.col("n_tokens").between(min_tokens, max_tokens)
+        ).select(*doc_columns)
+
+    def repetition_gate(df):
+        rep_ok = T.repetition_features(df, id_col, text_col).filter(
+            (F.col("dup_token_frac") <= max_dup_token_frac)
+            & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        ).select(id_col)
+        return df.join(rep_ok, id_col, "left_semi")
+
+    stages = [
+        ("quality_gate", quality_gate),
+        ("repetition_gate", repetition_gate),
+        ("exact_dedup", lambda df: exact_dedup_by_hash(df, text_col, id_col)),
+        (
+            "near_dedup",
+            lambda df: near_dedup(
+                df, id_col, text_col, jaccard_threshold, strict=strict
+            ),
+        ),
+    ]
     if max_boilerplate_frac is not None:
-        bf_ok = boilerplate_fraction(
-            kept,
-            id_col,
-            text_col,
-            span_tokens=boilerplate_span_tokens,
-            min_docs=boilerplate_min_docs,
-        ).filter(F.col("boilerplate_frac") <= max_boilerplate_frac).select(id_col)
-        kept = kept.join(bf_ok, id_col, "left_semi")
+
+        def boilerplate_gate(df):
+            bf_ok = boilerplate_fraction(
+                df,
+                id_col,
+                text_col,
+                span_tokens=boilerplate_span_tokens,
+                min_docs=boilerplate_min_docs,
+            ).filter(
+                F.col("boilerplate_frac") <= max_boilerplate_frac
+            ).select(id_col)
+            return df.join(bf_ok, id_col, "left_semi")
+
+        stages.append(("boilerplate_gate", boilerplate_gate))
     if benchmark is not None:
-        kept = decontaminate(
-            kept, benchmark, id_col, text_col, threshold=decontam_threshold
+        stages.append(
+            (
+                "decontaminate",
+                lambda df: decontaminate(
+                    df, benchmark, id_col, text_col, threshold=decontam_threshold
+                ),
+            )
         )
     if redact:
-        kept = kept.withColumn(text_col, T.redact_pii(text_col))
-    return dataset_split(kept, id_col)
+        stages.append(
+            ("redact", lambda df: df.withColumn(text_col, T.redact_pii(text_col)))
+        )
+    stages.append(("split", lambda df: dataset_split(df, id_col)))
+    return stages
+
+
+def curate_with_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> tuple[DataFrame, dict[str, int]]:
+    """:func:`curate` with per-stage yield reporting: returns
+    ``(result, stats)`` where ``stats`` maps ``input`` and every stage
+    name to its surviving row count — the "which gate killed how many
+    documents" answer every pipeline run needs (the reference prints
+    per-stage record counts for the same reason,
+    ``…Local/ingestion/data_ingestion_batch.py:87,105,122``).
+
+    Each stage boundary is materialized (through the pluggable
+    ``materialize`` seam) and counted, so the counts cost one cheap job
+    per stage over an already-computed frame and later stages never
+    recompute earlier ones — at corpus scale that re-computation, not
+    the counting, is what would hurt. Same keyword surface as
+    :func:`curate`."""
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+
+    sig = dict(
+        benchmark=None, min_tokens=5, max_tokens=100_000,
+        max_dup_token_frac=0.6, max_top_bigram_frac=0.5,
+        jaccard_threshold=0.85, decontam_threshold=0.8,
+        max_boilerplate_frac=None, boilerplate_span_tokens=8,
+        boilerplate_min_docs=3, strict=False, redact=False,
+    )
+    unknown = set(kwargs) - set(sig)
+    if unknown:
+        raise TypeError(f"unknown curate arguments: {sorted(unknown)}")
+    sig.update(kwargs)
+    stats = {"input": docs.count()}
+    kept = docs
+    for name, stage in _curation_stages(
+        docs.columns, id_col, text_col, sig["benchmark"], sig["min_tokens"],
+        sig["max_tokens"], sig["max_dup_token_frac"], sig["max_top_bigram_frac"],
+        sig["jaccard_threshold"], sig["decontam_threshold"],
+        sig["max_boilerplate_frac"], sig["boilerplate_span_tokens"],
+        sig["boilerplate_min_docs"], sig["strict"], sig["redact"],
+    ):
+        kept = materialize(stage(kept))
+        stats[name] = kept.count()
+    return kept, stats

@@ -78,3 +78,35 @@ def test_curate_redacts_pii_last(spark):
     assert sorted(out) == [1, 2, 3]
     assert out[1] == out[2] == BASE + " mail me at [PII] please"
     assert "[PII]" in out[3] and "10.1.2.3" not in out[3]
+
+
+def test_curate_with_stats_reports_stage_yields(spark):
+    """Per-stage survivor counts: monotonically non-increasing through
+    the drop stages, keyed by stage name, and the final frame matches
+    plain curate's output."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate,
+        curate_with_stats,
+    )
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten"),   # exact dup
+        (3, "a different useful document with enough distinct tokens here ok"),
+        (4, "x"),                                                   # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out, stats = curate_with_stats(df, min_tokens=5, strict=True)
+    assert stats["input"] == 4
+    assert stats["quality_gate"] == 3          # doc 4 gated
+    assert stats["exact_dedup"] == 2           # dup pair collapsed
+    assert stats["split"] == 2
+    order = [k for k in stats if k != "input"]
+    vals = [stats[k] for k in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    expect = sorted(tuple(r) for r in curate(df, min_tokens=5, strict=True).collect())
+    assert sorted(tuple(r) for r in out.collect()) == expect
+
+    import pytest as _pytest
+    with _pytest.raises(TypeError, match="unknown curate"):
+        curate_with_stats(df, nonsense=1)
