@@ -399,3 +399,53 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             "returned subgraph may still contain sub-k vertices", max_iter,
         )
     return alive
+
+
+def k_hop_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Minimum hop distance from a SOURCE SET, bounded by ``k`` — the
+    KG neighborhood query ("everything within k hops of these
+    entities") and the reachability primitive behind subgraph export.
+    Returns ``(id, dist)`` for every vertex reachable in ≤ ``k`` hops,
+    sources at ``dist`` 0; ``dist`` is the true minimum because BFS
+    levels are explored in order. Unreachable vertices simply do not
+    appear. ``sources`` is a DataFrame with an ``id`` column
+    (distributed — a source set can be millions of seeds).
+
+    Scale shape: FRONTIER-ONLY expansion — each level joins the edge
+    table against just the newly-discovered vertices, not the whole
+    visited set (level-synchronous BFS; for small ``k`` this beats
+    full-label relaxation by never touching settled vertices), then an
+    id-keyed anti-join against the visited set. Only ids and a level
+    int shuffle. The loop runs ≤ ``k`` times and exits early when a
+    frontier empties; each level is materialized through the pluggable
+    seam (frontier/visited feed the next iteration's joins twice).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    e = materialize(
+        edges.select("src", "dst") if directed else symmetrize(edges)
+    )
+    visited = materialize(
+        sources.select("id").distinct().withColumn("dist", F.lit(0))
+    )
+    frontier = visited.select("id")
+    for dist in range(1, k + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = materialize(
+            nxt.join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(dist))
+        )
+        if new.limit(1).count() == 0:
+            break
+        visited = materialize(visited.unionByName(new))
+        frontier = new.select("id")
+    return visited

@@ -277,3 +277,30 @@ def test_default_entity_block_folds_late_alphabet_accents(spark):
     }
     for accented, plain in pairs:
         assert keys[accented] == keys[plain], (accented, keys)
+
+
+def test_k_hop_distances_bfs(spark):
+    """Min hop distance from a source set: levels in order (diamond
+    counts once at its shortest distance), directed vs undirected
+    expansion, k bound respected, unreachable vertices absent."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import k_hop_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (6, 1), (7, 8)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    got = {
+        r["id"]: r["dist"]
+        for r in k_hop_distances(edges, src, k=2).collect()
+    }
+    # diamond: 4 reached once at its min distance; 5 is 3 hops (cut);
+    # 6 points AT 1 (directed: not reached); 7,8 disconnected
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    undirected = {
+        r["id"]: r["dist"]
+        for r in k_hop_distances(edges, src, k=1, directed=False).collect()
+    }
+    assert undirected == {1: 0, 2: 1, 3: 1, 6: 1}
+    zero = {r["id"]: r["dist"] for r in k_hop_distances(edges, src, k=0).collect()}
+    assert zero == {1: 0}
