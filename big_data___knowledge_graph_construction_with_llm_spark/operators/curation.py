@@ -101,16 +101,22 @@ def curate(
     near-duplicate relationships the earlier stages decide on."""
     kept = docs
     for _name, stage in _curation_stages(
-        docs.columns, id_col, text_col, benchmark, min_tokens, max_tokens,
-        max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
-        decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
-        boilerplate_min_docs, strict, redact,
+        doc_columns=docs.columns, id_col=id_col, text_col=text_col,
+        benchmark=benchmark, min_tokens=min_tokens, max_tokens=max_tokens,
+        max_dup_token_frac=max_dup_token_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+        jaccard_threshold=jaccard_threshold,
+        decontam_threshold=decontam_threshold,
+        max_boilerplate_frac=max_boilerplate_frac,
+        boilerplate_span_tokens=boilerplate_span_tokens,
+        boilerplate_min_docs=boilerplate_min_docs, strict=strict, redact=redact,
     ):
         kept = stage(kept)
     return kept
 
 
 def _curation_stages(
+    *,
     doc_columns, id_col, text_col, benchmark, min_tokens, max_tokens,
     max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
     decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
@@ -194,27 +200,27 @@ def curate_with_stats(
     recompute earlier ones — at corpus scale that re-computation, not
     the counting, is what would hurt. Same keyword surface as
     :func:`curate`."""
+    import inspect
+
     from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
 
-    sig = dict(
-        benchmark=None, min_tokens=5, max_tokens=100_000,
-        max_dup_token_frac=0.6, max_top_bigram_frac=0.5,
-        jaccard_threshold=0.85, decontam_threshold=0.8,
-        max_boilerplate_frac=None, boilerplate_span_tokens=8,
-        boilerplate_min_docs=3, strict=False, redact=False,
-    )
+    # defaults come FROM curate's signature — one source of truth, so a
+    # changed default can never desynchronize the two entry points
+    sig = {
+        name: p.default
+        for name, p in inspect.signature(curate).parameters.items()
+        if name not in ("docs", "id_col", "text_col")
+    }
     unknown = set(kwargs) - set(sig)
     if unknown:
         raise TypeError(f"unknown curate arguments: {sorted(unknown)}")
     sig.update(kwargs)
-    stats = {"input": docs.count()}
-    kept = docs
+    # materialize the input once: its count and the first stage would
+    # otherwise each execute the full upstream lineage
+    kept = materialize(docs)
+    stats = {"input": kept.count()}
     for name, stage in _curation_stages(
-        docs.columns, id_col, text_col, sig["benchmark"], sig["min_tokens"],
-        sig["max_tokens"], sig["max_dup_token_frac"], sig["max_top_bigram_frac"],
-        sig["jaccard_threshold"], sig["decontam_threshold"],
-        sig["max_boilerplate_frac"], sig["boilerplate_span_tokens"],
-        sig["boilerplate_min_docs"], sig["strict"], sig["redact"],
+        doc_columns=docs.columns, id_col=id_col, text_col=text_col, **sig
     ):
         kept = materialize(stage(kept))
         stats[name] = kept.count()

@@ -422,18 +422,26 @@ def k_hop_distances(
     full-label relaxation by never touching settled vertices), then an
     id-keyed anti-join against the visited set. Only ids and a level
     int shuffle. The loop runs ≤ ``k`` times and exits early when a
-    frontier empties; each level is materialized through the pluggable
-    seam (frontier/visited feed the next iteration's joins twice).
+    frontier empties. Only per-LEVEL frames are materialized — the
+    visited set is a lazy union of already-checkpointed levels, so a
+    vertex settled at level 1 is never re-copied at levels 2..k, and
+    the edge table is not touched (or copied) at all for ``k = 0``.
     """
+    from functools import reduce
+
     if k < 0:
         raise ValueError(f"k must be >= 0, got {k}")
+    level0 = materialize(
+        sources.select("id").distinct().withColumn("dist", F.lit(0))
+    )
+    if k == 0:
+        return level0
     e = materialize(
         edges.select("src", "dst") if directed else symmetrize(edges)
     )
-    visited = materialize(
-        sources.select("id").distinct().withColumn("dist", F.lit(0))
-    )
-    frontier = visited.select("id")
+    levels = [level0]
+    seen = level0.select("id")
+    frontier = seen
     for dist in range(1, k + 1):
         nxt = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
@@ -441,11 +449,11 @@ def k_hop_distances(
             .distinct()
         )
         new = materialize(
-            nxt.join(visited.select("id"), "id", "left_anti")
-            .withColumn("dist", F.lit(dist))
+            nxt.join(seen, "id", "left_anti").withColumn("dist", F.lit(dist))
         )
         if new.limit(1).count() == 0:
             break
-        visited = materialize(visited.unionByName(new))
+        levels.append(new)
         frontier = new.select("id")
-    return visited
+        seen = seen.unionByName(frontier)
+    return reduce(DataFrame.unionByName, levels)

@@ -536,9 +536,9 @@ def q_sim_join_names(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- text analysis ---------------------------------------------------------------
 
-#: deterministic boilerplate planted into every 5th document (the
-#: synthetic corpus shares no natural 8-grams) — 10 tokens, so each
-#: planted doc carries 3 full 8-token windows from inside the block
+#: deterministic boilerplate planted into every 5th document — 9
+#: tokens, so each planted doc carries 2 full 8-token windows from
+#: inside the block (plus doc-specific boundary windows)
 _BOILER = "standard license header text common to many documents here"
 
 
@@ -582,7 +582,7 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     """Token counting (whitespace tokens + BPE-ish regex pieces) plus the
     cross-engine-stable md5 content fingerprint — one scan-speed
     projection per document — PLUS the repeated-span boilerplate leg:
-    a fixed 10-token licence block is planted into every 5th document
+    a fixed 9-token licence block is planted into every 5th document
     and ``operators.dedup.boilerplate_fraction`` (8-token spans,
     min_docs=2) must score exactly the planted share, 0.0 everywhere
     else; the oracle recomputes the span sets exhaustively. Token
