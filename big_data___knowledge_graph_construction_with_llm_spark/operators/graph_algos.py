@@ -457,3 +457,25 @@ def k_hop_distances(
         frontier = new.select("id")
         seen = seen.unionByName(frontier)
     return reduce(DataFrame.unionByName, levels)
+
+
+def k_hop_subgraph(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    directed: bool = True,
+) -> DataFrame:
+    """Induced subgraph on the ≤ ``k``-hop neighborhood of a source set:
+    the edges whose BOTH endpoints lie within :func:`k_hop_distances`'s
+    reach — the "export this entity's neighborhood" query that feeds
+    the Neo4j bulk-CSV / bolt sinks with a bounded slice of a huge KG
+    instead of the whole graph. All edge columns (relation labels,
+    properties) pass through untouched: the filter is two id-keyed
+    left-semi joins against the materialized vertex set, so property
+    payloads never shuffle on anything but their own edge row."""
+    verts = materialize(
+        k_hop_distances(edges, sources, k, directed=directed).select("id")
+    )
+    return edges.join(
+        verts.withColumnRenamed("id", "src"), "src", "left_semi"
+    ).join(verts.withColumnRenamed("id", "dst"), "dst", "left_semi")

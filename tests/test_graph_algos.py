@@ -304,3 +304,22 @@ def test_k_hop_distances_bfs(spark):
     assert undirected == {1: 0, 2: 1, 3: 1, 6: 1}
     zero = {r["id"]: r["dist"] for r in k_hop_distances(edges, src, k=0).collect()}
     assert zero == {1: 0}
+
+
+def test_k_hop_subgraph_induced_edges(spark):
+    """Induced neighborhood subgraph: only edges with both endpoints in
+    reach survive, edge properties pass through, far components drop."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import k_hop_subgraph
+
+    edges = spark.createDataFrame(
+        [(1, 2, "knows"), (2, 3, "likes"), (3, 9, "far"), (7, 8, "other")],
+        "src long, dst long, rel string",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    got = sorted(
+        (r["src"], r["dst"], r["rel"])
+        for r in k_hop_subgraph(edges, src, k=2).collect()
+    )
+    # 3 is reachable at 2 hops; 9 is 3 hops away so (3,9) has one
+    # endpoint outside the neighborhood; (7,8) is disconnected
+    assert got == [(1, 2, "knows"), (2, 3, "likes")]

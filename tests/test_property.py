@@ -285,3 +285,38 @@ def test_incremental_dedup_store_wins_law(spark, labels, nb):
         survivors |= {r["doc_id"] for r in new_rows.collect()}
         fps = fps.unionByName(new_fps)
     assert survivors == set(expect.values())
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 200), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    ra=st.sampled_from([0.0, 0.3, 1.0]),
+    rb=st.sampled_from([0.0, 0.5]),
+)
+@settings(**_SETTINGS)
+def test_sample_mixture_equals_per_domain_hash_sample(spark, rows, ra, rb):
+    """Law: mixture sampling is exactly the union of hash_sample applied
+    per domain at that domain's rate (same buckets) — one CASE
+    projection must equal the composed per-domain filters for every
+    corpus and rate map; absent domains drop."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        hash_sample,
+        sample_mixture,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id int, dom string")
+    got = sorted(
+        r["doc_id"]
+        for r in sample_mixture(df, "dom", "doc_id", {"a": ra, "b": rb}).collect()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for d, rate in (("a", ra), ("b", rb))
+        for r in hash_sample(
+            df.filter(F.col("dom") == d), "doc_id", rate
+        ).collect()
+    )
+    assert got == expect
