@@ -312,3 +312,107 @@ def unigram_surprisal(
         .join(scores, id_col, "left")
         .na.fill({"n_tokens": 0})
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    max_size: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token vocabulary as ``(token, token_id, count)`` — the
+    tokenize-to-ids preprocessing step of a training pipeline. Ids are
+    DETERMINISTIC: rank by (count desc, token asc), zero-based, so the
+    same corpus yields the same vocabulary on every run, engine, and
+    partitioning (frequency ties break lexically, never by partition
+    order). ``min_count`` prunes the long tail before ranking;
+    ``max_size`` keeps the top ids only.
+
+    Scale shape: one explode + partial-aggregated count (tokens
+    shuffle once, as (token, partial-count) pairs), then a single-task
+    window sort over the AGGREGATED vocabulary — bounded (a few
+    million rows for any real tokenizer, and ``min_count`` shrinks it
+    further), so the global sort is a deliberate, documented
+    single-reducer step, not a corpus-sized one.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    vocab = counts.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("token", "token_id", "count")
+    if max_size is not None:
+        if max_size < 1:
+            raise ValueError(f"max_size must be >= 1, got {max_size}")
+        vocab = vocab.filter(F.col("token_id") < max_size)
+    return vocab
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Int-encode each document against a ``build_vocab`` table:
+    ``(id, token_ids array<int>, n_oov)`` with token order PRESERVED
+    (posexplode position is carried through the join and the array is
+    rebuilt in position order — a bare ``collect_list`` after a shuffle
+    would interleave arbitrarily). Out-of-vocabulary tokens encode as
+    ``oov_id`` and are counted per document, the signal for sizing
+    ``max_size``/``min_count``. Empty/blank documents yield an empty
+    array, not a dropped row.
+
+    Scale shape: the vocabulary is broadcast (bounded by construction —
+    see ``build_vocab``), so encoding is a map-side join; the only
+    shuffle carries (id, position, int) triples for the per-doc
+    rebuild.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("pos", "token"),
+    )
+    joined = toks.join(broadcast(vocab.select("token", "token_id")), "token", "left")
+    encoded = (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+                    )
+                )
+            ).alias("_ord"),
+            F.sum(
+                F.when(
+                    F.col("pos").isNotNull() & F.col("token_id").isNull(), 1
+                ).otherwise(0)
+            ).cast("int").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.filter(F.col("_ord"), lambda s: s["pos"].isNotNull()),
+                lambda s: s["tid"].cast("int"),
+            ).alias("token_ids"),
+            "n_oov",
+        )
+    )
+    return df.select(id_col).join(encoded, id_col, "left").select(
+        id_col,
+        F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+    )

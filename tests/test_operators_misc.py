@@ -894,3 +894,51 @@ def test_embed_to_ann_roundtrip(spark):
         vecs, threshold=0.9, block_cols=["_blk"], id_col="doc_id", sign_dims=2
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_build_vocab_deterministic_ids(spark):
+    """Ids rank by (count desc, token asc): frequency ties break
+    lexically, min_count prunes, max_size truncates the id space."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "a c d")], "doc_id long, text string"
+    )
+    v = {r["token"]: (r["token_id"], r["count"])
+         for r in build_vocab(df, "text").collect()}
+    # b:4? no - b appears 3x, a 3x, c 2x, d 1x -> tie a/b broken lexically
+    assert v == {"a": (0, 3), "b": (1, 3), "c": (2, 2), "d": (3, 1)}
+    again = {r["token"]: r["token_id"]
+             for r in build_vocab(df.repartition(5), "text").collect()}
+    assert again == {t: i for t, (i, _) in v.items()}
+    top2 = {r["token"] for r in build_vocab(df, "text", max_size=2).collect()}
+    assert top2 == {"a", "b"}
+    pruned = {r["token"] for r in build_vocab(df, "text", min_count=2).collect()}
+    assert pruned == {"a", "b", "c"}
+
+
+def test_encode_documents_order_and_oov(spark):
+    """Token order survives the shuffle (position-sorted rebuild), OOV
+    tokens map to oov_id and are counted, empty docs stay as empty
+    arrays."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        build_vocab,
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "a c d")], "doc_id long, text string"
+    )
+    vocab = build_vocab(df, "text", max_size=3)  # a=0 b=1 c=2; d OOV
+    enc = spark.createDataFrame(
+        [(1, "c b a a"), (2, "d a d"), (3, ""), (4, "zz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["token_ids"], r["n_oov"])
+        for r in encode_documents(enc, vocab).collect()
+    }
+    assert got[1] == ([2, 1, 0, 0], 0)
+    assert got[2] == ([-1, 0, -1], 2)
+    assert got[3] == ([], 0)
+    assert got[4] == ([-1], 1)
