@@ -942,3 +942,30 @@ def test_encode_documents_order_and_oov(spark):
     assert got[2] == ([-1, 0, -1], 2)
     assert got[3] == ([], 0)
     assert got[4] == ([-1], 1)
+
+
+def test_text_to_ids_to_packed_sequences_roundtrip(spark):
+    """End-to-end pretraining preprocessing: raw text -> vocab ->
+    int-encoded docs -> sequence bins, with the encoded lengths driving
+    the packer and every document landing in exactly one bin."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        build_vocab,
+        encode_documents,
+    )
+
+    rows = [(i, " ".join(f"tok{j % 7}" for j in range(i + 2))) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(df, "text")
+    enc = encode_documents(df, vocab).withColumn("n_ids", F.size("token_ids"))
+    lens = {r["doc_id"]: r["n_ids"] for r in enc.collect()}
+    assert lens == {i: i + 2 for i in range(12)}  # encoding lost no tokens
+    packed = pack_sequences(enc, "doc_id", "n_ids", budget=16)
+    out = packed.collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(12))  # one bin each
+    totals: dict[int, int] = {}
+    for r in out:
+        totals[r["seq_id"]] = totals.get(r["seq_id"], 0) + lens[r["doc_id"]]
+    # documented overflow bound: budget + max doc len - 1
+    assert all(t <= 16 + 13 - 1 for t in totals.values())
+    assert len(totals) >= 2
