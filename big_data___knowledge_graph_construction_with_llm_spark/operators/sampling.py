@@ -108,6 +108,31 @@ def mixture_keep_flag(
     return hash_bucket(F.col(id_col), buckets) < cutoff
 
 
+def epoch_shuffle_key(id_col: str, epoch: int) -> F.Column:
+    """Deterministic per-epoch shuffle key: ``md5(id || ':' || epoch)``.
+    Sorting (or range-partitioning a shard write) by this column gives
+    every epoch its own reproducible pseudo-random document order —
+    epoch N is the same permutation on every run and engine, epochs
+    differ from each other, and appends slot into an epoch's order
+    without moving existing rows. The training-data answer to
+    ``ORDER BY rand()`` (which changes under retries and partitioning).
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    return F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{epoch}"))
+    )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
+    """Rows of ``df`` in the epoch's deterministic shuffle order. The
+    global sort is a range-partitioned Spark sort (no single-task
+    funnel); downstream writers preserve the order per output file, so
+    ``epoch_shuffle(df, id, e).write...`` produces reproducible,
+    epoch-distinct training shards."""
+    return df.orderBy(epoch_shuffle_key(id_col, epoch), F.col(id_col))
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
 ) -> DataFrame:

@@ -320,3 +320,23 @@ def test_sample_mixture_equals_per_domain_hash_sample(spark, rows, ra, rb):
         ).collect()
     )
     assert got == expect
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=2, max_size=25, unique=True),
+    epoch=st.integers(0, 3),
+)
+@settings(**_SETTINGS)
+def test_epoch_shuffle_laws(spark, ids, epoch):
+    """Laws: an epoch's order is a permutation of the input, stable
+    across partitionings, and (for enough rows) different epochs give
+    different permutations."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch).collect()]
+    b = [r["doc_id"] for r in epoch_shuffle(df.repartition(5), "doc_id", epoch).collect()]
+    assert a == b
+    assert sorted(a) == sorted(ids)
+    if len(ids) >= 10:
+        other = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch + 1).collect()]
+        assert other != a  # 1/10! chance of false failure — negligible
