@@ -369,7 +369,14 @@ def encode_documents(
     would interleave arbitrarily). Out-of-vocabulary tokens encode as
     ``oov_id`` and are counted per document, the signal for sizing
     ``max_size``/``min_count``. Empty/blank documents yield an empty
-    array, not a dropped row.
+    array, not a dropped row (``posexplode_outer`` keeps a null-position
+    row per such document, so every input id appears in the output with
+    no join-back needed).
+
+    Precondition: ``id_col`` values are UNIQUE (same contract as
+    ``stratified_sample``) — with duplicate ids the per-doc rebuild
+    would merge the duplicates' positions into one interleaved array
+    with no error.
 
     Scale shape: the vocabulary is broadcast (bounded by construction —
     see ``build_vocab``), so encoding is a map-side join; the only
@@ -385,7 +392,7 @@ def encode_documents(
         ).alias("pos", "token"),
     )
     joined = toks.join(broadcast(vocab.select("token", "token_id")), "token", "left")
-    encoded = (
+    return (
         joined.groupBy(id_col)
         .agg(
             F.array_sort(
@@ -410,9 +417,4 @@ def encode_documents(
             ).alias("token_ids"),
             "n_oov",
         )
-    )
-    return df.select(id_col).join(encoded, id_col, "left").select(
-        id_col,
-        F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
-        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
     )
