@@ -800,18 +800,22 @@ def _doc_spans(
     return spans
 
 
-def _repeated_from_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+def _repeated_from_spans(
+    spans: DataFrame, id_col: str, min_docs: int, with_exemplar: bool = True
+) -> DataFrame:
     if min_docs < 2:
         raise ValueError(
             f"min_docs must be >= 2 (a repeated span needs at least two "
             f"documents), got {min_docs}"
         )
+    aggs = [F.countDistinct(id_col).alias("n_docs")]
+    if with_exemplar:
+        # the exemplar string rides the shuffle — only ask for it when
+        # the caller surfaces spans to a human/excision step
+        aggs.insert(0, F.min("_s").alias("span"))
     return (
         spans.groupBy("_sh64", "_sh128")
-        .agg(
-            F.min("_s").alias("span"),
-            F.countDistinct(id_col).alias("n_docs"),
-        )
+        .agg(*aggs)
         .filter(F.col("n_docs") >= min_docs)
     )
 
@@ -870,10 +874,14 @@ def boilerplate_fraction(
     With ``sample_mod > 1`` BOTH numerator and denominator count only
     the hash-sampled spans, so the fraction stays an unbiased estimate
     of the exhaustive one. The exploded span frame is materialized ONCE
-    and feeds the hit table, the per-doc totals, and the per-doc hit
-    counts; the join back is on the 8-byte span hash."""
-    spans = materialize(_doc_spans(df, id_col, text_col, span_tokens, sample_mod))
-    hits = _repeated_from_spans(spans, id_col, min_docs)
+    — WITHOUT the span strings: this path is pure counting, so only
+    (id, fingerprint) rows are checkpointed and shuffled, never span
+    text — and feeds the hit table, the per-doc totals, and the
+    per-doc hit counts; the join back is on the span fingerprint."""
+    spans = materialize(
+        _doc_spans(df, id_col, text_col, span_tokens, sample_mod).drop("_s")
+    )
+    hits = _repeated_from_spans(spans, id_col, min_docs, with_exemplar=False)
     totals = spans.groupBy(id_col).agg(F.count("*").alias("_n_spans"))
     rep_counts = (
         spans.join(hits.select("_sh64", "_sh128"), ["_sh64", "_sh128"])
