@@ -800,22 +800,18 @@ def _doc_spans(
     return spans
 
 
-def _repeated_from_spans(
-    spans: DataFrame, id_col: str, min_docs: int, with_exemplar: bool = True
-) -> DataFrame:
+def _repeated_from_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
     if min_docs < 2:
         raise ValueError(
             f"min_docs must be >= 2 (a repeated span needs at least two "
             f"documents), got {min_docs}"
         )
-    aggs = [F.countDistinct(id_col).alias("n_docs")]
-    if with_exemplar:
-        # the exemplar string rides the shuffle — only ask for it when
-        # the caller surfaces spans to a human/excision step
-        aggs.insert(0, F.min("_s").alias("span"))
     return (
         spans.groupBy("_sh64", "_sh128")
-        .agg(*aggs)
+        .agg(
+            F.min("_s").alias("span"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
         .filter(F.col("n_docs") >= min_docs)
     )
 
@@ -873,28 +869,38 @@ def boilerplate_fraction(
 
     With ``sample_mod > 1`` BOTH numerator and denominator count only
     the hash-sampled spans, so the fraction stays an unbiased estimate
-    of the exhaustive one. The exploded span frame is materialized ONCE
-    — WITHOUT the span strings: this path is pure counting, so only
-    (id, fingerprint) rows are checkpointed and shuffled, never span
-    text — and feeds the hit table, the per-doc totals, and the
-    per-doc hit counts; the join back is on the span fingerprint."""
-    spans = materialize(
-        _doc_spans(df, id_col, text_col, span_tokens, sample_mod).drop("_s")
-    )
-    hits = _repeated_from_spans(spans, id_col, min_docs, with_exemplar=False)
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("_n_spans"))
-    rep_counts = (
-        spans.join(hits.select("_sh64", "_sh128"), ["_sh64", "_sh128"])
+    of the exhaustive one.
+
+    Scale shape — ONE pass, no hit-table join: ``_doc_spans`` is
+    per-document DISTINCT, so a plain ``count(*)`` windowed over the
+    span fingerprint IS the distinct-document count; each span row
+    learns its own repetition in the same shuffle that groups the
+    fingerprints (id + 192-bit fingerprint rows only — span text never
+    shuffles on this path), and one partial-aggregated per-doc rollup
+    finishes the fraction. The earlier shape (grouped hit table joined
+    back onto the span frame) shuffled the frame twice more."""
+    if min_docs < 2:
+        raise ValueError(
+            f"min_docs must be >= 2 (a repeated span needs at least two "
+            f"documents), got {min_docs}"
+        )
+    from pyspark.sql import Window
+
+    spans = _doc_spans(df, id_col, text_col, span_tokens, sample_mod).drop("_s")
+    w = Window.partitionBy("_sh64", "_sh128")
+    per_doc = (
+        spans.withColumn("_nd", F.count("*").over(w))
         .groupBy(id_col)
-        .agg(F.count("*").alias("_n_rep"))
+        .agg(
+            F.count("*").alias("_n_spans"),
+            F.sum((F.col("_nd") >= min_docs).cast("int")).alias("_n_rep"),
+        )
+        .select(
+            id_col,
+            (F.col("_n_rep") / F.col("_n_spans")).alias("boilerplate_frac"),
+        )
     )
-    frac = totals.join(rep_counts, id_col, "left").select(
-        id_col,
-        (F.coalesce(F.col("_n_rep"), F.lit(0)) / F.col("_n_spans")).alias(
-            "boilerplate_frac"
-        ),
-    )
-    return df.select(id_col).join(frac, id_col, "left").select(
+    return df.select(id_col).join(per_doc, id_col, "left").select(
         id_col, F.coalesce("boilerplate_frac", F.lit(0.0)).alias("boilerplate_frac")
     )
 
