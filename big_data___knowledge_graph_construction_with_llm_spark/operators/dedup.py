@@ -800,12 +800,16 @@ def _doc_spans(
     return spans
 
 
-def _repeated_from_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+def _require_min_docs(min_docs: int) -> None:
     if min_docs < 2:
         raise ValueError(
             f"min_docs must be >= 2 (a repeated span needs at least two "
             f"documents), got {min_docs}"
         )
+
+
+def _repeated_from_spans(spans: DataFrame, id_col: str, min_docs: int) -> DataFrame:
+    _require_min_docs(min_docs)
     return (
         spans.groupBy("_sh64", "_sh128")
         .agg(
@@ -871,36 +875,42 @@ def boilerplate_fraction(
     the hash-sampled spans, so the fraction stays an unbiased estimate
     of the exhaustive one.
 
-    Scale shape — ONE pass, no hit-table join: ``_doc_spans`` is
-    per-document DISTINCT, so a plain ``count(*)`` windowed over the
-    span fingerprint IS the distinct-document count; each span row
-    learns its own repetition in the same shuffle that groups the
-    fingerprints (id + 192-bit fingerprint rows only — span text never
-    shuffles on this path), and one partial-aggregated per-doc rollup
-    finishes the fraction. The earlier shape (grouped hit table joined
-    back onto the span frame) shuffled the frame twice more."""
-    if min_docs < 2:
-        raise ValueError(
-            f"min_docs must be >= 2 (a repeated span needs at least two "
-            f"documents), got {min_docs}"
-        )
-    from pyspark.sql import Window
-
-    spans = _doc_spans(df, id_col, text_col, span_tokens, sample_mod).drop("_s")
-    w = Window.partitionBy("_sh64", "_sh128")
-    per_doc = (
-        spans.withColumn("_nd", F.count("*").over(w))
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("_n_spans"),
-            F.sum((F.col("_nd") >= min_docs).cast("int")).alias("_n_rep"),
-        )
-        .select(
-            id_col,
-            (F.col("_n_rep") / F.col("_n_spans")).alias("boilerplate_frac"),
-        )
+    Scale shape: the (id, 192-bit fingerprint) span frame — span text
+    never shuffles on this path — is repartitioned on the fingerprint
+    ONCE and materialized; the hit aggregation (streaming hash-agg with
+    ``countDistinct(id)`` — an O(1) counter per key, NO window
+    buffering: a licence span present in millions of docs must not pile
+    its rows into one task's window buffer) and the hit join then both
+    reuse that partitioning without further exchanges, and the per-doc
+    rollups are partial-aggregated. ``countDistinct`` also makes the
+    hit decision robust to duplicate same-id rows (a doc's own
+    duplicate is not "another document"); the fraction itself is a
+    ratio, so uniform row duplication cancels."""
+    _require_min_docs(min_docs)
+    spans = materialize(
+        _doc_spans(df, id_col, text_col, span_tokens, sample_mod)
+        .drop("_s")
+        .repartition("_sh64", "_sh128")
     )
-    return df.select(id_col).join(per_doc, id_col, "left").select(
+    hits = (
+        spans.groupBy("_sh64", "_sh128")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sh64", "_sh128")
+    )
+    totals = spans.groupBy(id_col).agg(F.count("*").alias("_n_spans"))
+    rep_counts = (
+        spans.join(hits, ["_sh64", "_sh128"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_n_rep"))
+    )
+    frac = totals.join(rep_counts, id_col, "left").select(
+        id_col,
+        (F.coalesce(F.col("_n_rep"), F.lit(0)) / F.col("_n_spans")).alias(
+            "boilerplate_frac"
+        ),
+    )
+    return df.select(id_col).join(frac, id_col, "left").select(
         id_col, F.coalesce("boilerplate_frac", F.lit(0.0)).alias("boilerplate_frac")
     )
 

@@ -969,3 +969,19 @@ def test_text_to_ids_to_packed_sequences_roundtrip(spark):
     # documented overflow bound: budget + max doc len - 1
     assert all(t <= 16 + 13 - 1 for t in totals.values())
     assert len(totals) >= 2
+
+
+def test_boilerplate_fraction_duplicate_id_rows(spark):
+    """A document's own duplicate row is not 'another document': the hit
+    decision counts DISTINCT ids per span, so same-id duplicates score
+    0.0 (a windowed row count would have scored them 1.0)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import boilerplate_fraction
+
+    text = "a b c d e f g h unique tail one"
+    df = spark.createDataFrame(
+        [(1, text), (1, text), (2, "something entirely different and long enough here ok")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["boilerplate_frac"])
+           for r in boilerplate_fraction(df, "doc_id", "text").collect()}
+    assert got == {(1, 0.0), (2, 0.0)}
