@@ -876,21 +876,21 @@ def boilerplate_fraction(
     of the exhaustive one.
 
     Scale shape: the (id, 192-bit fingerprint) span frame — span text
-    never shuffles on this path — is repartitioned on the fingerprint
-    ONCE and materialized; the hit aggregation (streaming hash-agg with
-    ``countDistinct(id)`` — an O(1) counter per key, NO window
-    buffering: a licence span present in millions of docs must not pile
-    its rows into one task's window buffer) and the hit join then both
-    reuse that partitioning without further exchanges, and the per-doc
-    rollups are partial-aggregated. ``countDistinct`` also makes the
-    hit decision robust to duplicate same-id rows (a doc's own
-    duplicate is not "another document"); the fraction itself is a
-    ratio, so uniform row duplication cancels."""
+    never shuffles on this path — is materialized ONCE and feeds the
+    hit aggregation, the per-doc totals, and the per-doc hit counts.
+    The hit aggregation is a streaming hash-agg with
+    ``countDistinct(id)`` — an O(1) counter per key, deliberately NOT a
+    window: a licence span present in millions of docs must not pile
+    its rows into one task's window buffer. ``countDistinct`` also
+    makes the hit decision robust to duplicate same-id rows (a doc's
+    own duplicate is not "another document"); the fraction itself is a
+    ratio, so uniform row duplication cancels. (A localCheckpoint does
+    not advertise its partitioning to downstream plans, so
+    pre-repartitioning by fingerprint would only add a shuffle, not
+    save the aggregation's — measured, not assumed.)"""
     _require_min_docs(min_docs)
     spans = materialize(
-        _doc_spans(df, id_col, text_col, span_tokens, sample_mod)
-        .drop("_s")
-        .repartition("_sh64", "_sh128")
+        _doc_spans(df, id_col, text_col, span_tokens, sample_mod).drop("_s")
     )
     hits = (
         spans.groupBy("_sh64", "_sh128")
