@@ -340,3 +340,38 @@ def test_epoch_shuffle_laws(spark, ids, epoch):
     if len(ids) >= 10:
         other = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", epoch + 1).collect()]
         assert other != a  # 1/10! chance of false failure — negligible
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    ),
+    k=st.integers(0, 3),
+)
+@settings(**_SETTINGS)
+def test_k_hop_distances_matches_reference_bfs(spark, edges, k):
+    """Law: the distributed frontier BFS agrees with a plain in-memory
+    BFS on every random directed graph and bound k."""
+    from collections import deque
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import k_hop_distances
+
+    src_id = edges[0][0]
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expect = {src_id: 0}
+    q = deque([src_id])
+    while q:
+        u = q.popleft()
+        if expect[u] == k:
+            continue
+        for v in adj.get(u, ()):
+            if v not in expect:
+                expect[v] = expect[u] + 1
+                q.append(v)
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    srcs = spark.createDataFrame([(src_id,)], "id long")
+    got = {r["id"]: r["dist"] for r in k_hop_distances(e, srcs, k).collect()}
+    assert got == expect
