@@ -210,3 +210,13 @@ def test_knn_ivf_pq_prunes_partitions_and_skips_vectors(spark, tmp_path):
     read_line = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
     assert "code" in read_line, p
     assert "embedding" not in read_line, p  # vectors never touched
+
+
+def test_boilerplate_leg_never_uses_a_window(spark):
+    """The q_token_count span leg must stay a hash-aggregate: a Window
+    over the span fingerprint buffers every row of a hot key (a licence
+    span in millions of docs) in one task — the shape was measured,
+    rejected, and must not come back."""
+    p = plan_text(QUERIES["q_token_count"](spark, SF_DIR))
+    assert "Window" not in p
+    assert "HashAggregate" in p

@@ -375,3 +375,63 @@ def test_k_hop_distances_matches_reference_bfs(spark, edges, k):
     srcs = spark.createDataFrame([(src_id,)], "id long")
     got = {r["id"]: r["dist"] for r in k_hop_distances(e, srcs, k).collect()}
     assert got == expect
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1, max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """Law: min-label propagation agrees with an in-memory union-find
+    (labels = component minimum) on every random graph."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    groups: dict[int, list[int]] = {}
+    for v in parent:
+        groups.setdefault(find(v), []).append(v)
+    expect = {v: min(vs) for vs in groups.values() for v in vs}
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(e, strict=True).collect()
+    }
+    assert got == expect
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_brute_force(spark, edges):
+    """Law: degree-oriented triangle counting agrees with brute-force
+    enumeration over the undirected simple graph (self-loops and
+    parallel/reverse duplicates must not inflate the count)."""
+    from itertools import combinations
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import triangle_count
+
+    und = {frozenset((s, d)) for s, d in edges if s != d}
+    verts = {v for e in und for v in e}
+    expect = sum(
+        1
+        for a, b, c in combinations(sorted(verts), 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = triangle_count(e).collect()[0][0]
+    assert got == expect
