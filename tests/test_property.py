@@ -435,3 +435,65 @@ def test_triangle_count_matches_brute_force(spark, edges):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = triangle_count(e).collect()[0][0]
     assert got == expect
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=15,
+    ).filter(lambda es: any(s != d for s, d in es))
+)
+@settings(**_SETTINGS)
+def test_pagerank_int_mode_tracks_float_mode(spark, edges):
+    """Law: the integer-scaled (oracle-exact) PageRank agrees with the
+    float formulation within the documented per-iteration error bound
+    on every random graph."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    fl = {r["id"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    ex = {r["id"]: r["rank"]
+          for r in pagerank(e, iterations=5, exact_scale=10**12).collect()}
+    assert set(fl) == set(ex)
+    # int mode truncates each contribution to the 1e-12 grid; 5
+    # iterations on a ≤8-vertex graph stay far inside 1e-9 absolute
+    assert all(abs(fl[v] - ex[v]) <= 1e-9 for v in fl), (fl, ex)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=22,
+    ),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_k_core_matches_reference_peel(spark, edges, k):
+    """Law: the iterative DataFrame k-core agrees with an in-memory
+    peel on the undirected simple graph for every random input."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import k_core
+
+    und = {frozenset((s, d)) for s, d in edges if s != d}
+    adj: dict[int, set[int]] = {}
+    for e2 in und:
+        a, b = tuple(e2)
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    expect = {
+        (min(a, b), max(a, b))
+        for a in adj for b in adj[a]
+    }
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in k_core(e, k).collect()
+    }
+    assert got == expect
