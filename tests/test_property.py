@@ -497,3 +497,66 @@ def test_k_core_matches_reference_peel(spark, edges, k):
         for r in k_core(e, k).collect()
     }
     assert got == expect
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30)),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30),
+                  st.integers(0, 99)),
+        min_size=0, max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference_lookup(spark, lefts, rights):
+    """Law: the union+window as-of join returns, per left row, the value
+    of the LATEST right row with right_ts <= left_ts on the same key —
+    for every random pair of tables (ties on right_ts excluded by
+    construction: per-(key, ts) the right side is unique)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        "k string, lts long, row_id long",
+    )
+    right = spark.createDataFrame(rights, "k string, rts long, px long") \
+        if rights else spark.createDataFrame([], "k string, rts long, px long")
+    out = {
+        r["row_id"]: r["px"]
+        for r in asof_join(left, right, on="k", left_ts="lts",
+                           right_ts="rts", right_vals=["px"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, v) for (rk, rt, v) in rights if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert out[i] == expect, (i, k, t, cands)
+
+@given(
+    lens=st.lists(st.integers(1, 9), min_size=1, max_size=20),
+    budget=st.integers(4, 12),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_laws(spark, lens, budget):
+    """Laws: packing is a partition of the input (every doc in exactly
+    one bin), each bin's total stays within budget + max_doc_len - 1
+    (the documented straddle bound), and the assignment is identical
+    under repartitioning."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+
+    rows = [(i, n) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = pack_sequences(df, "doc_id", "n", budget=budget)
+    got = {r["doc_id"]: r["seq_id"] for r in out.collect()}
+    assert sorted(got) == [i for i, _ in rows]
+    totals: dict[int, int] = {}
+    for i, n in rows:
+        totals[got[i]] = totals.get(got[i], 0) + n
+    assert all(t <= budget + max(lens) - 1 for t in totals.values()), totals
+    again = {
+        r["doc_id"]: r["seq_id"]
+        for r in pack_sequences(df.repartition(5), "doc_id", "n", budget=budget).collect()
+    }
+    assert again == got
