@@ -560,3 +560,70 @@ def test_pack_sequences_laws(spark, lens, budget):
         for r in pack_sequences(df.repartition(5), "doc_id", "n", budget=budget).collect()
     }
     assert again == got
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 50)),
+        min_size=0, max_size=10,
+    ),
+    salts=st.sampled_from([1, 3, 8]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_plain_join(spark, lefts, rights, salts):
+    """Law: salting is a pure physical rewrite — the salted inner join
+    returns exactly the rows of the plain join (as a multiset) for
+    every input, key distribution, and salt count."""
+    from collections import Counter
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import salted_join
+
+    a = spark.createDataFrame(lefts, "k long, va long")
+    b = spark.createDataFrame(rights, "k long, vb long") \
+        if rights else spark.createDataFrame([], "k long, vb long")
+    plain = Counter(
+        (r["k"], r["va"], r["vb"]) for r in a.join(b, "k").collect()
+    )
+    salted = Counter(
+        (r["k"], r["va"], r["vb"])
+        for r in salted_join(a, b, "k", num_salts=salts).collect()
+    )
+    assert salted == plain
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    span=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_repeated_spans_match_reference(spark, docs, span):
+    """Law: the distributed repeated-span detector agrees with an
+    in-memory reference (per-doc distinct windows, cross-doc distinct
+    counts, docs shorter than the span excluded) on random corpora."""
+    from collections import defaultdict
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import repeated_spans
+
+    ref: dict[str, set[int]] = defaultdict(set)
+    for i, toks in enumerate(docs):
+        if len(toks) < span:
+            continue
+        for j in range(len(toks) - span + 1):
+            ref[" ".join(toks[j:j + span])].add(i)
+    expect = {(s, len(ids)) for s, ids in ref.items() if len(ids) >= 2}
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["span"], r["n_docs"])
+        for r in repeated_spans(df, "doc_id", "text", span_tokens=span).collect()
+    }
+    assert got == expect
