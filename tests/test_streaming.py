@@ -348,3 +348,65 @@ def test_incremental_dedup_sink_empty_batches_are_safe(spark, tmp_path):
     sink(empty, 2)
     assert emitted == [(0, 0), (1, 1), (2, 0)]
     assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1]
+
+
+def test_curate_stream_composes_with_incremental_dedup_sink(spark, tmp_path):
+    """DEPLOYMENT.md topology step 1 end-to-end: quality gates +
+    watermark dedup + redaction (curate_stream) feeding the durable
+    store-backed exact dedup (incremental_dedup_sink) — in-horizon
+    re-deliveries die in the stream, cross-batch duplicates die at the
+    store, PII is gone before landing."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        curate_stream,
+        incremental_dedup_sink,
+        write_foreach_batch,
+    )
+
+    src = tmp_path / "ingest-in"
+    src.mkdir()
+    store = str(tmp_path / "ingest-store")
+    landed: dict[int, list[tuple[int, str]]] = {}
+
+    def emit(df, batch_id):
+        landed.setdefault(batch_id, []).extend(
+            sorted((r["doc_id"], r["text"]) for r in df.collect())
+        )
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).json(str(src))
+    curated = curate_stream(stream, min_tokens=3, watermark="1 hour")
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="ing")
+    q = write_foreach_batch(curated, sink, checkpoint=str(tmp_path / "ckpt-ing"), trigger_seconds=1)
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "ts": ts, "text": t}) for i, ts, t in rows
+            )
+        )
+
+    write("f0.json", [
+        (1, "2024-01-01T00:00:00Z", "good document alpha text"),
+        (2, "2024-01-01T00:00:01Z", "good document alpha text"),   # in-horizon dup
+        (3, "2024-01-01T00:00:02Z", "short"),                      # gated
+        (4, "2024-01-01T00:00:03Z", "mail me at bob@example.com please"),
+    ])
+    q.processAllAvailable()
+    write("f1.json", [
+        (5, "2024-01-01T01:00:00Z", "good document alpha text"),   # dup of store
+        (6, "2024-01-01T01:00:01Z", "fresh document beta text"),
+    ])
+    q.processAllAvailable()
+    q.stop()
+
+    # stateful operators add no-data micro-batches to advance the
+    # watermark, so assert per-wave content and order, not batch ids
+    waves = [rows for _, rows in sorted(landed.items()) if rows]
+    assert [i for i, _ in waves[0]] == [1, 4]
+    assert [i for i, _ in waves[1]] == [6]
+    texts = {t for rows in landed.values() for _, t in rows}
+    assert not any("example.com" in t for t in texts)       # redacted pre-landing
+    assert any("[PII]" in t for t in texts)
+    fps = spark.read.parquet(store)
+    assert sorted(r["doc_id"] for r in fps.collect()) == [1, 4, 6]
