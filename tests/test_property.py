@@ -627,3 +627,60 @@ def test_repeated_spans_match_reference(spark, docs, span):
         for r in repeated_spans(df, "doc_id", "text", span_tokens=span).collect()
     }
     assert got == expect
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40)),
+        min_size=1, max_size=20,
+        unique=True,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_topk_per_group_matches_reference(spark, rows, k):
+    """Law: window top-k per group equals the in-memory sort-and-slice
+    for every grouping, k, and value distribution (order_cols carry the
+    unique tiebreak the docstring requires)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import topk_per_group
+
+    expect = set()
+    for g in {g for g, _ in rows}:
+        vals = sorted(v for gg, v in rows if gg == g)
+        expect |= {(g, v) for v in vals[:k]}
+
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = {
+        (r["g"], r["v"])
+        for r in topk_per_group(df, ["g"], [F.col("v"), F.col("g")], k).collect()
+    }
+    assert got == expect
+
+
+@given(
+    facts=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+    bounds=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 100)),
+        min_size=1, max_size=5,
+    ),
+)
+@settings(**_SETTINGS)
+def test_range_join_bands_matches_reference(spark, facts, bounds):
+    """Law: the broadcast range join returns exactly the half-open
+    interval memberships [lo, hi) a nested loop computes — including
+    overlapping bands (a fact may match several) and empty bands."""
+    bands = [(lo, hi, i) for i, (lo, hi) in enumerate(bounds)]
+    expect = {
+        (v, b_id)
+        for fi, v in enumerate(facts)
+        for lo, hi, b_id in bands
+        if lo <= v < hi
+    }
+    f = spark.createDataFrame([(v,) for v in facts], "value long")
+    b = spark.createDataFrame(bands, "lo long, hi long, band_id long")
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import range_join_bands
+
+    got = {
+        (r["value"], r["band_id"])
+        for r in range_join_bands(f, b, "value").collect()
+    }
+    assert got == expect
