@@ -896,19 +896,23 @@ def boilerplate_fraction(
         spans.groupBy("_sh64", "_sh128")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("_sh64", "_sh128")
+        .select("_sh64", "_sh128", F.lit(1).alias("_hit"))
     )
-    totals = spans.groupBy(id_col).agg(F.count("*").alias("_n_spans"))
-    rep_counts = (
-        spans.join(hits, ["_sh64", "_sh128"])
+    # one left join marks each span as repeated-or-not, then a SINGLE
+    # per-doc aggregation computes numerator and denominator together —
+    # a separate totals pass would shuffle the corpus-scale span frame
+    # by id a second time just to re-count what this groupBy already sees
+    frac = (
+        spans.join(hits, ["_sh64", "_sh128"], "left")
         .groupBy(id_col)
-        .agg(F.count("*").alias("_n_rep"))
-    )
-    frac = totals.join(rep_counts, id_col, "left").select(
-        id_col,
-        (F.coalesce(F.col("_n_rep"), F.lit(0)) / F.col("_n_spans")).alias(
-            "boilerplate_frac"
-        ),
+        .agg(
+            F.count("*").alias("_n_spans"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("_n_rep"),
+        )
+        .select(
+            id_col,
+            (F.col("_n_rep") / F.col("_n_spans")).alias("boilerplate_frac"),
+        )
     )
     return df.select(id_col).join(frac, id_col, "left").select(
         id_col, F.coalesce("boilerplate_frac", F.lit(0.0)).alias("boilerplate_frac")

@@ -366,11 +366,13 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     carries the signal survives).
 
     Returns the surviving undirected edge set ``(src, dst)`` (both
-    directions, as :func:`symmetrize` emits). Self-loops are dropped up
-    front: k-core is defined on simple graphs (NetworkX refuses
-    self-loops outright), and counting a vertex's own loop toward its
-    degree would keep a vertex whose ONLY connection is itself in every
-    1-core. Each iteration is one partial-aggregated degree count + one
+    directions, as :func:`symmetrize` emits). Self-loops and
+    null-endpoint rows are dropped up front: k-core is defined on
+    simple graphs (NetworkX refuses self-loops outright), counting a
+    vertex's own loop toward its degree would keep a vertex whose ONLY
+    connection is itself in every 1-core, and a row missing an endpoint
+    is not an edge and must not prop up the degree of the endpoint it
+    does have. Each iteration is one partial-aggregated degree count + one
     semi-join to drop edges touching peeled vertices — shuffles carry
     ``(vertex, count)`` pairs and vertex ids only. Converges in at most
     O(peeling-depth) iterations (≤ n, usually far fewer); a
@@ -380,7 +382,13 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
     if k < 1:
         raise ValueError("k must be >= 1")
     alive = materialize(
-        symmetrize(edges.filter(F.col("src") != F.col("dst")))
+        symmetrize(
+            edges.filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("src") != F.col("dst"))
+            )
+        )
     )
     for _ in range(max_iter):
         # symmetric edge list ⇒ out-degree on src IS the undirected degree

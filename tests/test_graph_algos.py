@@ -323,3 +323,16 @@ def test_k_hop_subgraph_induced_edges(spark):
     # 3 is reachable at 2 hops; 9 is 3 hops away so (3,9) has one
     # endpoint outside the neighborhood; (7,8) is disconnected
     assert got == [(1, 2, "knows"), (2, 3, "likes")]
+
+
+def test_k_core_drops_self_loops_and_null_edges(spark):
+    """Simple-graph contract: a vertex whose only edge is a self-loop is
+    not in any 1-core, and a null-endpoint row is not an edge (it must
+    not prop up the degree of the endpoint it does have)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 0), (None, 5), (1, 2)], "src long, dst long"
+    )
+    got = {(r["src"], r["dst"]) for r in k_core(edges, 1).collect()}
+    assert got == {(1, 2), (2, 1)}

@@ -666,21 +666,26 @@ def test_topk_per_group_matches_reference(spark, rows, k):
 @settings(**_SETTINGS)
 def test_range_join_bands_matches_reference(spark, facts, bounds):
     """Law: the broadcast range join returns exactly the half-open
-    interval memberships [lo, hi) a nested loop computes — including
-    overlapping bands (a fact may match several) and empty bands."""
+    interval memberships [lo, hi) a nested loop computes, AS A MULTISET
+    (facts tagged by index so duplicate values cannot mask a dropped or
+    doubled row) — including overlapping bands and empty bands."""
+    from collections import Counter
+
     bands = [(lo, hi, i) for i, (lo, hi) in enumerate(bounds)]
-    expect = {
-        (v, b_id)
+    expect = Counter(
+        (fi, b_id)
         for fi, v in enumerate(facts)
         for lo, hi, b_id in bands
         if lo <= v < hi
-    }
-    f = spark.createDataFrame([(v,) for v in facts], "value long")
+    )
+    f = spark.createDataFrame(
+        [(fi, v) for fi, v in enumerate(facts)], "fact_id long, value long"
+    )
     b = spark.createDataFrame(bands, "lo long, hi long, band_id long")
     from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import range_join_bands
 
-    got = {
-        (r["value"], r["band_id"])
+    got = Counter(
+        (r["fact_id"], r["band_id"])
         for r in range_join_bands(f, b, "value").collect()
-    }
+    )
     assert got == expect
