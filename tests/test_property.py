@@ -689,3 +689,39 @@ def test_range_join_bands_matches_reference(spark, facts, bounds):
         for r in range_join_bands(f, b, "value").collect()
     )
     assert got == expect
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dd"]), min_size=0, max_size=6),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_unigram_surprisal_matches_reference(spark, docs):
+    """Law: per-doc mean NLL under the add-one-smoothed corpus unigram
+    LM equals the in-memory computation for every random corpus;
+    token-less docs keep a row with n_tokens=0 and null score."""
+    import math
+    from collections import Counter
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import unigram_surprisal
+
+    counts = Counter(t for toks in docs for t in toks)
+    n_total, v_size = sum(counts.values()), len(counts)
+    denom = n_total + v_size
+
+    def ref(toks):
+        if not toks:
+            return (0, None)
+        nll = -sum(math.log((counts[t] + 1) / denom) for t in toks) / len(toks)
+        return (len(toks), round(nll, 6))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks) if toks else None) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+        for r in unigram_surprisal(df, "doc_id", "text").collect()
+    }
+    assert got == {i: ref(toks) for i, toks in enumerate(docs)}
