@@ -775,13 +775,18 @@ def _doc_spans(
     sooner than documents do. Documents with fewer than ``span_tokens``
     tokens contribute NO spans (``shingles`` would otherwise pad them
     to one whole-text shingle, which is not a span of the requested
-    length)."""
+    length). Blank/whitespace-only documents contribute no spans either
+    — without the explicit guard, ``split(trim(''), '\\s+')`` yields
+    ``[""]``, so at ``span_tokens=1`` every blank doc would emit an
+    empty-string "span" and blank docs would count as mutual
+    boilerplate."""
     if span_tokens < 1:
         raise ValueError("span_tokens must be >= 1")
     if sample_mod < 1:
         raise ValueError("sample_mod must be >= 1")
     spans = (
-        df.filter(
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(
             F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= span_tokens
         )
         .select(

@@ -53,7 +53,9 @@ def hash_sample(
     pipelines over shared keys)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(hash_bucket(F.col(id_col), buckets) < int(fraction * buckets))
+    return df.filter(
+        hash_bucket(F.col(id_col), buckets) < int(round(fraction * buckets))
+    )
 
 
 def sample_mixture(
@@ -100,11 +102,14 @@ def mixture_keep_flag(
             raise ValueError(f"rate for domain {d!r} must be in [0, 1], got {r}")
     if not 0.0 <= default_rate <= 1.0:
         raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
-    cutoff = F.lit(int(default_rate * buckets))
+    # round, don't truncate: rates with no exact binary representation
+    # (0.29 * 10000 = 2899.999...) would otherwise land one bucket low,
+    # making the effective rate slightly below the requested one.
+    cutoff = F.lit(int(round(default_rate * buckets)))
     for d, r in sorted(rates.items()):
-        cutoff = F.when(F.col(domain_col) == F.lit(d), int(r * buckets)).otherwise(
-            cutoff
-        )
+        cutoff = F.when(
+            F.col(domain_col) == F.lit(d), int(round(r * buckets))
+        ).otherwise(cutoff)
     return hash_bucket(F.col(id_col), buckets) < cutoff
 
 

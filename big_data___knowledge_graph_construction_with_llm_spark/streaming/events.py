@@ -186,7 +186,12 @@ def incremental_dedup_sink(
     you start over with a fresh checkpoint (batch_id restarts at 0 —
     under the old lineage those ids would collide with history).
     History from other lineages — earlier runs, ``"bootstrap"`` — is
-    always honored and never touched.
+    always honored and never touched. ``"bootstrap"`` itself is a
+    RESERVED lineage name (:func:`bootstrap_fingerprint_store` writes
+    it) and is rejected here: a stream running under it would prune the
+    seeded corpus history from its store reads (batch 0 prunes
+    ``batch_id >= 0``) and dynamically overwrite the ``(bootstrap, 0)``
+    partition, silently re-admitting duplicates.
 
     Idempotent under batch replay (the ``foreachBatch`` contract is
     at-least-once): fingerprints are partitioned by
@@ -199,6 +204,11 @@ def incremental_dedup_sink(
     inference), so empty micro-batches and a not-yet-populated store
     are safe.
     """
+    if lineage == "bootstrap":
+        raise ValueError(
+            'lineage "bootstrap" is reserved for bootstrap_fingerprint_store; '
+            "pick a different lineage name for the stream"
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
         from big_data___knowledge_graph_construction_with_llm_spark import fsutil

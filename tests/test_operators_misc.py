@@ -715,6 +715,61 @@ def test_sample_mixture_rates_and_determinism(spark):
     )
 
 
+def test_mixture_cutoff_rounds_not_truncates(spark):
+    """A rate with no exact binary representation (0.29) must yield the
+    nearest-bucket cutoff (2900), not the truncated one (2899): the kept
+    set is exactly the rows whose hash bucket is < round(rate*buckets),
+    and hash_sample agrees with the mixture path at the same rate."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        hash_bucket,
+        hash_sample,
+        sample_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(500)], "doc_id long, domain string"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in sample_mixture(df, "domain", "doc_id", {"web": 0.29}).collect()
+    )
+    expect = sorted(
+        r["doc_id"]
+        for r in df.filter(hash_bucket(F.col("doc_id"), 10_000) < 2900).collect()
+    )
+    assert kept == expect
+    assert kept == sorted(
+        r["doc_id"] for r in hash_sample(df, "doc_id", 0.29).collect()
+    )
+
+
+def test_repeated_spans_ignore_blank_documents(spark):
+    """Blank/whitespace-only docs contribute no spans even at
+    span_tokens=1 (split of trimmed '' yields [''], which must not
+    become an empty-string 'span'), so they are never reported as
+    mutual boilerplate and score 0.0 boilerplate fraction."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        boilerplate_fraction,
+        repeated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\t\n"), (4, "real shared"), (5, "real shared")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["span"]: r["n_docs"]
+        for r in repeated_spans(df, "doc_id", "text", span_tokens=1).collect()
+    }
+    assert "" not in hits
+    assert hits == {"real": 2, "shared": 2}
+    frac = {
+        r["doc_id"]: r["boilerplate_frac"]
+        for r in boilerplate_fraction(df, "doc_id", "text", span_tokens=1).collect()
+    }
+    assert frac[1] == 0.0 and frac[2] == 0.0 and frac[3] == 0.0
+
+
 def test_repeated_spans_finds_cross_doc_boilerplate(spark):
     """A shared licence block recurs across docs and is reported with
     its doc count; within-doc repetition alone does not count; marking

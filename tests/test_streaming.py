@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
@@ -326,6 +327,20 @@ def test_incremental_dedup_sink_dedups_across_batches(spark, tmp_path):
     sink2(b0, 0)
     assert emitted[0] == [1, 2, 9]    # 8 dup of run1 history; 9 fresh
     assert sorted(r["doc_id"] for r in spark.read.parquet(store).collect()) == [1, 2, 5, 9, 100]
+
+
+def test_incremental_dedup_sink_rejects_reserved_bootstrap_lineage(spark):
+    """lineage='bootstrap' is reserved for the seeded-corpus partition;
+    a stream under that name would prune and overwrite the bootstrap
+    history, so the sink must refuse it at construction time."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        incremental_dedup_sink,
+    )
+
+    with pytest.raises(ValueError, match="reserved"):
+        incremental_dedup_sink(
+            "/tmp/unused", "text", "doc_id", lambda df, b: None, lineage="bootstrap"
+        )
 
 
 def test_incremental_dedup_sink_empty_batches_are_safe(spark, tmp_path):
