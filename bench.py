@@ -63,7 +63,7 @@ def main() -> None:
         ensure_ivf_index(
             spark,
             _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
-            _ivf_cache_path(sf_dir),
+            _ivf_cache_path(spark, sf_dir),
             k=8,
             iterations=2,
         )
@@ -72,26 +72,34 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    timings_run2: dict[str, float] = {}
     shuffles: dict[str, dict[str, int]] = {}
     mc = MetricsCollector(spark)
-    for name in sorted(queries):
-        mc.start()
-        t0 = time.perf_counter()
-        try:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-            rec = mc.finish(name)
-            shuffles[name] = {
-                "shuffle_read_bytes": rec["shuffle_read_bytes"],
-                "shuffle_write_bytes": rec["shuffle_write_bytes"],
-                "input_bytes": rec["input_bytes"],
-            }
-        except Exception as exc:  # keep benching; report the failure
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+    # two timed passes: the headline stays the FIRST pass's total (the
+    # number every prior round reported), the second pass goes to
+    # BENCH_DETAIL so a future delta can be told apart from run-to-run
+    # noise (the suite swings several % between runs)
+    for sink, run_label in ((timings, "run1"), (timings_run2, "run2")):
+        for name in sorted(queries):
+            mc.start()
+            t0 = time.perf_counter()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                sink[name] = round(time.perf_counter() - t0, 3)
+                if run_label == "run1":
+                    rec = mc.finish(name)
+                    shuffles[name] = {
+                        "shuffle_read_bytes": rec["shuffle_read_bytes"],
+                        "shuffle_write_bytes": rec["shuffle_write_bytes"],
+                        "input_bytes": rec["input_bytes"],
+                    }
+            except Exception as exc:  # keep benching; report the failure
+                sink[name] = -1.0
+                print(f"bench: {name} failed ({run_label}): {exc!r}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_run2 = round(sum(t for t in timings_run2.values() if t >= 0), 3)
 
     # accuracy contract for q_approx_sketches (untimed): the sketches are
     # rows-only in the correctness gate (HLL++/KLL internals are
@@ -126,14 +134,64 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: sketch accuracy check failed: {exc!r}", file=sys.stderr)
 
+    # recall contract for q_knn_ivf (untimed): IVF is rows-only in the
+    # correctness gate (the k-means quantizer is engine-specific), so the
+    # bench measures what the approximation actually costs — top-10
+    # overlap with the exact brute-force answer, per n_probe. n_probe=8
+    # probes all 8 clusters and must reach recall 1.0 (the IVF path
+    # degenerates to an exact scan), anchoring the sweep.
+    ivf_recall: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+            ensure_ivf_index,
+            knn_brute_force,
+            knn_ivf,
+        )
+        from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load as _load
+
+        corpus = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        idx, cents = ensure_ivf_index(
+            spark, corpus, _ivf_cache_path(spark, sf_dir), k=8, iterations=2
+        )
+        qvecs = [
+            [float(x) for x in r["embedding"]]
+            for r in _load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 5)
+            .orderBy("vec_id")
+            .collect()
+        ]
+        exact = [
+            {r["vec_id"] for r in knn_brute_force(corpus, q, 10).collect()}
+            for q in qvecs
+        ]
+        for n_probe in (1, 2, 4, 8):
+            hits = 0
+            for q, truth in zip(qvecs, exact):
+                got = {
+                    r["vec_id"]
+                    for r in knn_ivf(idx, cents, q, 10, n_probe=n_probe).collect()
+                }
+                hits += len(got & truth)
+            ivf_recall[f"recall_at_10_nprobe_{n_probe}"] = round(
+                hits / (10 * len(qvecs)), 3
+            )
+    except Exception as exc:
+        print(f"bench: ivf recall check failed: {exc!r}", file=sys.stderr)
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "sf": sf,
                 "queries": timings,
+                "queries_run2": timings_run2,
+                "total_run1": total,
+                "total_run2": total_run2,
                 "shuffle": shuffles,
                 "sketch_accuracy": sketch_accuracy,
+                "ivf_recall": ivf_recall,
             },
             fh,
             indent=1,

@@ -63,3 +63,14 @@ def read_text(spark: SparkSession, path: str) -> str:
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, p = _fs(spark, path)
     return bool(fs.delete(p, recursive))
+
+
+def mtime(spark: SparkSession, path: str) -> int:
+    """Modification time of ``path`` in epoch millis, 0 if absent.
+    Works on any configured filesystem (the ``os.path.getmtime``
+    replacement for cache keys over possibly-remote inputs)."""
+    fs, p = _fs(spark, path)
+    try:
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception:
+        return 0

@@ -18,7 +18,6 @@ snapshotted from the AppStatusStore and diffed per job.
 from __future__ import annotations
 
 import json
-import os
 import time
 from collections.abc import Callable
 from typing import Any
@@ -93,19 +92,22 @@ def monitor_job(spark: SparkSession, job_name: str, sink_path: str | None = None
     (``Art-Knowledge-Graph-AWS/monitor.py:13-57``): times the wrapped
     callable and appends one JSON record per run to
     ``<sink_path>/<job>_<ts>.json`` (the reference wrote the same shape to
-    ``s3://$S3_BUCKET/$METRICS_PREFIX/``)."""
+    ``s3://$S3_BUCKET/$METRICS_PREFIX/``). The record is written through
+    the Hadoop FileSystem API (``fsutil``), so ``sink_path`` may name any
+    configured filesystem — ``s3a://…`` like the reference's metrics
+    bucket, ``hdfs://…``, or a local path — not just the driver's disk."""
 
     def deco(fn: Callable):
         def wrapped(*args, **kwargs):
+            from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
             mc = MetricsCollector(spark)
             mc.start()
             result = fn(*args, **kwargs)
             rec = mc.finish(job_name)
             if sink_path:
-                os.makedirs(sink_path, exist_ok=True)
                 path = f"{sink_path.rstrip('/')}/{job_name}_{int(rec['end_time'])}.json"
-                with open(path, "w") as f:
-                    json.dump(rec, f)
+                fsutil.write_text(spark, path, json.dumps(rec))
             return result
 
         wrapped.__name__ = getattr(fn, "__name__", job_name)

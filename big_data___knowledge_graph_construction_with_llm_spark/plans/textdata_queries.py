@@ -745,23 +745,29 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return attach_binary_meta(d, "payload").select("doc_id", "byte_len", "sha256")
 
 
-def _ivf_cache_path(sf: str) -> str:
+def _ivf_cache_path(spark: SparkSession, sf: str) -> str:
     """Deterministic scratch location for the at-rest IVF index of one
     sf dir, keyed by source path + mtime so a regenerated embeddings
-    table invalidates the cache."""
+    table invalidates the cache. The mtime probe goes through the
+    Hadoop FS API (``fsutil.mtime``), so ``sf`` may be a remote URI
+    (``s3a://…``) just like every other query input. The cache root
+    defaults to the driver's tempdir — right for local[n] bench runs —
+    and ``SPARK_GRAFT_IVF_CACHE`` overrides it with a shared-storage
+    URI on a cluster (``ensure_ivf_index``'s marker-last commit is
+    already safe there)."""
     import hashlib
     import os
     import tempfile
 
-    src = os.path.join(sf, "embeddings.parquet")
-    try:
-        mtime = int(os.path.getmtime(src))
-    except OSError:
-        mtime = 0
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    base = sf if "://" in sf else os.path.abspath(sf)
+    src = base.rstrip("/") + "/embeddings.parquet"
     key = hashlib.md5(
-        f"{os.path.abspath(sf)}:{mtime}:k8i2".encode()
+        f"{src}:{fsutil.mtime(spark, src)}:k8i2".encode()
     ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    root = os.environ.get("SPARK_GRAFT_IVF_CACHE") or tempfile.gettempdir()
+    return root.rstrip("/") + f"/spark_graft_ivf_{key}"
 
 
 @query("q_knn_ivf")  # k-means quantizer is engine-specific — rows-only check
@@ -779,7 +785,9 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    idx, cents = ensure_ivf_index(spark, vecs, _ivf_cache_path(sf), k=8, iterations=2)
+    idx, cents = ensure_ivf_index(
+        spark, vecs, _ivf_cache_path(spark, sf), k=8, iterations=2
+    )
     return knn_ivf(idx, cents, _query_vec(spark, sf), 10, n_probe=2)
 
 

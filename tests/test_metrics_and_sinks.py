@@ -35,7 +35,10 @@ def test_metrics_collector_record_shape(spark):
 
 
 def test_monitor_job_decorator_writes_record(spark, tmp_path):
-    sink = str(tmp_path / "job-metrics")
+    """The metrics record must land on the filesystem named by
+    sink_path — a `file:` URI here, standing in for the reference's
+    s3 metrics bucket — not silently on the driver's local cwd."""
+    sink = f"file://{tmp_path}/job-metrics"
 
     @monitor_job(spark, "ingestion_parsing", sink_path=sink)
     def run():
@@ -350,3 +353,40 @@ def test_fsutil_roundtrip_and_delete(spark, tmp_path):
     assert fsutil.read_text(spark, p) == "overwritten"
     assert fsutil.delete(spark, p)
     assert not fsutil.exists(spark, p)
+
+
+def test_fsutil_mtime(spark, tmp_path):
+    """mtime goes through the Hadoop FS API: real millis for an existing
+    path (including via a file: URI), 0 for a missing one."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    p = str(tmp_path / "stamp.txt")
+    assert fsutil.mtime(spark, p) == 0
+    fsutil.write_text(spark, p, "x")
+    t = fsutil.mtime(spark, p)
+    assert t > 1_500_000_000_000  # epoch millis, not seconds
+    assert fsutil.mtime(spark, f"file://{p}") == t
+
+
+def test_ivf_cache_path_scheme_agnostic(spark, tmp_path, monkeypatch):
+    """The registry's IVF cache key must work when sf is a file: URI
+    (standing in for s3a://) — same key as the plain-path spelling of
+    the same dir would get after the mtime probe, different key once
+    the embeddings table is regenerated, and the cache ROOT honors
+    SPARK_GRAFT_IVF_CACHE so a cluster can point it at shared storage."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.textdata_queries import (
+        _ivf_cache_path,
+    )
+
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    uri = f"file://{sf}"
+    p0 = _ivf_cache_path(spark, uri)          # embeddings absent -> mtime 0
+    assert p0.startswith("/tmp") or "spark_graft_ivf_" in p0
+    fsutil.write_text(spark, f"{uri}/embeddings.parquet", "v1")
+    p1 = _ivf_cache_path(spark, uri)
+    assert p1 != p0                           # regenerated table -> new key
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CACHE", f"file://{tmp_path}/cache-root")
+    p2 = _ivf_cache_path(spark, uri)
+    assert p2.startswith(f"file://{tmp_path}/cache-root/spark_graft_ivf_")
