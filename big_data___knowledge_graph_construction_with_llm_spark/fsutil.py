@@ -65,6 +65,19 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def list_dir(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Direct children of ``path`` as ``(name, mtime_ms)`` pairs, ``[]``
+    if the directory is absent. Flat listing only — the callers (GC
+    sweeps) decide per-child, they don't want recursion."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        (s.getPath().getName(), int(s.getModificationTime()))
+        for s in fs.listStatus(p)
+    ]
+
+
 def mtime(spark: SparkSession, path: str) -> int:
     """Modification time of ``path`` in epoch millis, 0 if absent.
     Works on any configured filesystem (the ``os.path.getmtime``

@@ -1,11 +1,15 @@
 """Multimodal (image/audio/video) column plumbing (EXT surface).
 
 Media are opaque ``binary`` columns plus typed metadata; decode /
-feature-extract stages are Arrow-batched ``mapInPandas`` operators. The
-actual codec calls are STUBBED (the image/audio libraries are not in this
-container — see ``decode_image_stub``); the Spark-side contract — schema,
-batch shape, partitioning — is real and tested, so swapping a real
-decoder in is a one-function change.
+feature-extract stages are Arrow-batched ``mapInPandas`` operators. Each
+decode seam has a REAL decoder where one is reachable — PIL behind
+``decode_image_pil`` (lazy import), stdlib ``wave`` behind
+``decode_audio_wav`` (dependency-free), soundfile behind
+``decode_audio_soundfile`` (lazy import) — plus a deterministic STUB
+with the identical contract for codec-less environments; video frame
+sampling remains a contract stub (needs ffmpeg/pyav). The Spark-side
+contract — schema, batch shape, partitioning — is identical across real
+and stub, so the decoder choice never changes the plan.
 """
 
 from __future__ import annotations
@@ -132,6 +136,116 @@ def decode_images(
             )
 
     return src.mapInPandas(_decode, schema=DECODED_IMAGE_SCHEMA)
+
+
+#: Output schema of the audio-decode stage.
+DECODED_AUDIO_SCHEMA = (
+    "doc_id bigint, byte_len int, sha256 string, sample_rate int, "
+    "n_channels int, n_frames bigint, duration_s double"
+)
+
+#: (sample_rate, n_channels, n_frames) returned for undecodable payloads —
+#: a sentinel, never an exception (one corrupt clip must not kill the job).
+AUDIO_SENTINEL = (-1, 0, -1)
+
+
+def decode_audio_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB audio decoder: deterministic fake ``(sample_rate, n_channels,
+    n_frames)`` derived from the payload length — the audio twin of
+    ``decode_image_stub``, for codec-less test environments."""
+    n = len(payload)
+    return (8000 + (n % 5) * 8000, 1 + n % 2, n * 4)
+
+
+def decode_audio_wav(payload: bytes) -> tuple[int, int, int]:
+    """Real audio decoder behind the same seam, DEPENDENCY-FREE: stdlib
+    ``wave`` reads WAV headers — ``(sample_rate, n_channels, n_frames)``
+    from the fmt/data chunks only, no sample decode. Non-WAV or corrupt
+    payloads return the ``AUDIO_SENTINEL`` (downstream filters on
+    ``sample_rate > 0``), matching ``decode_image_pil``'s corrupt-image
+    behavior. For MP3/FLAC/OGG use ``decode_audio_soundfile``."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return (w.getframerate(), w.getnchannels(), w.getnframes())
+    except Exception:  # noqa: BLE001 - any undecodable payload
+        return AUDIO_SENTINEL
+
+
+def decode_audio_soundfile(payload: bytes) -> tuple[int, int, int]:
+    """Multi-format audio decoder (WAV/FLAC/OGG/…): soundfile (libsndfile
+    bindings), imported lazily like PIL in ``decode_image_pil``. Same
+    contract and sentinel as ``decode_audio_wav``."""
+    import io
+
+    try:
+        import soundfile
+    except ImportError as e:  # pragma: no cover - exercised via best_audio_decoder
+        raise ImportError(
+            "decode_audio_soundfile needs soundfile (`pip install soundfile`); "
+            "use decode_audio_wav (stdlib, WAV-only) or best_audio_decoder()"
+        ) from e
+
+    try:
+        with soundfile.SoundFile(io.BytesIO(payload)) as f:
+            return (int(f.samplerate), int(f.channels), int(f.frames))
+    except Exception:  # noqa: BLE001 - any undecodable payload
+        return AUDIO_SENTINEL
+
+
+def best_audio_decoder() -> Callable[[bytes], tuple[int, int, int]]:
+    """soundfile when installed (multi-format), else the stdlib WAV
+    reader — resolved ONCE on the driver for job-wide uniformity,
+    exactly like ``best_image_decoder``. Note the fallback is still a
+    REAL decoder (WAV headers), not the stub; pass ``decode_audio_stub``
+    explicitly for fake data."""
+    import importlib.util
+
+    if importlib.util.find_spec("soundfile") is not None:
+        return decode_audio_soundfile
+    return decode_audio_wav
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, int]] = decode_audio_wav,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Audio decode stage: ``mapInPandas`` over Arrow batches, same
+    plumbing and sizing guidance as ``decode_images`` (O(100 MB) of
+    payload per task; keep the binary column out of downstream
+    shuffles). Adds ``duration_s`` derived from frames/rate, null for
+    sentinel rows."""
+    import hashlib
+
+    src = df.select(id_col, bin_col)
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[bin_col]
+            meta = [decoder(p) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": [len(p) for p in payloads],
+                    "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "sample_rate": [m[0] for m in meta],
+                    "n_channels": [m[1] for m in meta],
+                    "n_frames": [m[2] for m in meta],
+                    "duration_s": [
+                        (m[2] / m[0]) if m[0] > 0 and m[2] >= 0 else None
+                        for m in meta
+                    ],
+                }
+            )
+
+    return src.mapInPandas(_decode, schema=DECODED_AUDIO_SCHEMA)
 
 
 def frame_sample_stub(

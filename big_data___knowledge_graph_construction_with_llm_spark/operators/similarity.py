@@ -296,6 +296,39 @@ def ensure_ivf_index(
     )
 
 
+def gc_ivf_attempts(
+    spark, path: str, max_age_ms: int, now_ms: int | None = None
+) -> list[str]:
+    """Garbage-collect LOSING attempt dirs under an ``ensure_ivf_index``
+    path: delete every ``attempt-*`` older than ``max_age_ms`` that is
+    not the attempt named by ``path/_DONE``. The marker's attempt is
+    protected unconditionally (age never matters — readers resolve it),
+    the marker file itself is never touched, and the age threshold
+    protects in-flight builds that haven't reached their marker write
+    yet (a losing-but-complete attempt is safe to delete at ANY age —
+    no reader ever resolves to it — but age is the only signal that
+    distinguishes a loser from a build still in progress). Returns the
+    deleted attempt names. ``now_ms`` is injectable for tests; defaults
+    to the current clock. Companion to the commit protocol documented
+    on :func:`ensure_ivf_index` and in DEPLOYMENT.md."""
+    import time
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    protected = ""
+    if fsutil.exists(spark, f"{path}/_DONE"):
+        protected = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    deleted: list[str] = []
+    for name, stamp in fsutil.list_dir(spark, path):
+        if not name.startswith("attempt-") or name == protected:
+            continue
+        if now - stamp > max_age_ms:
+            fsutil.delete(spark, f"{path}/{name}")
+            deleted.append(name)
+    return sorted(deleted)
+
+
 def _probe_ids(
     cents: list[tuple[int, list[float]]], query: list[float], n_probe: int
 ) -> list[int]:

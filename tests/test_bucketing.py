@@ -280,6 +280,82 @@ def test_ensure_ivf_index_tolerates_bad_marker(spark, tmp_path):
         assert fsutil.read_text(spark, f"{path}/_DONE").strip().startswith("attempt-")
 
 
+def test_gc_ivf_attempts_protects_winner_and_young_builds(spark, tmp_path):
+    """GC deletes only OLD losing attempts: the marker's attempt is
+    protected at any age, a young attempt (possibly a build in flight)
+    survives, the marker file itself is untouched, and the index still
+    resolves after the sweep. After an external loss of the winner dir
+    (stale marker), GC leaves the marker alone and the next
+    ensure_ivf_index call rebuilds cleanly."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+        gc_ivf_attempts,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    n = vecs.count()
+    path = str(tmp_path / "ivf_gc")
+    ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    winner = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    # two losers: both look complete; only age separates them from a
+    # build in progress
+    for loser in ("attempt-loser0000old", "attempt-loser0000new"):
+        fsutil.write_text(spark, f"{path}/{loser}/_COMPLETE", "")
+    old_stamp = fsutil.mtime(spark, f"{path}/attempt-loser0000old")
+    # sweep moments after the losers appeared: both are younger than the
+    # threshold (indistinguishable from builds in flight) -> untouched
+    assert (
+        gc_ivf_attempts(
+            spark, path, max_age_ms=3_600_000, now_ms=old_stamp + 1_000
+        )
+        == []
+    )
+    assert fsutil.exists(spark, f"{path}/attempt-loser0000new")
+    # sweep two hours later: both losers are stale -> deleted
+    now = old_stamp + 7_200_000
+    deleted = gc_ivf_attempts(spark, path, max_age_ms=3_600_000, now_ms=now)
+    assert deleted == ["attempt-loser0000new", "attempt-loser0000old"]
+    # winner protected unconditionally, even with max_age 0 in the future
+    deleted2 = gc_ivf_attempts(spark, path, max_age_ms=0, now_ms=now + 10_000_000)
+    assert winner not in deleted2
+    assert fsutil.exists(spark, f"{path}/{winner}/_COMPLETE")
+    assert fsutil.read_text(spark, f"{path}/_DONE").strip() == winner
+    idx, cents = ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    assert idx.count() == n and cents.count() == 4
+    # stale-marker rebuild: winner vanishes externally; GC must not
+    # delete the marker, and the next ensure call rebuilds
+    fsutil.delete(spark, f"{path}/{winner}")
+    gc_ivf_attempts(spark, path, max_age_ms=0, now_ms=now + 20_000_000)
+    assert fsutil.exists(spark, f"{path}/_DONE")
+    idx2, cents2 = ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    assert idx2.count() == n and cents2.count() == 4
+    assert fsutil.read_text(spark, f"{path}/_DONE").strip() != winner
+
+
+def test_gc_ivf_attempts_distinct_ages(spark, tmp_path):
+    """Age is per-attempt: with two losers written at different times,
+    a threshold between their ages deletes exactly the older one."""
+    import time
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        gc_ivf_attempts,
+    )
+
+    path = str(tmp_path / "ivf_ages")
+    fsutil.write_text(spark, f"{path}/attempt-aaa/_COMPLETE", "")
+    time.sleep(1.1)
+    fsutil.write_text(spark, f"{path}/attempt-bbb/_COMPLETE", "")
+    ta = fsutil.mtime(spark, f"{path}/attempt-aaa")
+    tb = fsutil.mtime(spark, f"{path}/attempt-bbb")
+    assert tb > ta
+    cut = (tb - ta + 1) // 2 + 1  # older than aaa, younger than bbb
+    deleted = gc_ivf_attempts(spark, path, max_age_ms=cut, now_ms=tb + 1)
+    assert deleted == ["attempt-aaa"]
+    assert fsutil.exists(spark, f"{path}/attempt-bbb")
+
+
 def test_decontaminate_rejects_negative_corpus_ids(spark):
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
 

@@ -725,3 +725,79 @@ def test_unigram_surprisal_matches_reference(spark, docs):
         for r in unigram_surprisal(df, "doc_id", "text").collect()
     }
     assert got == {i: ref(toks) for i, toks in enumerate(docs)}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    max_size=st.sampled_from([None, 2]),
+)
+@settings(**_SETTINGS)
+def test_encode_documents_order_law(spark, docs, max_size):
+    """Law: int encoding preserves token ORDER exactly (the posexplode
+    position survives the shuffle) and matches an in-memory reference
+    encode — deterministic vocab ids (count desc, token asc), OOV as -1
+    with a per-doc count, blank docs as empty arrays — for random
+    corpora with and without a truncated vocabulary."""
+    from collections import Counter
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        build_vocab,
+        encode_documents,
+    )
+
+    counts = Counter(t for toks in docs for t in toks)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ids = {
+        t: i
+        for i, (t, _) in enumerate(ranked)
+        if max_size is None or i < max_size
+    }
+
+    def ref(toks):
+        enc = [ids.get(t, -1) for t in toks]
+        return (enc, sum(1 for e in enc if e == -1))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, max_size=max_size)
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_oov"])
+        for r in encode_documents(df.repartition(5), vocab).collect()
+    }
+    assert got == {i: ref(toks) for i, toks in enumerate(docs)}
+
+
+@given(
+    lens=st.lists(st.integers(0, 25), min_size=1, max_size=12),
+    budget=st.sampled_from([1, 3, 7]),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_partition_law(spark, lens, budget):
+    """Law: chunking partitions each document exactly — per doc the
+    chunk sizes sum to n, every chunk is budget-sized except a shorter
+    last one, chunk_start is idx*budget, and a ≤-budget (even 0-token)
+    doc passes through as one chunk."""
+    from collections import defaultdict
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n long"
+    )
+    by_doc: dict[int, list] = defaultdict(list)
+    for r in chunk_documents(df, "n", budget).collect():
+        by_doc[r["doc_id"]].append((r["chunk_idx"], r["chunk_start"], r["n"]))
+    assert set(by_doc) == set(range(len(lens)))
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc[i])
+        want_k = max(-(-n // budget), 1)
+        assert [c[0] for c in chunks] == list(range(want_k))
+        assert all(c[1] == c[0] * budget for c in chunks)
+        assert sum(c[2] for c in chunks) == n
+        assert all(c[2] == budget for c in chunks[:-1])
+        assert 0 <= chunks[-1][2] <= budget
