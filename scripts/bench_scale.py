@@ -1,0 +1,134 @@
+"""Scale stress study: the six heaviest pipelines at sf0.1 vs the 10x
+sf1 dataset (see ``make_scale_data.py``), measuring what the "survives
+100x" design arguments predict — near-linear wall time, shuffle volume
+proportional to rows (never to pairs), and flat driver memory.
+
+Writes BENCH_SCALE.json at the repo root:
+
+    {"base": {...}, "scaled": {...}, "ratio": {...},
+     "driver": {...}, "copies": N}
+
+One-off evidence artifact; NOT part of the driver's timed gate (the
+driver's bench stays bench.py at sf0.1). Usage:
+
+    python scripts/make_scale_data.py          # once
+    python scripts/bench_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from big_data___knowledge_graph_construction_with_llm_spark.metrics import MetricsCollector  # noqa: E402
+from big_data___knowledge_graph_construction_with_llm_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "q_decontaminate",
+    "q_dedup_exact",
+    "q_minhash_dedup",
+    "q_simhash_dedup",
+    "q_connected_components",
+    "q_cosine_sim",
+]
+
+
+def _jvm_heap_mb(spark) -> int:
+    """Live JVM heap after a forced GC. NOTE: under local[n] this one
+    JVM holds the driver AND all executor state (shuffle blocks,
+    broadcast vars), so this is an upper bound on what a real cluster's
+    driver would retain — without the GC the reading is mostly
+    uncollected garbage and means nothing."""
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    spark.sparkContext._jvm.java.lang.System.gc()
+    time.sleep(1.0)
+    return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+
+
+def run_suite(spark, sf_dir: str, repeats: int = 2) -> dict:
+    """Per-query MIN over ``repeats`` passes — the suite swings tens of
+    percent run-to-run on a busy host, and the scaling ratio needs the
+    compute cost, not the noise floor. Shuffle/input are deterministic
+    (taken from the last pass)."""
+    queries = entry_mod.queries()
+    mc = MetricsCollector(spark)
+    out: dict[str, dict] = {}
+    for _ in range(repeats):
+        for name in HEAVY:
+            mc.start()
+            t0 = time.perf_counter()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 2)
+            rec = mc.finish(name)
+            prev = out.get(name)
+            out[name] = {
+                "wall_s": min(wall, prev["wall_s"]) if prev else wall,
+                "shuffle_read_mb": round(rec["shuffle_read_bytes"] / (1 << 20), 2),
+                "input_mb": round(rec["input_bytes"] / (1 << 20), 2),
+            }
+    return out
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base_dir = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
+    scaled_dir = os.environ.get("SCALE_DIR", os.path.join(repo, ".scale", "sf1"))
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(app_name="spark-graft-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM so base-vs-scaled isn't skewed by one-time init
+    spark.range(10_000_000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    heap_before = _jvm_heap_mb(spark)
+    base = run_suite(spark, base_dir)
+    heap_mid = _jvm_heap_mb(spark)
+    scaled = run_suite(spark, scaled_dir)
+    heap_after = _jvm_heap_mb(spark)
+
+    ratio = {
+        q: {
+            "wall": round(scaled[q]["wall_s"] / max(base[q]["wall_s"], 1e-9), 2),
+            "shuffle": round(
+                scaled[q]["shuffle_read_mb"] / max(base[q]["shuffle_read_mb"], 1e-9), 2
+            ),
+            "input": round(
+                scaled[q]["input_mb"] / max(base[q]["input_mb"], 1e-9), 2
+            ),
+        }
+        for q in HEAVY
+    }
+    result = {
+        "copies": 10,
+        "base_dir": base_dir,
+        "scaled_dir": scaled_dir,
+        "base": base,
+        "scaled": scaled,
+        "ratio": ratio,
+        "driver": {
+            "py_maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+            "jvm_live_heap_mb_before": heap_before,
+            "jvm_live_heap_mb_after_base": heap_mid,
+            "jvm_live_heap_mb_after_scaled": heap_after,
+            "note": "local[n]: one JVM = driver + all executors; post-GC live heap",
+        },
+        "base_total_wall_s": round(sum(v["wall_s"] for v in base.values()), 2),
+        "scaled_total_wall_s": round(sum(v["wall_s"] for v in scaled.values()), 2),
+    }
+    with open(os.path.join(repo, "BENCH_SCALE.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    spark.stop()
+    print(json.dumps({k: result[k] for k in ("base_total_wall_s", "scaled_total_wall_s", "ratio")}))
+
+
+if __name__ == "__main__":
+    main()

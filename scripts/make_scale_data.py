@@ -1,0 +1,145 @@
+"""Synthesize a 10x ("sf1") stress dataset from the sf0.1 testdata.
+
+One-off tooling for the BENCH_SCALE.json scaling study — NOT part of the
+driver's timed gate and NOT a replacement for the driver-generated
+testdata (which is read-only). Only the tables the six heaviest
+pipelines read are scaled: documents, embeddings, customer, nation.
+
+Scaling model: each copy c in 0..9 is a shifted replica whose CONTENT is
+made copy-distinct, because a real corpus 10x the size has 10x the
+near-duplicate FAMILIES, not 10x-deeper families:
+
+- documents: ids shift by c*100_000 (stays below the +1e6/+3e6 clone
+  offsets the registry queries plant); for c>0 a copy-marker token is
+  inserted after every 5th token, which breaks >60% of 2- and 3-token
+  shingles, pushing cross-copy Jaccard to ~0.3 (<< the 0.8 thresholds)
+  and cross-copy simhash far past the hamming radius. Within-copy
+  duplicate/near-dup structure is untouched, so dedup work scales
+  linearly with rows.
+- embeddings: ids shift by c*100_000; for c>0 dimensions rotate by
+  (7*c) % 64, which preserves norms but decorrelates cross-copy
+  cosines; labels shift by c*1000 so the blocking-key DOMAIN grows with
+  the corpus (block count x10 at constant block size — the realistic
+  shape; keeping the label space fixed would grow blocks 10x and the
+  blocked pair space 100x, measuring the data model, not the engine).
+- customer: keys shift by c*1_000_000, names get a copy suffix (so the
+  bipartite components gain distinct members); nation is copied as-is —
+  25 components, each 10x the size.
+
+All transforms are JVM expressions; generation itself is a distributed
+job. Usage:
+
+    python scripts/make_scale_data.py [BASE_SF_DIR] [OUT_DIR] [COPIES]
+
+defaults: /root/testdata/sf0.1  <repo>/.scale/sf1  10
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from big_data___knowledge_graph_construction_with_llm_spark.session import get_spark  # noqa: E402
+
+
+def _mark_every_5(text_col, marker: str):
+    """Insert ``marker`` after every 5-token chunk (pure JVM)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(5)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+            F.lit(" " + marker),
+        ),
+    )
+    return F.array_join(chunks, " ")
+
+
+def scale_documents(d: DataFrame, copies: int) -> DataFrame:
+    out = None
+    for c in range(copies):
+        part = d.select(
+            (F.col("doc_id") + c * 100_000).alias("doc_id"),
+            (
+                F.col("text") if c == 0 else _mark_every_5(F.col("text"), f"zq{c}x")
+            ).alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def scale_embeddings(e: DataFrame, copies: int) -> DataFrame:
+    out = None
+    for c in range(copies):
+        k = (7 * c) % 64
+        emb = (
+            F.col("embedding")
+            if k == 0
+            else F.concat(F.slice("embedding", k + 1, 64 - k), F.slice("embedding", 1, k))
+        )
+        part = e.select(
+            (F.col("vec_id") + c * 100_000).alias("vec_id"),
+            emb.alias("embedding"),
+            (F.col("label") + F.lit(c * 1000)).cast("int").alias("label"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def scale_customer(cst: DataFrame, copies: int) -> DataFrame:
+    out = None
+    for c in range(copies):
+        part = cst.select(
+            (F.col("c_custkey") + c * 1_000_000).alias("c_custkey"),
+            (
+                F.col("c_name")
+                if c == 0
+                else F.concat(F.col("c_name"), F.lit(f"_z{c}"))
+            ).alias("c_name"),
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1")
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = get_spark(app_name="make-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = spark.read.parquet(f"{base}/documents.parquet")
+    e = spark.read.parquet(f"{base}/embeddings.parquet")
+    c = spark.read.parquet(f"{base}/customer.parquet")
+    n = spark.read.parquet(f"{base}/nation.parquet")
+
+    scale_documents(d, copies).repartition(16).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    scale_embeddings(e, copies).repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    scale_customer(c, copies).repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+    n.write.mode("overwrite").parquet(f"{out_dir}/nation.parquet")
+
+    for t in ("documents", "embeddings", "customer"):
+        print(t, spark.read.parquet(f"{out_dir}/{t}.parquet").count())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
