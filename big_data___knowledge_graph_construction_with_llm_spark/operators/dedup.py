@@ -945,3 +945,158 @@ def mark_repeated_spans(
         .select(id_col, "span", "n_docs")
         .distinct()
     )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Completes the repeated-span family (detect → mark → EXCISE):
+    rewrite ``text_col`` with every cross-document repeated span removed
+    — the boilerplate/licence-header scrub step of a curation pipeline.
+    A token position is excised iff it is covered by at least one
+    ``span_tokens``-window shared by ≥ ``min_docs`` docs, so an L-token
+    repeated region (L ≥ span_tokens) is removed exactly: its interior
+    windows are all repeated, while windows straddling its boundary mix
+    in per-doc unique tokens and are not.
+
+    Scale shape: repeated-span detection is the usual fingerprint
+    aggregation (text never shuffles); only then do the AFFECTED
+    documents — pruned by a semi-join, typically a small corpus
+    fraction — have their token positions shuffled for the rebuild.
+    Untouched documents pass through by id join, text unmoved.
+    Rebuilt text is single-space joined (original inter-token
+    whitespace is not preserved for affected docs — the tokenizer
+    downstream does not care); a fully-boilerplate doc becomes an
+    empty string, kept so the caller decides whether to drop it."""
+    _require_min_docs(min_docs)
+    hit_fps = _repeated_from_spans(
+        _doc_spans(df, id_col, text_col, span_tokens, 1), id_col, min_docs
+    ).select("_sh64", "_sh128")
+
+    # positional span frame (NOT distinct — positions matter here)
+    pos_spans = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= span_tokens)
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles(text_col, span_tokens)).alias("pos", "_s"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64("_s").alias("_sh64"),
+            F.md5("_s").alias("_sh128"),
+        )
+    )
+    covered = materialize(
+        pos_spans.join(hit_fps, ["_sh64", "_sh128"], "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
+            ).alias("_cov"),
+        )
+        .distinct()
+    )
+    affected = covered.select(id_col).distinct()
+    tokpos = (
+        df.join(affected, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                "pos", "_tok"
+            ),
+        )
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos[id_col] == covered[id_col]) & (tokpos["pos"] == covered["_cov"]),
+        "left_anti",
+    )
+    rebuilt = affected.join(
+        kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_new_text")
+        ),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("_new_text", F.lit("")).alias("_new_text"))
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.col(text_col)))
+        .drop("_new_text")
+    )
+
+
+def ngram_leaks(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """EXACT-n-gram contamination report: ``(id, n_hits)`` for corpus
+    docs sharing at least ``min_hits`` distinct ``n``-token grams with
+    the benchmark — the GPT-3/PaLM-style decontamination criterion,
+    complementing :func:`decontaminate`'s whole-doc Jaccard: a 13-gram
+    verbatim quote of one eval question sits far below any document
+    similarity threshold yet is a leak.
+
+    Scale shape: both sides reduce to DISTINCT 192-bit span
+    fingerprints (the :func:`repeated_spans` machinery — text never
+    shuffles); the benchmark side is one small distinct fingerprint
+    set, so AQE broadcasts the semi-join, and the per-doc hit count is
+    a partial-aggregated ``count``. Docs shorter than ``n`` tokens
+    produce no spans and can never be flagged — by construction they
+    cannot contain an n-gram."""
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+    bench_fps = (
+        _doc_spans(
+            benchmark.select(F.lit(0).alias(id_col), F.col(text_col)),
+            id_col,
+            text_col,
+            n,
+            1,
+        )
+        .select("_sh64", "_sh128")
+        .distinct()
+    )
+    corpus_spans = _doc_spans(
+        docs.select(id_col, text_col), id_col, text_col, n, 1
+    )
+    return (
+        corpus_spans.join(bench_fps, ["_sh64", "_sh128"], "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop corpus docs flagged by :func:`ngram_leaks` (exact shared
+    n-gram with the benchmark). Anti-join on id only — the corpus text
+    never moves. Run AFTER the Jaccard :func:`decontaminate` pass if
+    both are wanted; they prune independent leak classes."""
+    return docs.join(
+        ngram_leaks(docs, benchmark, id_col, text_col, n, min_hits).select(id_col),
+        id_col,
+        "left_anti",
+    )

@@ -298,14 +298,29 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(full, "doc_id", "text", pairs)
 
 
+_QUOTE_FILLER = (
+    "zzq unrelated filler tail words keeping whole document jaccard far "
+    "below any threshold for sure"
+)
+
 @query(
     "q_decontaminate",
-    oracle=r"""
-    WITH bench AS (
+    oracle=rf"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT 999999,
+             array_to_string(
+               list_slice(string_split_regex(trim(text), '\s+'), 1, 13), ' ')
+               || ' {_QUOTE_FILLER}',
+             'en'
+      FROM documents WHERE doc_id = 0
+    ),
+    bench AS (
       SELECT text FROM documents WHERE doc_id % 50 = 0
     ),
     tok AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus
     ),
     dsh AS (
       SELECT DISTINCT doc_id,
@@ -335,25 +350,61 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       JOIN dsz ON dsz.doc_id = i.doc_id
       JOIN bsz ON bsz.text = i.text
       WHERE i.i / (dsz.n + bsz.n - i.i) >= 0.8
+    ),
+    d13 AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 12 + 1),
+                    i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS g
+      FROM tok WHERE len(t) >= 13
+    ),
+    b13 AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, len(t) - 12 + 1),
+                    i -> array_to_string(list_slice(t, i, i + 12), ' '))) AS g
+      FROM btok WHERE len(t) >= 13
+    ),
+    leak13 AS (
+      SELECT DISTINCT d.doc_id FROM d13 d JOIN b13 b ON d.g = b.g
     )
-    SELECT doc_id, lang FROM documents
+    SELECT doc_id, lang FROM corpus
     WHERE doc_id NOT IN (SELECT doc_id FROM leaked)
+      AND doc_id NOT IN (SELECT doc_id FROM leak13)
     """,
 )
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark decontamination (eval-leak filter): every 50th document
-    doubles as a 'benchmark' doc, so those corpus rows are exact leaks
-    and must be dropped. The engine runs cross-dataset MinHash-LSH +
-    exact-Jaccard verify + anti-join (``operators.dedup.decontaminate``);
-    the oracle recomputes the SAME semantics exhaustively (benchmark is
-    small, so DuckDB can afford all pairs) — agreement also certifies the
-    LSH stage lost no leak above the threshold on this corpus."""
-    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import decontaminate
+    """Benchmark decontamination (eval-leak filter), BOTH criteria of a
+    production pipeline: (a) whole-doc n-gram Jaccard ≥ 0.8 via
+    cross-dataset MinHash-LSH + exact verify + anti-join
+    (``operators.dedup.decontaminate``) — every 50th document doubles
+    as a 'benchmark' doc, so those corpus rows are exact leaks; (b)
+    EXACT shared 13-gram (``operators.dedup.ngram_decontaminate``, the
+    GPT-3/PaLM criterion) — a planted corpus doc (id 999999) quotes 13
+    tokens of benchmark doc 0 inside unrelated filler, sitting far
+    below the Jaccard threshold, so only the 13-gram leg can drop it:
+    the green hash row proves that leg is load-bearing, not shadowed.
+    The oracle recomputes both criteria exhaustively (benchmark is
+    small, so DuckDB can afford all pairs) — agreement also certifies
+    the LSH stage lost no leak above the threshold on this corpus."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        decontaminate,
+        ngram_decontaminate,
+    )
 
     d = load(spark, sf, "documents")
+    planted = d.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 13), " "),
+            F.lit(" " + _QUOTE_FILLER),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    corpus = d.select("doc_id", "text", "lang").unionByName(planted)
     bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
-    clean = decontaminate(d.select("doc_id", "text", "lang"), bench, "doc_id", "text", threshold=0.8)
-    return clean.select("doc_id", "lang")
+    clean = decontaminate(corpus, bench, "doc_id", "text", threshold=0.8)
+    return ngram_decontaminate(clean, bench, "doc_id", "text", n=13).select(
+        "doc_id", "lang"
+    )
 
 
 # --- similarity search ----------------------------------------------------------

@@ -1040,3 +1040,69 @@ def test_boilerplate_fraction_duplicate_id_rows(spark):
     got = {(r["doc_id"], r["boilerplate_frac"])
            for r in boilerplate_fraction(df, "doc_id", "text").collect()}
     assert got == {(1, 0.0), (2, 0.0)}
+
+
+def test_excise_repeated_spans_removes_shared_block(spark):
+    """The planted licence block vanishes from every doc containing it
+    (exactly the block — per-doc unique text survives), untouched docs
+    keep their text byte-identical, non-text columns pass through, and
+    an all-boilerplate doc becomes an empty string, not a dropped row."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    lic = "licensed under the apache license version two zero see notice"  # 10 toks
+    rows = [
+        (1, "alpha intro " + lic + " alpha body ends here", "en"),
+        (2, lic + " beta tail", "de"),
+        (3, "completely unrelated document body with nothing shared", "fr"),
+        (4, lic, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in excise_repeated_spans(df, "doc_id", "text").collect()}
+    assert out[1]["text"] == "alpha intro alpha body ends here"
+    assert out[2]["text"] == "beta tail"
+    assert out[3]["text"] == rows[2][1]
+    assert out[4]["text"] == ""
+    assert {r_id: out[r_id]["lang"] for r_id in out} == {1: "en", 2: "de", 3: "fr", 4: "en"}
+
+
+def test_ngram_decontaminate_exact_13gram(spark):
+    """A verbatim 13-gram quote of a benchmark doc flags the corpus doc
+    (whole-doc Jaccard would never catch it); sharing only 12 tokens
+    does not; min_hits=2 requires two distinct leaked grams."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        ngram_decontaminate,
+        ngram_leaks,
+    )
+
+    q = "what is the capital of the country directly north of spain answer me"  # 13
+    q2 = "name every planet visible to the naked eye from earth tonight please now"  # 13
+    bench = spark.createDataFrame([(q + " " + q2,)], "text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, "filler words " + q + " more filler"),              # 1 leak
+            (2, "prefix " + " ".join(q.split()[:12]) + " suffix"),  # 12 of 13
+            (3, q + " mid " + q2),                                  # 2 leaks
+            (4, "nothing in common with the benchmark at all"),
+        ],
+        "doc_id long, text string",
+    )
+    leaks = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_leaks(corpus, bench, "doc_id", "text").collect()
+    }
+    assert set(leaks) == {1, 3}
+    assert leaks[1] >= 1 and leaks[3] >= 2
+    kept = sorted(
+        r["doc_id"]
+        for r in ngram_decontaminate(corpus, bench, "doc_id", "text").collect()
+    )
+    assert kept == [2, 4]
+    kept2 = sorted(
+        r["doc_id"]
+        for r in ngram_decontaminate(
+            corpus, bench, "doc_id", "text", min_hits=2
+        ).collect()
+    )
+    assert kept2 == [1, 2, 4]

@@ -801,3 +801,89 @@ def test_chunk_documents_partition_law(spark, lens, budget):
         assert sum(c[2] for c in chunks) == n
         assert all(c[2] == budget for c in chunks[:-1])
         assert 0 <= chunks[-1][2] <= budget
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=10),
+        min_size=1, max_size=6,
+    ),
+    span=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_excise_repeated_spans_matches_reference(spark, docs, span):
+    """Law: excision removes EXACTLY the token positions covered by some
+    cross-doc repeated window, for every corpus — the distributed
+    rebuild agrees with an in-memory cover-and-slice reference."""
+    from collections import defaultdict
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    owners: dict[tuple, set[int]] = defaultdict(set)
+    for i, toks in enumerate(docs):
+        for j in range(max(len(toks) - span + 1, 0)):
+            owners[tuple(toks[j:j + span])].add(i)
+    repeated = {w for w, ids in owners.items() if len(ids) >= 2}
+
+    def ref(toks):
+        cov = set()
+        for j in range(max(len(toks) - span + 1, 0)):
+            if tuple(toks[j:j + span]) in repeated:
+                cov.update(range(j, j + span))
+        return " ".join(t for p, t in enumerate(toks) if p not in cov)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in excise_repeated_spans(df, "doc_id", "text", span_tokens=span).collect()
+    }
+    assert got == {i: ref(toks) for i, toks in enumerate(docs)}
+
+
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1, max_size=6,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1, max_size=3,
+    ),
+    n=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_ngram_leaks_match_reference(spark, corpus, bench, n):
+    """Law: exact-n-gram contamination counts equal the in-memory
+    set-intersection reference (distinct grams per doc vs the pooled
+    benchmark gram set) for every corpus/benchmark/n."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import ngram_leaks
+
+    bench_grams = {
+        tuple(toks[j:j + n])
+        for toks in bench
+        for j in range(max(len(toks) - n + 1, 0))
+    }
+
+    def hits(toks):
+        return len(
+            {tuple(toks[j:j + n]) for j in range(max(len(toks) - n + 1, 0))}
+            & bench_grams
+        )
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        [(" ".join(toks),) for toks in bench], "text string"
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_leaks(cdf, bdf, "doc_id", "text", n=n).collect()
+    }
+    assert got == {i: hits(t) for i, t in enumerate(corpus) if hits(t) >= 1}
