@@ -22,6 +22,8 @@ from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup impo
     boilerplate_fraction,
     decontaminate,
     exact_dedup_by_hash,
+    excise_repeated_spans,
+    ngram_decontaminate,
     semantic_dedup,
 )
 from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import dataset_split
@@ -76,6 +78,8 @@ def curate(
     max_boilerplate_frac: float | None = None,
     boilerplate_span_tokens: int = 8,
     boilerplate_min_docs: int = 3,
+    excise_boilerplate: bool = False,
+    ngram_n: int | None = None,
     strict: bool = False,
     redact: bool = False,
 ) -> DataFrame:
@@ -94,7 +98,19 @@ def curate(
     is down to one survivor, so a high fraction can only come from
     genuine cross-template repetition — and ``boilerplate_min_docs``
     (default 3, i.e. stricter than a single surviving pair) raises the
-    bar for calling a span "boilerplate" further. ``redact=True``
+    bar for calling a span "boilerplate" further.
+    ``excise_boilerplate=True`` REWRITES surviving docs with the
+    cross-document repeated spans removed
+    (:func:`operators.dedup.excise_repeated_spans`) instead of only
+    gating on their share — it runs after near-dedup for the same
+    pair-annihilation reason as the gate, and after the gate when both
+    are on (gate first drops the mostly-templated docs cheaply; the
+    rewrite then scrubs the remainder). ``ngram_n`` (optional, needs
+    ``benchmark``) adds the EXACT shared-n-gram decontamination pass
+    (:func:`operators.dedup.ngram_decontaminate`, e.g. 13 for the
+    GPT-3/PaLM criterion) after the Jaccard pass — verbatim quotes of
+    an eval question leak at near-zero document similarity, so the two
+    criteria prune independent leak classes. ``redact=True``
     rewrites ``text_col`` through :func:`operators.text.redact_pii` as
     the LAST stage — after dedup/decontamination, so redaction (which
     collapses distinct emails to one token) cannot create or mask
@@ -109,7 +125,9 @@ def curate(
         decontam_threshold=decontam_threshold,
         max_boilerplate_frac=max_boilerplate_frac,
         boilerplate_span_tokens=boilerplate_span_tokens,
-        boilerplate_min_docs=boilerplate_min_docs, strict=strict, redact=redact,
+        boilerplate_min_docs=boilerplate_min_docs,
+        excise_boilerplate=excise_boilerplate, ngram_n=ngram_n,
+        strict=strict, redact=redact,
     ):
         kept = stage(kept)
     return kept
@@ -120,11 +138,13 @@ def _curation_stages(
     doc_columns, id_col, text_col, benchmark, min_tokens, max_tokens,
     max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
     decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
-    boilerplate_min_docs, strict, redact,
+    boilerplate_min_docs, excise_boilerplate, ngram_n, strict, redact,
 ):
     """The ordered ``(name, DataFrame → DataFrame)`` stage list behind
     :func:`curate` — one source of truth for the pipeline order, shared
     with :func:`curate_with_stats`."""
+    if ngram_n is not None and benchmark is None:
+        raise ValueError("ngram_n requires a benchmark DataFrame")
 
     def quality_gate(df):
         return T.quality_features(df).filter(
@@ -164,6 +184,19 @@ def _curation_stages(
             return df.join(bf_ok, id_col, "left_semi")
 
         stages.append(("boilerplate_gate", boilerplate_gate))
+    if excise_boilerplate:
+        stages.append(
+            (
+                "excise_boilerplate",
+                lambda df: excise_repeated_spans(
+                    df,
+                    id_col,
+                    text_col,
+                    span_tokens=boilerplate_span_tokens,
+                    min_docs=boilerplate_min_docs,
+                ),
+            )
+        )
     if benchmark is not None:
         stages.append(
             (
@@ -173,6 +206,15 @@ def _curation_stages(
                 ),
             )
         )
+        if ngram_n is not None:
+            stages.append(
+                (
+                    "ngram_decontaminate",
+                    lambda df: ngram_decontaminate(
+                        df, benchmark, id_col, text_col, n=ngram_n
+                    ),
+                )
+            )
     if redact:
         stages.append(
             ("redact", lambda df: df.withColumn(text_col, T.redact_pii(text_col)))

@@ -110,3 +110,48 @@ def test_curate_with_stats_reports_stage_yields(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError, match="unknown curate"):
         curate_with_stats(df, nonsense=1)
+
+
+def test_curate_excise_and_ngram_stages(spark):
+    """The two optional curation stages: excise_boilerplate rewrites
+    survivors with the shared licence block removed, and ngram_n drops a
+    doc quoting a benchmark 13-gram that Jaccard decontamination keeps.
+    ngram_n without a benchmark is a hard error."""
+    import pytest as _pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate,
+        curate_with_stats,
+    )
+
+    lic = "licensed under the apache license version two zero see notice"  # 10 toks
+    quote = "which distributed engine answers this exact eval question fastest overall today friends honestly"  # 13
+    rows = [
+        (1, lic + " alpha document body with plenty of unique tokens here"),
+        (2, lic + " beta document body holding different unique tokens too"),
+        (3, "gamma document quoting " + quote + " inside much other unrelated filler text"),
+        (4, "delta document with nothing shared and enough tokens to pass the gate"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("benchmark question " + quote + " with its own framing words",)],
+        "text string",
+    )
+    out, stats = curate_with_stats(
+        docs,
+        min_tokens=5,
+        benchmark=bench,
+        excise_boilerplate=True,
+        boilerplate_min_docs=2,
+        ngram_n=13,
+        strict=True,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert sorted(got) == [1, 2, 4]                      # doc 3 = 13-gram leak
+    assert got[1].startswith("alpha document body")      # licence excised
+    assert got[2].startswith("beta document body")
+    assert got[4] == rows[3][1]                          # untouched
+    assert stats["excise_boilerplate"] == 4              # rewrite drops nothing
+    assert stats["ngram_decontaminate"] == 3
+    with _pytest.raises(ValueError, match="benchmark"):
+        curate(docs, ngram_n=13)
