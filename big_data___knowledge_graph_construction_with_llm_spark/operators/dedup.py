@@ -992,17 +992,20 @@ def excise_repeated_spans(
             F.md5("_s").alias("_sh128"),
         )
     )
+    # disjoint column names on the covered frame: both sides of the
+    # anti-join below descend from `df`, and same-named columns across
+    # a self-join lineage trip Spark's ambiguity check
     covered = materialize(
         pos_spans.join(hit_fps, ["_sh64", "_sh128"], "left_semi")
         .select(
-            id_col,
+            F.col(id_col).alias("_cov_id"),
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
             ).alias("_cov"),
         )
         .distinct()
     )
-    affected = covered.select(id_col).distinct()
+    affected = covered.select(F.col("_cov_id").alias(id_col)).distinct()
     tokpos = (
         df.join(affected, id_col, "left_semi")
         .select(
@@ -1014,7 +1017,8 @@ def excise_repeated_spans(
     )
     kept = tokpos.join(
         covered,
-        (tokpos[id_col] == covered[id_col]) & (tokpos["pos"] == covered["_cov"]),
+        (tokpos[id_col] == covered["_cov_id"])
+        & (tokpos["pos"] == covered["_cov"]),
         "left_anti",
     )
     rebuilt = affected.join(

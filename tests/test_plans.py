@@ -220,3 +220,27 @@ def test_boilerplate_leg_never_uses_a_window(spark):
     p = plan_text(QUERIES["q_token_count"](spark, SF_DIR))
     assert "Window" not in p
     assert "HashAggregate" in p
+
+
+def test_excise_and_ngram_leaks_stay_jvm_side(spark):
+    """The round-5 curation operators must follow the house rules even
+    though they hold no registry slot: pure built-in expressions (no
+    Python evaluation of any kind) and no cartesian product — the
+    excision rebuild and the 13-gram semi-join are equi-joins on ids
+    and span fingerprints."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        excise_repeated_spans,
+        ngram_leaks,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = d.filter("doc_id % 50 = 0").select("text")
+    for df in (
+        excise_repeated_spans(d, "doc_id", "text"),
+        ngram_leaks(d, bench, "doc_id", "text", n=13),
+    ):
+        p = plan_text(df, mode="extended")
+        assert "BatchEvalPython" not in p
+        assert "PythonUDF" not in p
+        assert "CartesianProduct" not in p
