@@ -1,0 +1,99 @@
+"""Tests for the 10x stress-data generator (scripts/make_scale_data.py).
+
+BENCH_SCALE.json's scaling claims rest on the generator's model being
+real: copies must be content-DISTINCT (cross-copy similarity far below
+every near-dup threshold, so families scale linearly with rows instead
+of deepening), ids must stay clear of the clone offsets the registry
+queries plant, and embedding copies must be decorrelated but
+norm-preserving. These tests pin those invariants.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from pyspark.sql import functions as F
+
+
+def _tooling():
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "make_scale_data.py"
+    )
+    spec = importlib.util.spec_from_file_location("make_scale_data", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_mark_every_5_preserves_order_and_breaks_shingles(spark):
+    """The copy marker lands after every 5-token chunk: dropping the
+    markers recovers the original token sequence exactly, and the
+    3-shingle Jaccard between original and marked text falls far below
+    the 0.8 near-dup threshold (the linear-scaling requirement)."""
+    mod = _tooling()
+    toks = [f"w{i}" for i in range(23)]
+    df = spark.createDataFrame([(" ".join(toks),)], "text string")
+    marked = df.select(mod._mark_every_5(F.col("text"), "zq1x").alias("m")).head()["m"]
+    mtoks = marked.split(" ")
+    assert [t for t in mtoks if t != "zq1x"] == toks
+    assert mtoks.count("zq1x") == 5  # ceil(23/5)
+    # every marker sits right after a 5-token chunk
+    assert [i for i, t in enumerate(mtoks) if t == "zq1x"] == [5, 11, 17, 23, 27]
+
+    def sh3(ts):
+        return {tuple(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    a, b = sh3(toks), sh3(mtoks)
+    jac = len(a & b) / len(a | b)
+    assert jac < 0.5, jac
+
+
+def test_scale_documents_copy_distinct(spark):
+    """Scaled copies: disjoint id ranges below the +1e6 clone offset,
+    copy 0 byte-identical, cross-copy 3-shingle Jaccard of the SAME
+    source doc far below 0.8, and n_chars recomputed for marked text."""
+    mod = _tooling()
+    base = spark.createDataFrame(
+        [(7, " ".join(f"tok{i}" for i in range(40)), "en", "src1", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in mod.scale_documents(base, 3).collect()}
+    assert sorted(out) == [7, 100_007, 200_007]
+    assert max(out) < 1_000_000
+    assert out[7]["text"] == base.head()["text"]
+    assert out[100_007]["n_chars"] == len(out[100_007]["text"])
+
+    def sh3(text):
+        ts = text.split(" ")
+        return {tuple(ts[i:i + 3]) for i in range(len(ts) - 2)}
+
+    for a, b in [(7, 100_007), (100_007, 200_007)]:
+        sa, sb = sh3(out[a]["text"]), sh3(out[b]["text"])
+        jac = len(sa & sb) / len(sa | sb)
+        assert jac < 0.8, (a, b, jac)
+
+
+def test_scale_embeddings_rotation_decorrelates(spark):
+    """Embedding copies: rotated dims preserve the norm exactly while
+    the label domain shifts per copy (block count grows, block size
+    does not), and vec_id 0 exists only in copy 0 (the query vector
+    stays unique)."""
+    import math
+    import random
+
+    mod = _tooling()
+    rnd = random.Random(7)
+    vec = [rnd.uniform(-1, 1) for _ in range(64)]
+    base = spark.createDataFrame(
+        [(0, vec, 3), (5, vec, 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["vec_id"]: r for r in mod.scale_embeddings(base, 2).collect()}
+    assert sorted(out) == [0, 5, 100_000, 100_005]
+    n0 = math.sqrt(sum(x * x for x in out[5]["embedding"]))
+    n1 = math.sqrt(sum(x * x for x in out[100_005]["embedding"]))
+    assert abs(n0 - n1) < 1e-4
+    assert out[5]["label"] == 3 and out[100_005]["label"] == 1003
+    # rotation by 7 really moved the dims
+    assert list(out[100_005]["embedding"][:57]) == list(out[5]["embedding"][7:])
