@@ -1041,6 +1041,117 @@ def excise_repeated_spans(
     )
 
 
+def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Positional line frame for the line-dedup family: ``(id, pos,
+    _line, _lh64, _lh128)`` — one row per newline-split line, identity
+    = 192-bit fingerprint of the TRIMMED line (leading/trailing
+    whitespace is presentation, not content), positions preserved for
+    the excision rebuild. Blank lines carry NULL fingerprints so they
+    never match anything (a blank line repeated everywhere is not
+    boilerplate worth removing — and removing it would reflow docs)."""
+    t = F.trim(F.col("_line"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
+        )
+        .withColumns(
+            {
+                "_lh64": F.when(t != "", F.xxhash64(t)),
+                "_lh128": F.when(t != "", F.md5(t)),
+            }
+        )
+    )
+
+
+def repeated_lines(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+) -> DataFrame:
+    """LINE-level duplication signal (the CCNet-style granularity):
+    trimmed lines recurring across at least ``min_docs`` distinct
+    documents — navigation chrome, cookie banners, footer boilerplate —
+    as ``(line, n_docs)``. Sits between whole-doc dedup (misses shared
+    lines entirely) and token-span detection (:func:`repeated_spans`,
+    which finds repeats ANYWHERE in the token stream but needs a span
+    length; lines are the natural unit when the format has them).
+    Within-doc repetition counts once (``countDistinct`` doc); blank
+    lines never count. Shuffle carries line fingerprints + one
+    exemplar, never document text."""
+    _require_min_docs(min_docs)
+    return (
+        _doc_lines(df, id_col, text_col)
+        .filter(F.col("_lh64").isNotNull())
+        .groupBy("_lh64", "_lh128")
+        .agg(
+            F.min(F.trim("_line")).alias("line"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", "n_docs")
+    )
+
+
+def excise_repeated_lines(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Rewrite ``text_col`` with cross-document repeated lines removed —
+    the line-granular twin of :func:`excise_repeated_spans`, and the
+    cheaper one when the format has lines: lines are removed whole, so
+    the rebuild is a per-doc re-join of SURVIVING lines (original line
+    text preserved byte-for-byte, including inner whitespace) and only
+    AFFECTED documents' lines ever shuffle. Blank lines are kept as-is;
+    a doc whose every non-blank line is boilerplate keeps its blank
+    skeleton (or becomes empty), and untouched docs pass through with
+    text unmoved."""
+    _require_min_docs(min_docs)
+    hit_fps = (
+        _doc_lines(df, id_col, text_col)
+        .filter(F.col("_lh64").isNotNull())
+        .select(id_col, "_lh64", "_lh128")
+        .distinct()
+        .groupBy("_lh64", "_lh128")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_lh64", "_lh128")
+    )
+    lines = _doc_lines(df, id_col, text_col)
+    # disjoint names: every frame below descends from `df` (see
+    # excise_repeated_spans for the ambiguity rationale)
+    marked = materialize(
+        lines.join(hit_fps, ["_lh64", "_lh128"], "left_semi")
+        .select(F.col(id_col).alias("_hit_id"), F.col("pos").alias("_hit_pos"))
+    )
+    affected = marked.select(F.col("_hit_id").alias(id_col)).distinct()
+    doc_lines = df.join(affected, id_col, "left_semi").select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "_line"),
+    )
+    kept = doc_lines.join(
+        marked,
+        (doc_lines[id_col] == marked["_hit_id"])
+        & (doc_lines["pos"] == marked["_hit_pos"]),
+        "left_anti",
+    )
+    rebuilt = affected.join(
+        kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_new_text")
+        ),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("_new_text", F.lit("")).alias("_new_text"))
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.col(text_col)))
+        .drop("_new_text")
+    )
+
+
 def ngram_leaks(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -1106,3 +1106,37 @@ def test_ngram_decontaminate_exact_13gram(spark):
         ).collect()
     )
     assert kept2 == [1, 2, 4]
+
+
+def test_repeated_lines_and_excision(spark):
+    """CCNet-style line dedup: a footer line shared across docs is
+    detected and excised whole (inner whitespace of surviving lines
+    preserved), within-doc repetition alone does not count, blank lines
+    neither match nor vanish, and untouched docs pass through."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        excise_repeated_lines,
+        repeated_lines,
+    )
+
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (1, "real  content one\n" + footer + "\n\nmore body text"),
+        (2, footer + "\nsecond doc body"),
+        (3, "self\nself\nself\nunique here"),       # within-doc only
+        (4, "untouched document\n\nwith blanks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = {r["line"]: r["n_docs"] for r in repeated_lines(df, "doc_id", "text").collect()}
+    assert hits == {footer: 2}
+    out = {r["doc_id"]: r["text"] for r in excise_repeated_lines(df, "doc_id", "text").collect()}
+    assert out[1] == "real  content one\n\nmore body text"   # double space kept
+    assert out[2] == "second doc body"
+    assert out[3] == rows[2][1]
+    assert out[4] == rows[3][1]
+    # trimmed-identity: padded copies of the footer still match
+    df2 = spark.createDataFrame(
+        [(1, "  " + footer + "  \nbody a"), (2, footer + "\nbody b")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text"] for r in excise_repeated_lines(df2, "doc_id", "text").collect()}
+    assert out2 == {1: "body a", 2: "body b"}

@@ -887,3 +887,42 @@ def test_ngram_leaks_match_reference(spark, corpus, bench, n):
         for r in ngram_leaks(cdf, bdf, "doc_id", "text", n=n).collect()
     }
     assert got == {i: hits(t) for i, t in enumerate(corpus) if hits(t) >= 1}
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["la", "lb", "lc", ""]), min_size=0, max_size=6),
+        min_size=1, max_size=6,
+    ),
+    min_docs=st.integers(2, 3),
+)
+@settings(**_SETTINGS)
+def test_excise_repeated_lines_matches_reference(spark, docs, min_docs):
+    """Law: line excision removes exactly the non-blank lines whose
+    trimmed text appears in >= min_docs distinct docs, preserving the
+    order and the blank lines, for every random corpus."""
+    from collections import defaultdict
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        excise_repeated_lines,
+    )
+
+    owners: dict[str, set[int]] = defaultdict(set)
+    for i, ls in enumerate(docs):
+        for line in ls:
+            if line.strip():
+                owners[line.strip()].add(i)
+    repeated = {l for l, ids in owners.items() if len(ids) >= min_docs}
+
+    def ref(ls):
+        return "\n".join(l for l in ls if not (l.strip() and l.strip() in repeated))
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in excise_repeated_lines(df, "doc_id", "text", min_docs=min_docs).collect()
+    }
+    assert got == {i: ref(ls) for i, ls in enumerate(docs)}
