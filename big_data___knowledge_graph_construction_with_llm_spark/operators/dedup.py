@@ -38,8 +38,24 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.dropDuplicates(cols) if cols else df.dropDuplicates()
 
 
+def dedup_normal_form(col: str | F.Column) -> F.Column:
+    """The fuzzy-exact dedup identity (CCNet-style): lowercase,
+    punctuation → space, whitespace collapsed, trimmed. Catches
+    trivially reformatted copies — case changes, punctuation variants,
+    re-wrapped whitespace — that byte-exact identity keeps as distinct.
+    NOT a linguistic normalizer (see ``functions.normalize`` for label/
+    relation normalization); this exists only to widen the equality
+    class ``content_fingerprints(..., normalize=True)`` hashes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"\p{Punct}", " "), r"\s+", " "
+        )
+    )
+
+
 def exact_dedup_by_hash(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = False
 ) -> DataFrame:
     """Keep one representative (min id) per distinct text, shuffling only
     a content fingerprint + id — the document bytes never shuffle.
@@ -52,8 +68,12 @@ def exact_dedup_by_hash(
     is ``content_fingerprints`` — the SAME projection the incremental
     at-rest store uses, so a full-corpus pass and append-batch dedup
     can never disagree.
+
+    ``normalize=True`` hashes :func:`dedup_normal_form` of the text
+    instead of the raw bytes (fuzzy-exact dedup — reformatted copies
+    collapse); survivors keep their ORIGINAL text.
     """
-    h = content_fingerprints(df, text_col, id_col)
+    h = content_fingerprints(df, text_col, id_col, normalize=normalize)
     keep = h.groupBy("_h64", "_h128").agg(F.min(id_col).alias(id_col))
     return df.join(keep, id_col, "left_semi")
 
@@ -653,18 +673,27 @@ def simhash_near_dup_pairs(
     )
 
 
-def content_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def content_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = False
+) -> DataFrame:
     """The at-rest fingerprint table ``(id, _h64, _h128)`` that makes
     dedup INCREMENTAL: store this (a few dozen bytes/doc) next to the
     corpus once, and every future append dedups against it without ever
     re-reading, re-hashing, or shuffling the existing documents — the
     layout decision DEPLOYMENT.md's table describes. Same 192-bit
     (xxhash64, md5) pair as ``exact_dedup_by_hash`` and for the same
-    reason: 64 bits alone birthday-collides at ~2³² docs."""
+    reason: 64 bits alone birthday-collides at ~2³² docs.
+
+    ``normalize=True`` fingerprints :func:`dedup_normal_form` of the
+    text (fuzzy-exact identity). The flag is part of the STORE's
+    definition: a store built with it must be probed with it — mixing
+    silently re-admits every reformatted duplicate, so pick one mode
+    per store and record it next to the data."""
+    t = dedup_normal_form(text_col) if normalize else F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.xxhash64(F.col(text_col)).alias("_h64"),
-        F.md5(F.col(text_col).cast("string")).alias("_h128"),
+        F.xxhash64(t).alias("_h64"),
+        F.md5(t.cast("string")).alias("_h128"),
     )
 
 
@@ -673,6 +702,7 @@ def incremental_dedup(
     fingerprints: DataFrame,
     text_col: str,
     id_col: str,
+    normalize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an APPEND batch against an existing corpus represented only
     by its ``content_fingerprints`` table: returns ``(new_rows,
@@ -688,8 +718,12 @@ def incremental_dedup(
     never touched. This is the steady-state form of dedup at 100 TB:
     the full-corpus pass happens once; every day after is
     batch-sized work.
+
+    ``normalize`` must match the mode the store was built with (see
+    ``content_fingerprints`` — the flag is part of the store's
+    definition).
     """
-    bfp = content_fingerprints(batch, text_col, id_col)
+    bfp = content_fingerprints(batch, text_col, id_col, normalize=normalize)
     # within-batch: keep min id per fingerprint (same rule as the full op)
     keep = bfp.groupBy("_h64", "_h128").agg(F.min(id_col).alias(id_col))
     # against the store: drop fingerprints the corpus already has

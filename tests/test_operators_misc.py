@@ -1140,3 +1140,38 @@ def test_repeated_lines_and_excision(spark):
     )
     out2 = {r["doc_id"]: r["text"] for r in excise_repeated_lines(df2, "doc_id", "text").collect()}
     assert out2 == {1: "body a", 2: "body b"}
+
+
+def test_normalized_exact_dedup_collapses_reformatted_copies(spark):
+    """Fuzzy-exact dedup: case, punctuation, and whitespace variants of
+    one text collapse to the min-id survivor (original text preserved),
+    while genuinely different texts survive; byte-exact mode keeps all
+    variants distinct; the incremental path honors the same identity."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+        dedup_normal_form,
+        exact_dedup_by_hash,
+        incremental_dedup,
+    )
+
+    rows = [
+        (1, "Hello, World!  How are you?"),
+        (2, "hello world how are you"),
+        (3, "HELLO   world -- how are you??"),
+        (4, "a different document entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {r["doc_id"]: r["n"] for r in df.select("doc_id", dedup_normal_form("text").alias("n")).collect()}
+    assert norm[1] == norm[2] == norm[3] == "hello world how are you"
+    fuzzy = sorted(r["doc_id"] for r in exact_dedup_by_hash(df, "text", "doc_id", normalize=True).collect())
+    assert fuzzy == [1, 4]
+    exact = sorted(r["doc_id"] for r in exact_dedup_by_hash(df, "text", "doc_id").collect())
+    assert exact == [1, 2, 3, 4]
+    # survivor keeps its original punctuation
+    kept = {r["doc_id"]: r["text"] for r in exact_dedup_by_hash(df, "text", "doc_id", normalize=True).collect()}
+    assert kept[1] == rows[0][1]
+    # incremental: a normalized store rejects a reformatted append
+    store = content_fingerprints(df.filter("doc_id = 1"), "text", "doc_id", normalize=True)
+    batch = spark.createDataFrame([(9, "hello; WORLD: how are you"), (10, "brand new text")], "doc_id long, text string")
+    new_rows, new_fps = incremental_dedup(batch, store, "text", "doc_id", normalize=True)
+    assert sorted(r["doc_id"] for r in new_rows.collect()) == [10]
