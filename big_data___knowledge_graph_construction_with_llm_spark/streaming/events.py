@@ -136,20 +136,27 @@ def write_foreach_batch(
 
 
 def bootstrap_fingerprint_store(
-    corpus: DataFrame, store_path: str, text_col: str, id_col: str
+    corpus: DataFrame,
+    store_path: str,
+    text_col: str,
+    id_col: str,
+    normalize: bool = False,
 ) -> None:
     """Seed an ``incremental_dedup_sink`` store from an existing
     (already deduplicated) corpus — the batch full-pass → streaming
     handoff. Writes ``content_fingerprints`` under the reserved
     ``lineage="bootstrap"`` partition, which no stream lineage ever
     prunes or overwrites, so the stream dedups against the whole
-    bootstrapped corpus from its very first batch."""
+    bootstrapped corpus from its very first batch. ``normalize`` picks
+    the store's fingerprint identity (fuzzy-exact vs byte-exact — see
+    ``content_fingerprints``); every ``incremental_dedup_sink`` serving
+    this store must pass the same value."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
         content_fingerprints,
     )
 
     (
-        content_fingerprints(corpus, text_col, id_col)
+        content_fingerprints(corpus, text_col, id_col, normalize=normalize)
         .withColumn("lineage", F.lit("bootstrap"))
         .withColumn("batch_id", F.lit(0).cast("long"))
         .write.partitionBy("lineage", "batch_id")
@@ -165,6 +172,7 @@ def incremental_dedup_sink(
     id_col: str,
     emit: Callable[[DataFrame, int], None],
     lineage: str,
+    normalize: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` body that makes exact dedup STREAMING against a
     durable store: each micro-batch is deduped against the at-rest
@@ -203,6 +211,11 @@ def incremental_dedup_sink(
     any foreachBatch sink. The store read is schema-pinned (no
     inference), so empty micro-batches and a not-yet-populated store
     are safe.
+
+    ``normalize`` is the store's fingerprint identity (fuzzy-exact vs
+    byte-exact) and must match what :func:`bootstrap_fingerprint_store`
+    and every other lineage of this store use — it is part of the
+    store's definition, not a per-stream knob.
     """
     if lineage == "bootstrap":
         raise ValueError(
@@ -233,7 +246,9 @@ def incremental_dedup_sink(
             )
         else:
             fps = empty_fps
-        _, new_fps = incremental_dedup(batch, fps, text_col, id_col)
+        _, new_fps = incremental_dedup(
+            batch, fps, text_col, id_col, normalize=normalize
+        )
         # one materialized frame decides the batch: the emitted rows and
         # the store append both derive from it, so they cannot disagree
         # (and the batch is fingerprinted exactly once)

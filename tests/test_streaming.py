@@ -425,3 +425,36 @@ def test_curate_stream_composes_with_incremental_dedup_sink(spark, tmp_path):
     assert any("[PII]" in t for t in texts)
     fps = spark.read.parquet(store)
     assert sorted(r["doc_id"] for r in fps.collect()) == [1, 4, 6]
+
+
+def test_incremental_dedup_sink_normalized_store(spark, tmp_path):
+    """Fuzzy-exact mode across the batch -> streaming handoff: a store
+    bootstrapped with normalize=True rejects a reformatted copy of a
+    bootstrapped doc arriving on the stream, while genuinely new text
+    lands."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        bootstrap_fingerprint_store,
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-store-norm")
+    corpus = spark.createDataFrame(
+        [(1, "Hello, World! Nice Day.")], "doc_id long, text string"
+    )
+    bootstrap_fingerprint_store(corpus, store, "text", "doc_id", normalize=True)
+    emitted: list[list[int]] = []
+
+    def emit(df, batch_id):
+        emitted.append(sorted(r["doc_id"] for r in df.collect()))
+
+    sink = incremental_dedup_sink(
+        store, "text", "doc_id", emit, lineage="s1", normalize=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(7, "hello world nice day"), (8, "something actually new")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert emitted == [[8]]
