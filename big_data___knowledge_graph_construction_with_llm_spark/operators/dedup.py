@@ -1007,9 +1007,16 @@ def excise_repeated_spans(
     downstream does not care); a fully-boilerplate doc becomes an
     empty string, kept so the caller decides whether to drop it."""
     _require_min_docs(min_docs)
-    hit_fps = _repeated_from_spans(
-        _doc_spans(df, id_col, text_col, span_tokens, 1), id_col, min_docs
-    ).select("_sh64", "_sh128")
+    # leaner than _repeated_from_spans: no min(span) exemplar — the
+    # excision never needs span TEXT, so only fingerprints aggregate
+    hit_fps = (
+        _doc_spans(df, id_col, text_col, span_tokens, 1)
+        .drop("_s")
+        .groupBy("_sh64", "_sh128")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sh64", "_sh128")
+    )
 
     # positional span frame (NOT distinct — positions matter here)
     pos_spans = (
