@@ -138,6 +138,95 @@ def epoch_shuffle(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
     return df.orderBy(epoch_shuffle_key(id_col, epoch), F.col(id_col))
 
 
+def score_sample(
+    df: DataFrame, id_col: str, score_col: str, buckets: int = 10_000
+) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each row survives with
+    probability equal to its own ``score_col`` value (in [0, 1]) — the
+    importance-sampling step of a curated-corpus build ("keep documents
+    in proportion to the quality classifier's confidence"), done as a
+    pure projection like :func:`hash_sample`: membership is
+    ``hash_bucket(id) < round(score * buckets)``, so it is reproducible
+    across runs/engines/appends and monotone in the score (raising a
+    row's score can only keep it). No shuffle, no RNG state. Rows with
+    score ≤ 0 are always dropped, ≥ 1 always kept; NULL scores drop
+    (filter semantics)."""
+    b = hash_bucket(F.col(id_col), buckets)
+    cutoff = F.round(F.col(score_col) * buckets).cast("long")
+    return df.filter(b < cutoff)
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    score_col: str,
+    token_budget: int,
+    partitions: int = 256,
+) -> DataFrame:
+    """Best-first corpus selection under a GLOBAL token budget: take
+    documents in descending ``score_col`` order until ``token_budget``
+    tokens are selected — the "top-quality N-token subset" step of a
+    training-data build. A document is kept iff its starting offset in
+    the score-ordered token stream is < ``token_budget`` (same
+    straddle rule as ``pack_sequences``: the last kept doc may overflow
+    the budget by at most its own length — an under-filling strict rule
+    would leave budget on the table instead).
+
+    Scale shape: the global order is realized by RANGE partitioning on
+    (score desc, id) — contiguous score ranges per partition, globally
+    ordered — then the same two-job distributed prefix sum as
+    ``pack_sequences``: per-partition running sums in one pass,
+    per-partition totals collected (``partitions`` longs — a parameter,
+    not data) and folded back as broadcast literals. Never a
+    global-order window (single-task funnel). The partitioned frame is
+    materialized once so the totals pass and the filter pass see the
+    identical partitioning.
+
+    Ties in score break by ``id_col`` (deterministic); ``id_col`` must
+    be unique (the usual contract). Returns the surviving rows of
+    ``df``.
+    """
+    from pyspark.sql import Window
+
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import (
+        materialize,
+    )
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if partitions < 1:
+        raise ValueError(f"partitions must be >= 1, got {partitions}")
+    part = materialize(
+        df.repartitionByRange(
+            partitions, F.col(score_col).desc(), F.col(id_col)
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = (F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)).cast("long")
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in part.groupBy("_pid").agg(F.sum(n_tokens_col).alias("_t")).collect()
+    }
+    prefix, acc = [], 0
+    for p in range(max(totals, default=-1) + 1):
+        prefix.append(acc)
+        acc += int(totals.get(p, 0))
+    if not prefix:
+        return df.limit(0)
+    prefix_arr = F.array(*[F.lit(x) for x in prefix])
+    start = F.element_at(prefix_arr, F.col("_pid") + 1) + within
+    return (
+        part.withColumn("_start", start)  # window exprs can't sit in WHERE
+        .filter(F.col("_start") < token_budget)
+        .drop("_pid", "_start")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, id_col: str, n_per_stratum: int
 ) -> DataFrame:

@@ -1175,3 +1175,56 @@ def test_normalized_exact_dedup_collapses_reformatted_copies(spark):
     batch = spark.createDataFrame([(9, "hello; WORLD: how are you"), (10, "brand new text")], "doc_id long, text string")
     new_rows, new_fps = incremental_dedup(batch, store, "text", "doc_id", normalize=True)
     assert sorted(r["doc_id"] for r in new_rows.collect()) == [10]
+
+
+def test_score_sample_weights_membership(spark):
+    """Per-row keep probability equals the score: 1.0 keeps all, 0.0
+    and NULL drop all, and membership is monotone in the score (raising
+    a doc's score never drops it)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import score_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 100 else (0.0 if i < 200 else 0.5)) for i in range(600)]
+        + [(900, None)],
+        "doc_id long, score double",
+    )
+    kept = {r["doc_id"] for r in score_sample(df, "doc_id", "score").collect()}
+    assert set(range(100)) <= kept                    # score 1.0 all kept
+    assert not kept & set(range(100, 200))            # score 0.0 all dropped
+    assert 900 not in kept                            # NULL drops
+    mid = kept & set(range(200, 600))
+    assert 100 <= len(mid) <= 300                     # ~half of 400, hash slack
+    # monotone: raising every score to 1.0 keeps a superset
+    all_one = {r["doc_id"] for r in score_sample(
+        df.withColumn("score", F.lit(1.0)), "doc_id", "score").collect()}
+    assert kept - {900} <= all_one
+
+
+def test_select_to_token_budget_matches_reference(spark):
+    """Best-first budget selection equals the in-memory sort-and-scan:
+    docs in score-desc order (id tie-break) keep while their starting
+    token offset is below the budget — the straddling doc is kept."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    rows = [(i, (i * 37) % 100, 10 + (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, n long")
+
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    expect, acc = set(), 0
+    for i, _, n in ordered:
+        if acc < 3000:
+            expect.add(i)
+        acc += n
+
+    got = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            df, "doc_id", "n", "score", 3000, partitions=16
+        ).collect()
+    }
+    assert got == expect
+    # tiny budget keeps exactly the single best-scored doc
+    top = select_to_token_budget(df, "doc_id", "n", "score", 1, partitions=16).collect()
+    assert [r["doc_id"] for r in top] == [ordered[0][0]]

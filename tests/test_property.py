@@ -926,3 +926,39 @@ def test_excise_repeated_lines_matches_reference(spark, docs, min_docs):
         for r in excise_repeated_lines(df, "doc_id", "text", min_docs=min_docs).collect()
     }
     assert got == {i: ref(ls) for i, ls in enumerate(docs)}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(1, 20)),
+        min_size=1, max_size=25,
+    ),
+    budget=st.integers(1, 150),
+    parts=st.sampled_from([1, 4, 16]),
+)
+@settings(**_SETTINGS)
+def test_select_to_token_budget_law(spark, rows, budget, parts):
+    """Law: best-first budget selection equals the in-memory
+    sort-and-scan (score desc, id tie-break, keep while start < budget)
+    for every score distribution, token lengths, budget, and partition
+    count — including ties and a single partition."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+    ordered = sorted(data, key=lambda r: (-r[1], r[0]))
+    expect, acc = set(), 0
+    for i, _, n in ordered:
+        if acc < budget:
+            expect.add(i)
+        acc += n
+
+    df = spark.createDataFrame(data, "doc_id long, score long, n long")
+    got = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            df, "doc_id", "n", "score", budget, partitions=parts
+        ).collect()
+    }
+    assert got == expect
