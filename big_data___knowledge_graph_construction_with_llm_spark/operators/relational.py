@@ -193,3 +193,84 @@ def sessionize(
     return df.withColumn("_new", new_sess).withColumn(
         "session_id", F.sum("_new").over(run)
     ).drop("_new")
+
+
+def funnel_times(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel completion per key: for each ``key`` that started
+    the funnel, the EARLIEST-completion timestamps ``t1..tk`` of the
+    ``steps`` sequence (each step strictly after the previous one's
+    chosen time; later steps NULL where the funnel stalls). The greedy
+    earliest-first choice is the standard funnel semantics and is
+    optimal: completing via any witness implies completing via the
+    earliest one. ``within_seconds`` bounds the whole funnel's span
+    (t_k − t1), evaluated per candidate step so a too-late step leaves
+    the later columns NULL rather than disqualifying an earlier valid
+    prefix.
+
+    Scale shape: one partial-aggregated ``min`` per step over only that
+    step's events (filters push to the scan), chained by k−1 equi-joins
+    on ``key`` — frames shrink at every stage, aggregation is hash-agg
+    (hot keys safe), and there is no per-key event-list materialization
+    (a ``collect_list`` funnel buffers a hot user's whole history in
+    one task). k is the funnel length — single digits — so the join
+    chain is short by construction.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    epoch = F.col(ts).cast("timestamp").cast("long")
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key)
+        .agg(F.min(epoch).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(F.col(type_col) == step).select(
+            F.col(key), epoch.alias("_ts")
+        )
+        cond = F.col("_ts") > F.col(f"t{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (F.col("_ts") - F.col("t1") <= within_seconds)
+        nxt = (
+            cur.join(ev, key)
+            .filter(cond)
+            .groupBy(key, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        # left join keeps stalled keys with NULL later steps
+        cur = cur.join(
+            nxt.select(key, *[f"t{j}" for j in range(1, i + 1)]).drop(
+                *[f"t{j}" for j in range(1, i)]
+            ),
+            key,
+            "left",
+        )
+    return cur
+
+
+def funnel_counts(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    type_col: str,
+    steps: list[str],
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Funnel summary: one row per step with the number of keys
+    reaching it — the conversion report over :func:`funnel_times`.
+    Counts are non-increasing by construction."""
+    times = funnel_times(df, key, ts, type_col, steps, within_seconds)
+    counts = times.agg(
+        *[
+            F.count(F.col(f"t{i}")).alias(f"n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    ).head()
+    rows = [(i, steps[i - 1], int(counts[f"n{i}"])) for i in range(1, len(steps) + 1)]
+    return df.sparkSession.createDataFrame(rows, "step int, event_type string, n_keys long")

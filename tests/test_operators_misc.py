@@ -1228,3 +1228,44 @@ def test_select_to_token_budget_matches_reference(spark):
     # tiny budget keeps exactly the single best-scored doc
     top = select_to_token_budget(df, "doc_id", "n", "score", 1, partitions=16).collect()
     assert [r["doc_id"] for r in top] == [ordered[0][0]]
+
+
+def test_funnel_ordered_steps(spark):
+    """Funnel semantics: earliest-first chaining with strict order —
+    a key completing out of order does not count, a stalled key keeps
+    NULL later steps, and the within horizon cuts too-slow funnels
+    without disqualifying their valid prefix."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        funnel_counts,
+        funnel_times,
+    )
+
+    rows = [
+        # u1 completes in order: view@10, cart@20, buy@30
+        ("u1", 10, "view"), ("u1", 20, "cart"), ("u1", 30, "buy"),
+        # u2 stalls after cart
+        ("u2", 10, "view"), ("u2", 40, "cart"),
+        # u3 out of order: buy before view
+        ("u3", 5, "buy"), ("u3", 10, "view"),
+        # u4 completes but too slowly for within=25: view@0, cart@10, buy@50
+        ("u4", 0, "view"), ("u4", 10, "cart"), ("u4", 50, "buy"),
+    ]
+    df = spark.createDataFrame(
+        [(u, F and t, e) for u, t, e in rows], "user string, tsec long, event string"
+    ).select("user", F.col("tsec").cast("timestamp").alias("ts"), "event")
+    t = {
+        r["user"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_times(df, "user", "ts", "event", ["view", "cart", "buy"]).collect()
+    }
+    assert t["u1"] == (10, 20, 30)
+    assert t["u2"] == (10, 40, None)
+    assert t["u3"] == (10, None, None)
+    assert t["u4"] == (0, 10, 50)
+    c = {r["step"]: r["n_keys"] for r in funnel_counts(
+        df, "user", "ts", "event", ["view", "cart", "buy"]).collect()}
+    assert c == {1: 4, 2: 3, 3: 2}
+    c25 = {r["step"]: r["n_keys"] for r in funnel_counts(
+        df, "user", "ts", "event", ["view", "cart", "buy"], within_seconds=25).collect()}
+    # horizon 25 cuts u2's cart (+30s) and u4's buy (+50s); their valid
+    # prefixes still count
+    assert c25 == {1: 4, 2: 2, 3: 1}

@@ -962,3 +962,59 @@ def test_select_to_token_budget_law(spark, rows, budget, parts):
         ).collect()
     }
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),                 # key
+            st.integers(0, 30),                # ts (seconds)
+            st.sampled_from(["a", "b", "c"]),  # type
+        ),
+        min_size=1, max_size=25,
+    ),
+    within=st.sampled_from([None, 10]),
+)
+@settings(**_SETTINGS)
+def test_funnel_matches_greedy_reference(spark, events, within):
+    """Law: funnel_times equals the in-memory greedy earliest-first
+    scan (strict step order, optional whole-funnel horizon measured
+    from t1) for every event soup, including ties and repeats."""
+    from collections import defaultdict
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        funnel_times,
+    )
+
+    steps = ["a", "b", "c"]
+    by_key = defaultdict(list)
+    for k, t, e in events:
+        by_key[k].append((t, e))
+
+    def ref(evs):
+        out, prev = [], None
+        for s in steps:
+            cand = [
+                t for t, e in evs
+                if e == s
+                and (prev is None or t > prev)
+                and (within is None or not out or t - out[0] <= within)
+            ]
+            if not cand or (prev is None and s != steps[0]):
+                break
+            prev = min(cand)
+            out.append(prev)
+        return tuple(out + [None] * (3 - len(out)))
+
+    expect = {
+        k: ref(evs) for k, evs in by_key.items()
+        if any(e == "a" for _, e in evs)
+    }
+    df = spark.createDataFrame(
+        [(k, t, e) for k, t, e in events], "k long, tsec long, e string"
+    ).select("k", F.col("tsec").cast("timestamp").alias("ts"), "e")
+    got = {
+        r["k"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_times(df, "k", "ts", "e", steps, within).collect()
+    }
+    assert got == expect
