@@ -274,3 +274,50 @@ def funnel_counts(
     ).head()
     rows = [(i, steps[i - 1], int(counts[f"n{i}"])) for i in range(1, len(steps) + 1)]
     return df.sparkSession.createDataFrame(rows, "step int, event_type string, n_keys long")
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: keys grouped by their FIRST-activity
+    period (the cohort), counted as active per elapsed period —
+    ``(cohort, periods_since, n_active)`` with ``periods_since`` 0 for
+    the cohort period itself. ``period`` is any ``date_trunc`` unit
+    (``day``/``week``/``month``/…).
+
+    Scale shape: one partial-aggregated ``min`` per key (the cohort
+    assignment), an equi-join back on ``key`` (both sides shrink to
+    distinct (key, period) first, so the join carries activity rows,
+    not raw events), then one aggregation of (cohort, periods_since,
+    distinct key) — hash-aggs and one key-shuffle, no windows, no
+    per-key lists. Elapsed periods are computed from the truncated
+    timestamps' epoch difference for day/week (exact — both are
+    fixed-length), and via month arithmetic for month/quarter/year."""
+    unit = period.lower()
+    seconds = {"day": 86400, "week": 7 * 86400, "hour": 3600}
+    trunc = F.date_trunc(unit, F.col(ts).cast("timestamp"))
+    active = df.select(F.col(key), trunc.alias("_p")).distinct()
+    first = active.groupBy(key).agg(F.min("_p").alias("_cohort"))
+    joined = active.join(first, key)
+    if unit in seconds:
+        elapsed = (
+            (F.col("_p").cast("long") - F.col("_cohort").cast("long"))
+            / seconds[unit]
+        ).cast("long")
+    elif unit in ("month", "quarter", "year"):
+        m = F.months_between(F.col("_p"), F.col("_cohort")).cast("long")
+        elapsed = (
+            m
+            if unit == "month"
+            else (m / (3 if unit == "quarter" else 12)).cast("long")
+        )
+    else:
+        raise ValueError(f"unsupported period: {period!r}")
+    return (
+        joined.withColumn("periods_since", elapsed)
+        .groupBy(F.col("_cohort").alias("cohort"), "periods_since")
+        .agg(F.countDistinct(key).alias("n_active"))
+    )

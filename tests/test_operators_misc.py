@@ -1251,7 +1251,7 @@ def test_funnel_ordered_steps(spark):
         ("u4", 0, "view"), ("u4", 10, "cart"), ("u4", 50, "buy"),
     ]
     df = spark.createDataFrame(
-        [(u, F and t, e) for u, t, e in rows], "user string, tsec long, event string"
+        rows, "user string, tsec long, event string"
     ).select("user", F.col("tsec").cast("timestamp").alias("ts"), "event")
     t = {
         r["user"]: (r["t1"], r["t2"], r["t3"])
@@ -1269,3 +1269,36 @@ def test_funnel_ordered_steps(spark):
     # horizon 25 cuts u2's cart (+30s) and u4's buy (+50s); their valid
     # prefixes still count
     assert c25 == {1: 4, 2: 2, 3: 1}
+
+
+def test_cohort_retention_triangle(spark):
+    """Retention triangle: keys belong to their first-activity cohort,
+    re-activity lands in (cohort, elapsed) cells, distinct per period,
+    and cell (c, 0) counts the whole cohort."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    d0, d7, d14 = "2024-01-01", "2024-01-08", "2024-01-15"
+    rows = [
+        ("a", d0), ("a", d0), ("a", d7), ("a", d14),   # w0 cohort, all weeks
+        ("b", d0), ("b", d14),                          # w0 cohort, skips w1
+        ("c", d7),                                      # w1 cohort, only w1
+    ]
+    df = spark.createDataFrame(rows, "user string, day string").select(
+        "user", F.col("day").cast("timestamp").alias("ts")
+    )
+    got = {
+        (str(r["cohort"])[:10], r["periods_since"]): r["n_active"]
+        for r in cohort_retention(df, "user", "ts", "week").collect()
+    }
+    assert got == {
+        (d0, 0): 2, (d0, 1): 1, (d0, 2): 2,
+        (d7, 0): 1,
+    }
+    # month granularity smoke: both January actives fold into one cell
+    gotm = {
+        (str(r["cohort"])[:10], r["periods_since"]): r["n_active"]
+        for r in cohort_retention(df, "user", "ts", "month").collect()
+    }
+    assert gotm == {("2024-01-01", 0): 3}
