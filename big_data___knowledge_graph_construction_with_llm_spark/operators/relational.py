@@ -221,10 +221,14 @@ def funnel_times(
     (a ``collect_list`` funnel buffers a hot user's whole history in
     one task). k is the funnel length — single digits — so the join
     chain is short by construction.
+
+    Times are epoch MICROSECONDS (``unix_micros``): truncating to
+    seconds would erase the ordering of sub-second event sequences, and
+    micros are exact in a long.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
-    epoch = F.col(ts).cast("timestamp").cast("long")
+    epoch = F.unix_micros(F.col(ts).cast("timestamp"))
     cur = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(key)
@@ -236,7 +240,9 @@ def funnel_times(
         )
         cond = F.col("_ts") > F.col(f"t{i - 1}")
         if within_seconds is not None:
-            cond = cond & (F.col("_ts") - F.col("t1") <= within_seconds)
+            cond = cond & (
+                F.col("_ts") - F.col("t1") <= int(within_seconds) * 1_000_000
+            )
         nxt = (
             cur.join(ev, key)
             .filter(cond)

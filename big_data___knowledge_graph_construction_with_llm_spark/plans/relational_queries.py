@@ -552,6 +552,43 @@ def q_union_fill(spark: SparkSession, sf: str) -> DataFrame:
              CAST(session_id AS VARCHAR) AS k2, count(*) AS n
       FROM s GROUP BY user_id, session_id
     )
+    UNION ALL
+    SELECT 'funnel' AS kind, k1, k2, n FROM (
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+      ),
+      s2 AS (
+        SELECT s1.user_id, min(epoch_us(e.ts)) AS t2, min(t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY 1
+      ),
+      s3 AS (
+        SELECT s2.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY 1
+      )
+      SELECT '1' AS k1, 'view' AS k2, (SELECT count(*) FROM s1) AS n
+      UNION ALL
+      SELECT '2', 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT '3', 'purchase', (SELECT count(*) FROM s3)
+    )
+    UNION ALL
+    SELECT 'retention' AS kind,
+           strftime(c, '%Y-%m-%d %H:%M:%S') AS k1,
+           CAST(CAST((epoch(p) - epoch(c)) / 604800 AS BIGINT) AS VARCHAR) AS k2,
+           count(DISTINCT user_id) AS n
+    FROM (
+      WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+      ),
+      firsts AS (SELECT user_id, min(p) AS c FROM act GROUP BY 1)
+      SELECT act.user_id, p, c FROM act JOIN firsts USING (user_id)
+    )
+    GROUP BY 1, 2, 3
     """,
 )
 def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
@@ -559,7 +596,18 @@ def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     §2.9): tumbling and sliding window counts (each event expands into its
     windows via one Expand node — no self-join) and 30-min-gap
     sessionization (the scalable lag+cumsum shape). Streaming versions
-    live in ``streaming/events.py`` with watermarks."""
+    live in ``streaming/events.py`` with watermarks. Folded in r5: the
+    behavioral-analytics legs — the view→click→purchase ordered funnel
+    (``relational.funnel_times``: greedy earliest-first chaining in
+    epoch micros, oracle-recomputed via the nested min-join chain) and
+    the weekly cohort-retention triangle
+    (``relational.cohort_retention``, oracle-recomputed from first
+    activity + elapsed-week arithmetic)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        cohort_retention,
+        funnel_counts,
+    )
+
     ev = load(spark, sf, "events")
     tumb = (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
@@ -594,7 +642,26 @@ def q_event_windows(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
-    return tumb.unionByName(slide).unionByName(sess)
+    funnel = funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).select(
+        F.lit("funnel").alias("kind"),
+        F.col("step").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_keys").alias("n"),
+    )
+    ret = cohort_retention(ev, "user_id", "ts", "week").select(
+        F.lit("retention").alias("kind"),
+        F.date_format("cohort", "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("periods_since").cast("string").alias("k2"),
+        F.col("n_active").alias("n"),
+    )
+    return (
+        tumb.unionByName(slide)
+        .unionByName(sess)
+        .unionByName(funnel)
+        .unionByName(ret)
+    )
 
 
 @query(

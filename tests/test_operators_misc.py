@@ -1253,14 +1253,15 @@ def test_funnel_ordered_steps(spark):
     df = spark.createDataFrame(
         rows, "user string, tsec long, event string"
     ).select("user", F.col("tsec").cast("timestamp").alias("ts"), "event")
+    M = 1_000_000  # times are epoch micros
     t = {
         r["user"]: (r["t1"], r["t2"], r["t3"])
         for r in funnel_times(df, "user", "ts", "event", ["view", "cart", "buy"]).collect()
     }
-    assert t["u1"] == (10, 20, 30)
-    assert t["u2"] == (10, 40, None)
-    assert t["u3"] == (10, None, None)
-    assert t["u4"] == (0, 10, 50)
+    assert t["u1"] == (10 * M, 20 * M, 30 * M)
+    assert t["u2"] == (10 * M, 40 * M, None)
+    assert t["u3"] == (10 * M, None, None)
+    assert t["u4"] == (0, 10 * M, 50 * M)
     c = {r["step"]: r["n_keys"] for r in funnel_counts(
         df, "user", "ts", "event", ["view", "cart", "buy"]).collect()}
     assert c == {1: 4, 2: 3, 3: 2}

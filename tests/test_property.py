@@ -1013,8 +1013,11 @@ def test_funnel_matches_greedy_reference(spark, events, within):
     df = spark.createDataFrame(
         [(k, t, e) for k, t, e in events], "k long, tsec long, e string"
     ).select("k", F.col("tsec").cast("timestamp").alias("ts"), "e")
+    us = 1_000_000  # operator reports epoch micros
     got = {
-        r["k"]: (r["t1"], r["t2"], r["t3"])
+        r["k"]: tuple(
+            None if t is None else t // us for t in (r["t1"], r["t2"], r["t3"])
+        )
         for r in funnel_times(df, "k", "ts", "e", steps, within).collect()
     }
     assert got == expect
