@@ -42,13 +42,38 @@ from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import 
     FROM events
     WHERE event_type <> 'error'
     GROUP BY event_type
+    UNION ALL
+    SELECT 'theta_overlap' AS source_key, i.c AS n,
+           round(i.c::DOUBLE / u.c, 4) AS sum_val
+    FROM (
+      SELECT count(*) AS c FROM (SELECT DISTINCT text FROM documents) a
+      JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0) b
+      USING (text)
+    ) i, (
+      SELECT count(*) AS c FROM (
+        SELECT text FROM documents
+        UNION
+        SELECT text FROM documents WHERE doc_id % 2 = 0
+      )
+    ) u
     """,
 )
 def q_scan_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Scan + count gates (parquet analog of the reference's CSV scan+count
     gate, ``…AWS/ingestion/DataIngestionBatch.py:73-77``): a full-table
     sum/count over lineitem plus a filtered per-type scan of the
-    stream-shaped events table (filter pushed to parquet)."""
+    stream-shaped events table (filter pushed to parquet). Folded in r5:
+    the no-join corpus-overlap leg (``sketches.corpus_overlap``) —
+    Theta-sketch intersection count and Jaccard between the documents
+    corpus and its even-id half, oracle-recomputed with exact DISTINCT
+    joins. Theta sketches stay EXACT below their nominal 4096 entries
+    and both corpora at the compared scale factors are far below it, so
+    a green hash certifies the set-algebra path computes the truth (at
+    larger corpora the same code returns bounded estimates)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sketches import (
+        corpus_overlap,
+    )
+
     li = load(spark, sf, "lineitem").agg(
         F.lit("lineitem").alias("source_key"),
         F.count("*").alias("n"),
@@ -60,7 +85,13 @@ def q_scan_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("event_type").alias("source_key"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_val"))
     )
-    return li.unionByName(ev)
+    d = load(spark, sf, "documents")
+    ov = corpus_overlap(d, d.filter(F.col("doc_id") % 2 == 0), "text").select(
+        F.lit("theta_overlap").alias("source_key"),
+        F.col("n_intersection").cast("long").alias("n"),
+        F.round("jaccard", 4).alias("sum_val"),
+    )
+    return li.unionByName(ev).unionByName(ov)
 
 
 # --- filters / projections ------------------------------------------------
