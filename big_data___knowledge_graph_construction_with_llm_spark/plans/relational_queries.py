@@ -488,12 +488,42 @@ def q_window_frames(spark: SparkSession, sf: str) -> DataFrame:
     FROM orders
     QUALIFY row_number() OVER (PARTITION BY o_orderpriority
                                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    UNION ALL
+    SELECT 'budget' AS tag, o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT *, sum(o_orderkey % 50 + 10) OVER (
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - (o_orderkey % 50 + 10) AS strt
+      FROM orders
+    ) WHERE strt < 500
+    UNION ALL
+    SELECT 'sample' AS tag, o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+      AND ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          % 10000 < 3700
     """,
 )
 def q_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-k both ways (SURVEY §2.6): global orderBy+limit compiles to
     per-partition TakeOrdered + a k-row driver merge (no full sort at any
-    scale); per-group top-k is a rank window + filter."""
+    scale); per-group top-k is a rank window + filter. Folded in r5, the
+    two SELECTION operators: the ``budget`` leg is
+    ``sampling.select_to_token_budget`` — best-price-first orders until
+    a 500-unit cost budget fills (cost derived from the key; the
+    testdata orders table carries no comment column), oracle-recomputed
+    with a global running-sum window (affordable at oracle scale; the
+    operator itself uses the range-partitioned distributed prefix
+    sum) — and the
+    ``sample`` leg is ``sampling.score_sample`` (keep-probability =
+    per-row score, here 0.37 on every 97th order), oracle-recomputed
+    from the same md5 bucket arithmetic."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        score_sample,
+        select_to_token_budget,
+    )
+
     o = load(spark, sf, "orders")
     global_leg = (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -513,7 +543,31 @@ def q_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         F.lit("group").alias("tag"), "o_orderpriority", "o_orderkey", "o_totalprice"
     )
-    return global_leg.unionByName(group_leg)
+    budget_leg = select_to_token_budget(
+        o.withColumn("_cost", (F.col("o_orderkey") % 50 + 10).cast("long")),
+        "o_orderkey",
+        "_cost",
+        "o_totalprice",
+        500,
+        partitions=32,
+    ).select(
+        F.lit("budget").alias("tag"), "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    sample_leg = score_sample(
+        o.withColumn(
+            "_score",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(0.37)).otherwise(F.lit(0.0)),
+        ),
+        "o_orderkey",
+        "_score",
+    ).select(
+        F.lit("sample").alias("tag"), "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return (
+        global_leg.unionByName(group_leg)
+        .unionByName(budget_leg)
+        .unionByName(sample_leg)
+    )
 
 
 # --- set operations -----------------------------------------------------------
