@@ -39,21 +39,27 @@ _SQL_STOPLIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 @query(
     "q_dedup_exact",
-    oracle="""
+    oracle=r"""
     WITH full_docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
       UNION ALL
       SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 30 = 0
+      UNION ALL
+      SELECT doc_id + 5000000, upper(text) FROM documents WHERE doc_id % 40 = 0
     ),
     rk AS (
       SELECT doc_id, CAST(doc_id % 3 AS INT) AS batch,
              row_number() OVER (PARTITION BY text ORDER BY doc_id % 3, doc_id) AS rn,
-             count(*) OVER (PARTITION BY text) AS n_copies
+             count(*) OVER (PARTITION BY text) AS n_copies,
+             count(*) OVER (
+               PARTITION BY trim(regexp_replace(regexp_replace(lower(text),
+                 '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g'))
+             ) AS n_copies_norm
       FROM full_docs
     )
-    SELECT doc_id, batch, n_copies FROM rk WHERE rn = 1
+    SELECT doc_id, batch, n_copies, n_copies_norm FROM rk WHERE rn = 1
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -74,7 +80,14 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     ``ORDER BY batch, doc_id`` ranking reproduces both exactly.
     ``n_copies`` is the family size. The oracle groups on the text
     itself: parity proves the fingerprint introduced no collision and
-    that the full-pass and incremental paths enforce one keep-rule."""
+    that the full-pass and incremental paths enforce one keep-rule.
+    Folded in r5: the FUZZY-EXACT identity — +5e6 clones are UPPER-cased
+    (every 40th id), so they survive byte-exact dedup as their own
+    keepers with ``n_copies = 1`` while ``n_copies_norm`` (family size
+    under ``content_fingerprints(..., normalize=True)`` /
+    ``dedup_normal_form``) counts them into their original's family;
+    the oracle recomputes the identical normal form
+    (lower → punct→space → collapse ws → trim) in SQL."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     clone1 = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
@@ -82,7 +95,11 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     clone3 = d.filter(F.col("doc_id") % 30 == 0).select(
         (F.col("doc_id") + 3000000).alias("doc_id"), "text"
     )
-    full = d.unionByName(clone1).unionByName(clone3)
+    clone5 = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    )
+    full = d.unionByName(clone1).unionByName(clone3).unionByName(clone5)
     batches = [full.filter(F.col("doc_id") % 3 == i) for i in range(3)]
 
     base = exact_dedup_by_hash(batches[0], "text", "doc_id")
@@ -98,14 +115,30 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
         )
         fps = materialize(fps.unionByName(new_fps))
 
-    # family sizes: one partial-aggregated count over the fingerprint
-    # table (ids + 24-byte fingerprints shuffle; text does not)
+    # family sizes: one partial-aggregated count over each fingerprint
+    # table (ids + 24-byte fingerprints shuffle; text does not) — the
+    # byte-exact identity and the normalized (fuzzy-exact) identity
     all_fps = content_fingerprints(full, "text", "doc_id")
     sizes = all_fps.groupBy("_h64", "_h128").agg(F.count("*").alias("n_copies"))
+    norm_fps = content_fingerprints(full, "text", "doc_id", normalize=True).select(
+        "doc_id",
+        F.col("_h64").alias("_n64"),
+        F.col("_h128").alias("_n128"),
+    )
+    nsizes = norm_fps.groupBy("_n64", "_n128").agg(
+        F.count("*").alias("n_copies_norm")
+    )
     return (
         kept.join(all_fps, "doc_id")
         .join(sizes, ["_h64", "_h128"])
-        .select("doc_id", F.col("batch").cast("int").alias("batch"), "n_copies")
+        .join(norm_fps, "doc_id")
+        .join(nsizes, ["_n64", "_n128"])
+        .select(
+            "doc_id",
+            F.col("batch").cast("int").alias("batch"),
+            "n_copies",
+            "n_copies_norm",
+        )
     )
 
 
