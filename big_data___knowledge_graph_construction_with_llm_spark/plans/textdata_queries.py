@@ -648,7 +648,23 @@ _BOILER = "standard license header text common to many documents here"
     rep AS (SELECT s FROM dsh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
     hits AS (
       SELECT doc_id, count(*) AS h FROM dsh JOIN rep USING (s) GROUP BY doc_id
-    )
+    ),
+    psh AS (
+      SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 7 + 1),
+                      i -> struct_pack(pos := i,
+                             s := array_to_string(list_slice(tk, i, i + 7), ' '))))
+                   AS u
+        FROM tok WHERE len(tk) >= 8
+      )
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + o AS cp
+      FROM psh JOIN rep USING (s),
+           (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS o) offs
+    ),
+    ncov AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id)
     SELECT t.doc_id,
            CAST(len(string_split_regex(trim(t.text), '\s+')) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(t.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
@@ -656,10 +672,13 @@ _BOILER = "standard license header text common to many documents here"
            md5(t.text) AS fp,
            CASE WHEN sizes.n IS NULL THEN 0.0
                 ELSE round(coalesce(hits.h, 0)::DOUBLE / sizes.n, 4)
-           END AS boilerplate_frac
+           END AS boilerplate_frac,
+           CAST(len(tok.tk) - coalesce(ncov.c, 0) AS INT) AS n_tokens_excised
     FROM t
+    JOIN tok ON tok.doc_id = t.doc_id
     LEFT JOIN sizes ON sizes.doc_id = t.doc_id
     LEFT JOIN hits ON hits.doc_id = t.doc_id
+    LEFT JOIN ncov ON ncov.doc_id = t.doc_id
     """,
 )
 def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
@@ -671,11 +690,19 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     min_docs=2) must score exactly the planted share, 0.0 everywhere
     else; the oracle recomputes the span sets exhaustively. Token
     counts and fp stay on the ORIGINAL text — the plant exists only for
-    the span leg. The order-sensitive polynomial rolling-hash
-    fingerprint (``operators.text.fingerprint64``, one aggregate pass,
-    no shuffle) is not oracle-expressible and is covered by unit tests
+    the span leg. Folded in r5: ``n_tokens_excised`` — the token count
+    after ``operators.dedup.excise_repeated_spans`` scrubs the planted
+    block (the oracle recomputes covered positions exhaustively from
+    positional spans × the repeated set), so excision's exact
+    cover-and-remove semantics are hash-verified per document. The
+    order-sensitive polynomial rolling-hash fingerprint
+    (``operators.text.fingerprint64``, one aggregate pass, no shuffle)
+    is not oracle-expressible and is covered by unit tests
     (``tests/test_operators_misc.py``) instead of a registry slot."""
-    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import boilerplate_fraction
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        boilerplate_fraction,
+        excise_repeated_spans,
+    )
 
     d = load(spark, sf, "documents")
     planted = d.select(
@@ -685,6 +712,15 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("ptext"),
     )
     bf = boilerplate_fraction(planted, "doc_id", "ptext", span_tokens=8, min_docs=2)
+    ex = excise_repeated_spans(
+        planted, "doc_id", "ptext", span_tokens=8, min_docs=2
+    ).select(
+        "doc_id",
+        F.when(F.trim("ptext") == "", F.lit(0))
+        .otherwise(T.token_count("ptext"))
+        .cast("int")
+        .alias("n_tokens_excised"),
+    )
     return (
         d.select(
             "doc_id",
@@ -693,9 +729,11 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
             F.md5("text").alias("fp"),
         )
         .join(bf, "doc_id")
+        .join(ex, "doc_id")
         .select(
             "doc_id", "n_tokens", "n_pieces", "fp",
             F.round("boilerplate_frac", 4).alias("boilerplate_frac"),
+            "n_tokens_excised",
         )
     )
 
