@@ -903,6 +903,7 @@ def boilerplate_fraction(
     span_tokens: int = 8,
     min_docs: int = 2,
     sample_mod: int = 1,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document boilerplate share: ``(id, boilerplate_frac)`` where
     the fraction is (spans repeated across ≥ ``min_docs`` docs) / (all
@@ -926,23 +927,29 @@ def boilerplate_fraction(
     ratio, so uniform row duplication cancels. (A localCheckpoint does
     not advertise its partitioning to downstream plans, so
     pre-repartitioning by fingerprint would only add a shuffle, not
-    save the aggregation's — measured, not assumed.)"""
+    save the aggregation's — measured, not assumed.)
+
+    ``hits`` (optional): a precomputed
+    :func:`repeated_span_fingerprints` table (same ``span_tokens``,
+    ``sample_mod``, and corpus) to share one detection pass across
+    consumers; the per-doc span frame is still this call's own."""
     _require_min_docs(min_docs)
     spans = materialize(
         _doc_spans(df, id_col, text_col, span_tokens, sample_mod).drop("_s")
     )
-    hits = (
+    hit_marks = (
         spans.groupBy("_sh64", "_sh128")
         .agg(F.countDistinct(id_col).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("_sh64", "_sh128", F.lit(1).alias("_hit"))
-    )
+        if hits is None
+        else hits
+    ).select("_sh64", "_sh128", F.lit(1).alias("_hit"))
     # one left join marks each span as repeated-or-not, then a SINGLE
     # per-doc aggregation computes numerator and denominator together —
     # a separate totals pass would shuffle the corpus-scale span frame
     # by id a second time just to re-count what this groupBy already sees
     frac = (
-        spans.join(hits, ["_sh64", "_sh128"], "left")
+        spans.join(hit_marks, ["_sh64", "_sh128"], "left")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("_n_spans"),
@@ -981,12 +988,40 @@ def mark_repeated_spans(
     )
 
 
+def repeated_span_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """The repeated-span DETECTION table alone: ``(_sh64, _sh128)``
+    fingerprints of spans shared by ≥ ``min_docs`` docs — no exemplar
+    string, no per-doc mapping. Compute it ONCE (and ``materialize`` it)
+    when several consumers need the same detection — the
+    gate-then-excise combination of :func:`boilerplate_fraction` and
+    :func:`excise_repeated_spans` is the canonical case: each would
+    otherwise re-run the corpus-wide explode + aggregation pass. Pass
+    the result via their ``hits=`` parameter."""
+    _require_min_docs(min_docs)
+    return (
+        _doc_spans(df, id_col, text_col, span_tokens, sample_mod)
+        .drop("_s")
+        .groupBy("_sh64", "_sh128")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sh64", "_sh128")
+    )
+
+
 def excise_repeated_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
     span_tokens: int = 8,
     min_docs: int = 2,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Completes the repeated-span family (detect → mark → EXCISE):
     rewrite ``text_col`` with every cross-document repeated span removed
@@ -1005,17 +1040,19 @@ def excise_repeated_spans(
     Rebuilt text is single-space joined (original inter-token
     whitespace is not preserved for affected docs — the tokenizer
     downstream does not care); a fully-boilerplate doc becomes an
-    empty string, kept so the caller decides whether to drop it."""
+    empty string, kept so the caller decides whether to drop it.
+
+    ``hits`` (optional): a precomputed
+    :func:`repeated_span_fingerprints` table (same ``span_tokens`` and
+    corpus!) — skips this call's own detection pass when another
+    consumer already paid for it."""
     _require_min_docs(min_docs)
-    # leaner than _repeated_from_spans: no min(span) exemplar — the
-    # excision never needs span TEXT, so only fingerprints aggregate
     hit_fps = (
-        _doc_spans(df, id_col, text_col, span_tokens, 1)
-        .drop("_s")
-        .groupBy("_sh64", "_sh128")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_sh64", "_sh128")
+        hits.select("_sh64", "_sh128")
+        if hits is not None
+        else repeated_span_fingerprints(
+            df, id_col, text_col, span_tokens, min_docs
+        )
     )
 
     # positional span frame (NOT distinct — positions matter here)

@@ -702,6 +702,7 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
         boilerplate_fraction,
         excise_repeated_spans,
+        repeated_span_fingerprints,
     )
 
     d = load(spark, sf, "documents")
@@ -711,9 +712,17 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" " + _BOILER))
         ).otherwise(F.col("text")).alias("ptext"),
     )
-    bf = boilerplate_fraction(planted, "doc_id", "ptext", span_tokens=8, min_docs=2)
+    # ONE detection pass feeds both the gate fraction and the excision
+    # (the hits= sharing contract) — each would otherwise re-run the
+    # corpus-wide span explode + aggregation
+    hits = materialize(
+        repeated_span_fingerprints(planted, "doc_id", "ptext", 8, 2)
+    )
+    bf = boilerplate_fraction(
+        planted, "doc_id", "ptext", span_tokens=8, min_docs=2, hits=hits
+    )
     ex = excise_repeated_spans(
-        planted, "doc_id", "ptext", span_tokens=8, min_docs=2
+        planted, "doc_id", "ptext", span_tokens=8, min_docs=2, hits=hits
     ).select(
         "doc_id",
         F.when(F.trim("ptext") == "", F.lit(0))

@@ -1303,3 +1303,32 @@ def test_cohort_retention_triangle(spark):
         for r in cohort_retention(df, "user", "ts", "month").collect()
     }
     assert gotm == {("2024-01-01", 0): 3}
+
+
+def test_repeated_span_hits_sharing_is_equivalent(spark):
+    """The hits= sharing contract: boilerplate_fraction and
+    excise_repeated_spans produce identical results whether detection
+    runs internally or arrives precomputed via
+    repeated_span_fingerprints."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        boilerplate_fraction,
+        excise_repeated_spans,
+        repeated_span_fingerprints,
+    )
+
+    lic = "licensed under the apache license version two zero see notice"
+    df = spark.createDataFrame(
+        [(1, lic + " alpha body"), (2, lic + " beta body"), (3, "unique doc text")],
+        "doc_id long, text string",
+    )
+    hits = repeated_span_fingerprints(df, "doc_id", "text", 8, 2)
+    bf_own = sorted(map(tuple, boilerplate_fraction(df, "doc_id", "text").collect()))
+    bf_shared = sorted(
+        map(tuple, boilerplate_fraction(df, "doc_id", "text", hits=hits).collect())
+    )
+    assert bf_own == bf_shared
+    ex_own = sorted(map(tuple, excise_repeated_spans(df, "doc_id", "text").collect()))
+    ex_shared = sorted(
+        map(tuple, excise_repeated_spans(df, "doc_id", "text", hits=hits).collect())
+    )
+    assert ex_own == ex_shared
