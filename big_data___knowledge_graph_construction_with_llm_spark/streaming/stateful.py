@@ -48,6 +48,78 @@ def _make_running_totals_fn(idle_timeout_ms: int):
     return fn
 
 
+def _make_funnel_fn(steps: list[str], idle_timeout_ms: int):
+    k = len(steps)
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        times = list(state.get[0]) if state.exists else [-1] * k
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values("ts")
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1_000)  # ns -> micros
+            j = next((i for i in range(k) if times[i] == -1), None)
+            if j is None:
+                break  # funnel complete; nothing left to advance
+            if et == steps[j] and (j == 0 or us > times[j - 1]):
+                times[j] = us
+        state.update((times,))
+        state.setTimeoutDuration(idle_timeout_ms)
+        depth = sum(1 for t in times if t != -1)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "depth": [depth],
+                "t_first": [times[0] if times[0] != -1 else None],
+                "t_depth": [times[depth - 1] if depth else None],
+            }
+        )
+
+    return fn
+
+
+#: output schema of ``streaming_funnel``
+FUNNEL_SCHEMA = "user_id bigint, depth int, t_first bigint, t_depth bigint"
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS,
+) -> DataFrame:
+    """Per-user ordered-funnel progress ON THE STREAM: each micro-batch
+    the user appears in emits ``(user_id, depth, t_first, t_depth)`` —
+    how far through ``steps`` the user has advanced and when (epoch
+    micros). The per-user step times live in the engine's state store
+    (k longs per user, evicted after ``idle_timeout_ms`` idle), so the
+    funnel runs indefinitely on an unbounded stream.
+
+    Semantics: greedy in-order advance — events are sorted by time
+    WITHIN each micro-batch, and a step fires when its event type
+    arrives strictly after the previous step's recorded time. With
+    in-order delivery (or disorder confined to a micro-batch) this
+    matches the batch :func:`operators.relational.funnel_times` greedy
+    exactly; an event arriving batches late cannot retroactively create
+    an earlier chain — the committed prefix stands. That one-way drift
+    is the standard streaming-funnel trade; run the batch operator over
+    landed data where exactness matters."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_funnel_fn(steps, idle_timeout_ms),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType="times array<bigint>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def running_totals(
     events: DataFrame, idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS
 ) -> DataFrame:

@@ -36,6 +36,7 @@ HEAVY = [
     "q_simhash_dedup",
     "q_connected_components",
     "q_cosine_sim",
+    "q_token_count",   # heavy since r5: repeated-span detection + excision
 ]
 
 

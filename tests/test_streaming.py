@@ -458,3 +458,57 @@ def test_incremental_dedup_sink_normalized_store(spark, tmp_path):
         0,
     )
     assert emitted == [[8]]
+
+
+def test_streaming_funnel_state_spans_batches(spark, tmp_path):
+    """Per-user funnel state survives micro-batches: step 1 lands in
+    batch one, steps 2-3 in batch two; the final emission reports full
+    depth with the correct first/last times, out-of-order events inside
+    a batch are time-sorted before advancing, and a user who starts out
+    of order never advances past the missing first step."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    src = tmp_path / "funnel-in"
+    src.mkdir()
+    b1 = [
+        {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1, "event_type": "view", "value": 0.0, "props": "{}"},
+        # u2's purchase precedes any view: must not count later
+        {"event_id": 2, "ts": "2024-01-01T00:01:00Z", "user_id": 2, "event_type": "purchase", "value": 0.0, "props": "{}"},
+    ]
+    b2 = [
+        # out of order within the batch: purchase row first, click second
+        {"event_id": 3, "ts": "2024-01-01T00:05:00Z", "user_id": 1, "event_type": "purchase", "value": 0.0, "props": "{}"},
+        {"event_id": 4, "ts": "2024-01-01T00:03:00Z", "user_id": 1, "event_type": "click", "value": 0.0, "props": "{}"},
+        {"event_id": 5, "ts": "2024-01-01T00:04:00Z", "user_id": 2, "event_type": "view", "value": 0.0, "props": "{}"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(e) for e in b1))
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in b2))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_funnel(stream, ["view", "click", "purchase"])
+        .writeStream.format("memory")
+        .queryName("sfunnel")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    last = {}
+    for r in spark.sql("SELECT * FROM sfunnel").collect():
+        last[r["user_id"]] = (r["depth"], r["t_first"], r["t_depth"])
+    m = 60 * 1_000_000
+    base = int(__import__("datetime").datetime(2024, 1, 1, tzinfo=__import__("datetime").timezone.utc).timestamp()) * 1_000_000
+    assert last[1] == (3, base + 1 * m, base + 5 * m)
+    assert last[2] == (1, base + 4 * m, base + 4 * m)  # view only; early purchase ignored
