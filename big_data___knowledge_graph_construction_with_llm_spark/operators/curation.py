@@ -22,6 +22,7 @@ from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup impo
     boilerplate_fraction,
     decontaminate,
     exact_dedup_by_hash,
+    excise_repeated_lines,
     excise_repeated_spans,
     ngram_decontaminate,
     semantic_dedup,
@@ -79,6 +80,7 @@ def curate(
     boilerplate_span_tokens: int = 8,
     boilerplate_min_docs: int = 3,
     excise_boilerplate: bool = False,
+    excise_lines: bool = False,
     ngram_n: int | None = None,
     strict: bool = False,
     redact: bool = False,
@@ -105,7 +107,12 @@ def curate(
     gating on their share — it runs after near-dedup for the same
     pair-annihilation reason as the gate, and after the gate when both
     are on (gate first drops the mostly-templated docs cheaply; the
-    rewrite then scrubs the remainder). ``ngram_n`` (optional, needs
+    rewrite then scrubs the remainder). ``excise_lines=True`` runs the
+    LINE-granular scrub (:func:`operators.dedup.excise_repeated_lines`,
+    ``boilerplate_min_docs`` as its threshold) right before the span
+    excision — lines are removed whole first, spans catch what crosses
+    line boundaries; for newline-free corpora it is a no-op. ``ngram_n``
+    (optional, needs
     ``benchmark``) adds the EXACT shared-n-gram decontamination pass
     (:func:`operators.dedup.ngram_decontaminate`, e.g. 13 for the
     GPT-3/PaLM criterion) after the Jaccard pass — verbatim quotes of
@@ -126,8 +133,8 @@ def curate(
         max_boilerplate_frac=max_boilerplate_frac,
         boilerplate_span_tokens=boilerplate_span_tokens,
         boilerplate_min_docs=boilerplate_min_docs,
-        excise_boilerplate=excise_boilerplate, ngram_n=ngram_n,
-        strict=strict, redact=redact,
+        excise_boilerplate=excise_boilerplate, excise_lines=excise_lines,
+        ngram_n=ngram_n, strict=strict, redact=redact,
     ):
         kept = stage(kept)
     return kept
@@ -138,7 +145,8 @@ def _curation_stages(
     doc_columns, id_col, text_col, benchmark, min_tokens, max_tokens,
     max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
     decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
-    boilerplate_min_docs, excise_boilerplate, ngram_n, strict, redact,
+    boilerplate_min_docs, excise_boilerplate, excise_lines, ngram_n,
+    strict, redact,
 ):
     """The ordered ``(name, DataFrame → DataFrame)`` stage list behind
     :func:`curate` — one source of truth for the pipeline order, shared
@@ -184,6 +192,15 @@ def _curation_stages(
             return df.join(bf_ok, id_col, "left_semi")
 
         stages.append(("boilerplate_gate", boilerplate_gate))
+    if excise_lines:
+        stages.append(
+            (
+                "excise_lines",
+                lambda df: excise_repeated_lines(
+                    df, id_col, text_col, min_docs=boilerplate_min_docs
+                ),
+            )
+        )
     if excise_boilerplate:
         stages.append(
             (

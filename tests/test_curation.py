@@ -155,3 +155,28 @@ def test_curate_excise_and_ngram_stages(spark):
     assert stats["ngram_decontaminate"] == 3
     with _pytest.raises(ValueError, match="benchmark"):
         curate(docs, ngram_n=13)
+
+
+def test_curate_excise_lines_stage(spark):
+    """excise_lines removes the shared footer line from survivors'
+    lined text (blank-line structure intact) before the span pass, and
+    is a no-op on newline-free docs."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate_with_stats,
+    )
+
+    footer = "subscribe to our newsletter for updates"
+    rows = [
+        (1, "alpha document body with plenty of tokens\n" + footer),
+        (2, footer + "\nbeta document body holding different tokens"),
+        (3, "gamma flat document with no newlines and enough tokens to pass"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, stats = curate_with_stats(
+        docs, min_tokens=3, excise_lines=True, boilerplate_min_docs=2, strict=True
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "alpha document body with plenty of tokens"
+    assert got[2] == "beta document body holding different tokens"
+    assert got[3] == rows[2][1]
+    assert stats["excise_lines"] == 3
