@@ -305,7 +305,13 @@ def cohort_retention(
     unit = period.lower()
     seconds = {"day": 86400, "week": 7 * 86400, "hour": 3600}
     trunc = F.date_trunc(unit, F.col(ts).cast("timestamp"))
-    active = df.select(F.col(key), trunc.alias("_p")).distinct()
+    # null timestamps are junk rows, not activity — without the guard a
+    # null period would become a (cohort, null) cell or poison min(_p)
+    active = (
+        df.filter(F.col(ts).isNotNull())
+        .select(F.col(key), trunc.alias("_p"))
+        .distinct()
+    )
     first = active.groupBy(key).agg(F.min("_p").alias("_cohort"))
     joined = active.join(first, key)
     if unit in seconds:

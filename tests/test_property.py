@@ -1021,3 +1021,49 @@ def test_funnel_matches_greedy_reference(spark, events, within):
         for r in funnel_times(df, "k", "ts", "e", steps, within).collect()
     }
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 40)),  # (key, day offset)
+        min_size=1, max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_cohort_retention_matches_reference(spark, events):
+    """Law: the retention triangle equals the in-memory computation
+    (first-activity week cohort, distinct active keys per elapsed week)
+    for every random activity log."""
+    import datetime as dt
+    from collections import defaultdict
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    base = dt.date(2024, 1, 1)  # a Monday — week truncation anchor
+
+    def week_of(off):
+        d = base + dt.timedelta(days=off)
+        return d - dt.timedelta(days=d.weekday())
+
+    first = {}
+    for k, off in events:
+        w = week_of(off)
+        if k not in first or w < first[k]:
+            first[k] = w
+    cells = defaultdict(set)
+    for k, off in events:
+        w = week_of(off)
+        cells[(str(first[k]), (w - first[k]).days // 7)].add(k)
+    expect = {c: len(ks) for c, ks in cells.items()}
+
+    df = spark.createDataFrame(
+        [(k, str(base + dt.timedelta(days=off))) for k, off in events],
+        "k long, day string",
+    ).select("k", F.col("day").cast("timestamp").alias("ts"))
+    got = {
+        (str(r["cohort"])[:10], r["periods_since"]): r["n_active"]
+        for r in cohort_retention(df, "k", "ts", "week").collect()
+    }
+    assert got == expect
