@@ -735,6 +735,229 @@ def incremental_dedup(
     return new_rows, new_fps
 
 
+def _shingle_fps(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Per-doc DISTINCT shingle fingerprints ``(_id, _sf)`` — the
+    text-free representation the incremental near-dup store persists:
+    enough to recompute MinHash signatures (:func:`_sigs_from_fps`) AND
+    to verify exact Jaccard (:func:`_jaccard_from_fps`) without ever
+    re-reading document text."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s"),
+    ).select("_id", F.xxhash64("_s").alias("_sf"))
+
+
+def _sigs_from_fps(shfps: DataFrame, num_hashes: int, seed: int = 7) -> DataFrame:
+    """MinHash signatures from a shingle-fingerprint table — IDENTICAL
+    output to :func:`minhash_signatures` on the source text (same hash
+    family over ``xxhash64(shingle)``; min over the distinct set equals
+    min over the multiset), so store-derived and text-derived
+    signatures band into the same buckets."""
+    h = shfps.select("_id", F.pmod("_sf", F.lit(_P31)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_P31))).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(_lcg_params(num_hashes, seed))
+    ]
+    return h.groupBy("_id").agg(*aggs)
+
+
+def _jaccard_from_fps(shfps: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate ``(id_a, id_b)`` pairs over hashed
+    shingle sets — :func:`ngram_jaccard_pairs` without the text (the
+    64-bit fingerprint stands in for the shingle string; a cross-doc
+    fingerprint collision inflating the intersection is a ~n²/2⁶⁴
+    per-pair event, negligible at per-doc set sizes)."""
+    sizes = shfps.groupBy("_id").agg(F.count("*").alias("_n"))
+    fa = shfps.select(F.col("_id").alias("id_a"), "_sf")
+    fb = shfps.select(F.col("_id").alias("id_b"), "_sf")
+    inter = (
+        pairs.join(fa, "id_a")
+        .join(fb, ["id_b", "_sf"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def near_dup_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the AT-REST NEAR-dup store for an (already near-deduped)
+    corpus: ``(banded, shingle_fps)`` — the near-dup twin of
+    ``content_fingerprints``' exact store, making near-dedup INCREMENTAL
+    (:func:`incremental_near_dedup`): the corpus text is read once,
+    ever; every append bands against the stored buckets and verifies
+    against the stored shingle fingerprints.
+
+    - ``banded``: ``(_id, band, bucket)`` — persist it partitioned (or
+      bucketed) by ``(band, bucket)`` so an append's candidate join
+      prunes to matching buckets instead of scanning the store.
+    - ``shingle_fps``: ``(_id, _sf)`` — ~8 bytes per distinct shingle
+      per doc; bucket by ``_id`` at rest so the verify stage's
+      semi-join prunes.
+
+    ``max_bucket`` caps pathological buckets AT BUILD (dropped from the
+    at-rest banding — the oversize-bucket recall trade documented on
+    ``_cap_buckets``). Appends cap their own buckets per batch; a
+    bucket can still grow across MANY appends, so schedule a periodic
+    store rebuild (standard LSH-store hygiene) when append volume is a
+    large multiple of the base corpus."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    shfps = _shingle_fps(df, id_col, text_col, shingle_n)
+    banded = _cap_buckets(
+        _banded(_sigs_from_fps(shfps, num_hashes, seed), num_hashes, bands),
+        max_bucket,
+        ["band", "bucket"],
+    )
+    return banded, shfps
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    store_banded: DataFrame,
+    store_shfps: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_bucket: int | None = None,
+    max_iter: int = 20,
+    strict: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """NEAR-dedup an APPEND batch against the :func:`near_dup_store` —
+    the steady-state form of MinHash near-dedup, exactly as
+    :func:`incremental_dedup` is for exact dedup: the stored corpus is
+    represented only by its banded buckets + shingle fingerprints, its
+    text is never re-read, and per-append work is batch-sized (plus the
+    bucket-pruned store joins). Returns ``(new_rows, new_banded,
+    new_shfps)`` — survivors and exactly their store rows to append.
+
+    Keep semantics (STORE WINS, then family collapse): a batch doc
+    verified ≥ ``threshold`` against ANY store doc is dropped, and so is
+    every batch doc in the same batch-internal near-dup FAMILY as a
+    store-matched doc (component-level store-wins — the full-pass
+    outcome for that family is "the store's representative already
+    covers it"); remaining families keep their min-id member. Chains
+    that only exist across MULTIPLE appends (A lands today, B≈A
+    tomorrow, C≈B next week with C≉B's stored family member) resolve
+    per-append — the documented divergence from a monolithic full pass,
+    same as any streaming near-dedup.
+
+    Parameters must match the store's build (hash family, bands,
+    shingle_n — they define the store, like ``normalize`` does for the
+    exact store); ids must be unique across store ∪ batch."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        keep_min_id_per_component,
+        pair_components,
+    )
+
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    b_shfps = materialize(_shingle_fps(batch, id_col, text_col, shingle_n))
+    banded_b = materialize(
+        _cap_buckets(
+            _banded(_sigs_from_fps(b_shfps, num_hashes, seed), num_hashes, bands),
+            max_bucket,
+            ["band", "bucket"],
+        )
+    )
+    # candidates: batch × store on the bucket key (cross-dataset — the
+    # store never self-joins), plus batch-internal pairs
+    cross = (
+        banded_b.withColumnRenamed("_id", "_bid")
+        .join(store_banded, ["band", "bucket"])
+        .select(F.col("_id").alias("id_a"), F.col("_bid").alias("id_b"))
+        .distinct()
+    )
+    a = banded_b.alias("a")
+    b = banded_b.alias("b")
+    self_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # verify: store side pruned to candidate ids before its fps move
+    store_cand_fps = store_shfps.join(
+        cross.select(F.col("id_a").alias("_id")).distinct(), "_id", "left_semi"
+    )
+    v_cross = _jaccard_from_fps(
+        b_shfps.unionByName(store_cand_fps), cross
+    ).filter(F.col("jaccard") >= threshold)
+    v_self = materialize(
+        _jaccard_from_fps(b_shfps, self_pairs).filter(
+            F.col("jaccard") >= threshold
+        )
+    )
+    matched = v_cross.select(F.col("id_b").alias(id_col)).distinct()
+    # component-level store-wins: taint whole batch families that touch
+    # a store match, then min-id collapse of the untainted families
+    comps = pair_components(
+        v_self.select("id_a", "id_b"), max_iter=max_iter, strict=strict
+    )
+    tainted_comps = (
+        comps.join(matched.withColumnRenamed(id_col, "id"), "id", "left_semi")
+        .select("comp")
+        .distinct()
+    )
+    tainted = (
+        comps.join(tainted_comps, "comp", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .unionByName(matched)
+        .distinct()
+    )
+    clean = batch.join(tainted, id_col, "left_anti")
+    clean_pairs = v_self.join(
+        tainted.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti"
+    ).join(tainted.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
+    new_rows = keep_min_id_per_component(
+        clean, clean_pairs, id_col, max_iter=max_iter, strict=strict
+    )
+    keep_ids = new_rows.select(F.col(id_col).alias("_id"))
+    new_banded = banded_b.join(keep_ids, "_id", "left_semi")
+    new_shfps = b_shfps.join(keep_ids, "_id", "left_semi")
+    return new_rows, new_banded, new_shfps
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

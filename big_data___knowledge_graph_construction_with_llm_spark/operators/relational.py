@@ -270,7 +270,10 @@ def funnel_counts(
 ) -> DataFrame:
     """Funnel summary: one row per step with the number of keys
     reaching it — the conversion report over :func:`funnel_times`.
-    Counts are non-increasing by construction."""
+    Counts are non-increasing by construction. The k counts cross the
+    driver (one ``head()`` of a 1-row aggregate — a parameter fetch,
+    like the engine's centroid/prefix collects) to come back as a tiny
+    literal frame."""
     times = funnel_times(df, key, ts, type_col, steps, within_seconds)
     counts = times.agg(
         *[

@@ -152,7 +152,9 @@ def score_sample(
     score ≤ 0 are always dropped, ≥ 1 always kept; NULL scores drop
     (filter semantics)."""
     b = hash_bucket(F.col(id_col), buckets)
-    cutoff = F.round(F.col(score_col) * buckets).cast("long")
+    # bround = HALF_EVEN, matching the Python round() the static-rate
+    # samplers (hash_sample / mixture_keep_flag) use for their cutoffs
+    cutoff = F.bround(F.col(score_col) * buckets).cast("long")
     return df.filter(b < cutoff)
 
 

@@ -140,24 +140,15 @@ def corpus_overlap(
         content_fingerprints,
     )
 
-    sa = (
-        content_fingerprints(
-            a.select(F.monotonically_increasing_id().alias("_i"), text_col),
-            text_col,
-            "_i",
-            normalize=normalize,
-        )
-        .agg(F.theta_sketch_agg("_h64").alias("sa"))
-    )
-    sb = (
-        content_fingerprints(
-            b.select(F.monotonically_increasing_id().alias("_i"), text_col),
-            text_col,
-            "_i",
-            normalize=normalize,
-        )
-        .agg(F.theta_sketch_agg("_h64").alias("sb"))
-    )
+    # the id column content_fingerprints carries is unused here (the
+    # sketch aggregates the hash alone) — a constant keeps the plan
+    # trivial and Catalyst prunes it
+    sa = content_fingerprints(
+        a.select(F.lit(0).alias("_i"), text_col), text_col, "_i", normalize=normalize
+    ).agg(F.theta_sketch_agg("_h64").alias("sa"))
+    sb = content_fingerprints(
+        b.select(F.lit(0).alias("_i"), text_col), text_col, "_i", normalize=normalize
+    ).agg(F.theta_sketch_agg("_h64").alias("sb"))
     both = sa.crossJoin(sb)  # 1 row x 1 row — a parameter join, not data
     est = both.select(
         F.theta_sketch_estimate("sa").alias("n_a"),

@@ -1332,3 +1332,84 @@ def test_repeated_span_hits_sharing_is_equivalent(spark):
         map(tuple, excise_repeated_spans(df, "doc_id", "text", hits=hits).collect())
     )
     assert ex_own == ex_shared
+
+
+def test_incremental_near_dedup_store_semantics(spark):
+    """The steady-state near-dedup: appends verify against the at-rest
+    store (text never re-read). Store-wins at FAMILY level — a batch doc
+    near-dup of a store doc drops, and so does its whole batch-internal
+    family; untainted batch families keep min-id; fresh docs land and
+    extend the store for the next append."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        incremental_near_dedup,
+        near_dup_store,
+    )
+
+    base_doc = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    corpus = spark.createDataFrame(
+        [(1, base_doc), (2, "entirely different stored document body here ok")],
+        "doc_id long, text string",
+    )
+    banded, shfps = near_dup_store(corpus, "doc_id", "text")
+    batch1 = spark.createDataFrame(
+        [
+            (10, base_doc + " x1 x2"),          # near-dup of store doc 1
+            (11, base_doc + " x1 x2 y1 y2"),    # near-dup of 10, not of 1 at 0.7
+            (12, "a wholly fresh document with its own unique tokens one"),
+            (13, "a wholly fresh document with its own unique tokens one two"),  # near-dup of 12
+            (14, "completely unrelated new content nothing shared with anything"),
+        ],
+        "doc_id long, text string",
+    )
+    new_rows, nb, nf = incremental_near_dedup(
+        batch1, banded, shfps, "doc_id", "text", threshold=0.7, strict=True
+    )
+    kept = sorted(r["doc_id"] for r in new_rows.collect())
+    # 10 matched the store; 11 is in 10's family -> both gone (family
+    # store-wins). 12/13 collapse to min-id 12. 14 fresh.
+    assert kept == [12, 14]
+    assert sorted(set(r["_id"] for r in nb.collect())) == [12, 14]
+    assert sorted(set(r["_id"] for r in nf.collect())) == [12, 14]
+
+    # append 2 dedups against base + append-1 survivors
+    banded2, shfps2 = banded.unionByName(nb), shfps.unionByName(nf)
+    batch2 = spark.createDataFrame(
+        [
+            (20, "a wholly fresh document with its own unique tokens one three"),  # ~12
+            (21, "never seen before text completely novel in every way"),
+        ],
+        "doc_id long, text string",
+    )
+    new2, _, _ = incremental_near_dedup(
+        batch2, banded2, shfps2, "doc_id", "text", threshold=0.7, strict=True
+    )
+    assert sorted(r["doc_id"] for r in new2.collect()) == [21]
+
+
+def test_store_signatures_equal_text_signatures(spark):
+    """The store's signature derivation (from shingle fingerprints) is
+    bit-identical to minhash_signatures over the text — so store and
+    batch band into the same buckets."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        _shingle_fps,
+        _sigs_from_fps,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "sphinx of black quartz judge my vow"),
+        ],
+        "doc_id long, text string",
+    )
+    from_text = {
+        r["_id"]: tuple(r[f"_m{i}"] for i in range(64))
+        for r in minhash_signatures(df, "doc_id", "text", 64).collect()
+    }
+    from_store = {
+        r["_id"]: tuple(r[f"_m{i}"] for i in range(64))
+        for r in _sigs_from_fps(_shingle_fps(df, "doc_id", "text", 3), 64).collect()
+    }
+    assert from_text == from_store

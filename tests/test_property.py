@@ -1067,3 +1067,43 @@ def test_cohort_retention_matches_reference(spark, events):
         for r in cohort_retention(df, "k", "ts", "week").collect()
     }
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["p", "q", "r", "s"]), min_size=3, max_size=8),
+        min_size=2, max_size=6,
+    ),
+)
+@settings(**_SETTINGS)
+def test_hashed_jaccard_equals_text_jaccard(spark, docs):
+    """Law: the store's text-free verify (_jaccard_from_fps over hashed
+    shingle sets) returns exactly the Jaccard the string-based verify
+    computes, for every doc pair of every random corpus."""
+    from itertools import combinations
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        _jaccard_from_fps,
+        _shingle_fps,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(len(docs)), 2)],
+        "id_a long, id_b long",
+    )
+    from_text = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", pairs).collect()
+    }
+    from_fps = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in _jaccard_from_fps(
+            _shingle_fps(df, "doc_id", "text", 3), pairs
+        ).collect()
+    }
+    assert from_fps == from_text
