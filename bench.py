@@ -101,11 +101,13 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_run2 = round(sum(t for t in timings_run2.values() if t >= 0), 3)
-    best = {
-        k: (min(timings[k], timings_run2.get(k, timings[k]))
-            if timings[k] >= 0 else timings_run2.get(k, -1.0))
-        for k in timings
-    }
+    # min over the PASSING times only: a query that succeeded in one run
+    # and failed in the other is a success (min(t, -1.0) would mis-report
+    # it as failed and silently drop it from total_best)
+    best = {}
+    for k in timings:
+        vals = [t for t in (timings[k], timings_run2.get(k, -1.0)) if t >= 0]
+        best[k] = min(vals) if vals else -1.0
     total_best = round(sum(t for t in best.values() if t >= 0), 3)
 
     # accuracy contract for q_approx_sketches (untimed): the sketches are
@@ -215,6 +217,10 @@ def main() -> None:
                 "unit": "sec",
                 "passes": 2,
                 "aggregation": "per_query_min",
+                # single-pass apples-to-apples number: run2 (warm) uses the
+                # same aggregation as rounds ≤4, so round-over-round deltas
+                # don't need reconstructing from BENCH_DETAIL.json
+                "comparable_total": total_run2,
                 "queries": best,
                 "sf": sf,
             }

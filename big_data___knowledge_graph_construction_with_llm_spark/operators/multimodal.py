@@ -5,9 +5,10 @@ feature-extract stages are Arrow-batched ``mapInPandas`` operators. Each
 decode seam has a REAL decoder where one is reachable — PIL behind
 ``decode_image_pil`` (lazy import), stdlib ``wave`` behind
 ``decode_audio_wav`` (dependency-free), soundfile behind
-``decode_audio_soundfile`` (lazy import) — plus a deterministic STUB
-with the identical contract for codec-less environments; video frame
-sampling remains a contract stub (needs ffmpeg/pyav). The Spark-side
+``decode_audio_soundfile`` (lazy import), PIL multi-frame (GIF/TIFF)
+behind ``frame_hashes_pil`` (lazy import; swap in av/imageio for
+MP4/MKV with the same signature) — plus a deterministic STUB with the
+identical contract for codec-less environments. The Spark-side
 contract — schema, batch shape, partitioning — is identical across real
 and stub, so the decoder choice never changes the plan.
 """
@@ -248,29 +249,120 @@ def decode_audio(
     return src.mapInPandas(_decode, schema=DECODED_AUDIO_SCHEMA)
 
 
+#: Output schema of the frame-sampling stage (shared by stub and real
+#: samplers — the seam contract, like DECODED_IMAGE/AUDIO_SCHEMA).
+FRAME_SAMPLE_SCHEMA = "doc_id bigint, frame_no int, frame_sha string"
+
+#: Single sentinel row emitted for undecodable video payloads — a
+#: (-1, None) marker, never an exception (one corrupt clip must not kill
+#: the job); downstream filters on ``frame_no >= 0``.
+FRAME_SENTINEL = [(-1, None)]
+
+
+def frame_hashes_stub(payload: bytes, every_n: int) -> list:
+    """STUB frame sampler: deterministic fake ``(frame_no, frame_sha)``
+    pairs derived from the payload length (one fake frame per 100 bytes,
+    every ``every_n``-th kept) — the video twin of ``decode_image_stub``
+    for codec-less environments. Same contract as the real samplers."""
+    import hashlib
+
+    n_frames = max(1, len(payload) // 100)
+    return [
+        (f, hashlib.md5(f"{len(payload)}:{f}".encode()).hexdigest())
+        for f in range(0, n_frames, every_n)
+    ]
+
+
+def frame_hashes_pil(payload: bytes, every_n: int) -> list:
+    """REAL frame sampler behind the same seam: PIL's multi-frame
+    support (animated GIF / multi-page TIFF / APNG) — ``seek`` to every
+    ``every_n``-th frame and hash its decoded pixels. The per-frame cost
+    is a real pixel decode (unlike the header-only image path) — that is
+    inherent to frame hashing. For MP4/MKV swap in an av/imageio sampler
+    with the identical signature; PIL is the dependency this container's
+    image path already gates on, so one install lights up both seams.
+
+    Corrupt or non-animated-decodable payloads yield the single
+    ``FRAME_SENTINEL`` row, matching the image/audio sentinel behavior.
+    """
+    import hashlib
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - exercised via best_frame_sampler
+        raise ImportError(
+            "frame_hashes_pil needs Pillow (`pip install pillow`); "
+            "use frame_hashes_stub or best_frame_sampler() for a fallback"
+        ) from e
+
+    try:
+        out = []
+        with Image.open(io.BytesIO(payload)) as img:
+            n_frames = int(getattr(img, "n_frames", 1))
+            for f in range(0, n_frames, every_n):
+                img.seek(f)
+                out.append(
+                    (f, hashlib.sha256(img.convert("RGB").tobytes()).hexdigest())
+                )
+        return out
+    except Exception:  # noqa: BLE001 - any undecodable payload
+        return list(FRAME_SENTINEL)
+
+
+def best_frame_sampler() -> Callable[[bytes, int], list]:
+    """The real PIL frame sampler when Pillow is installed, else the
+    stub — resolved ONCE on the driver for job-wide uniformity, exactly
+    like ``best_image_decoder``."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        return frame_hashes_pil
+    return frame_hashes_stub
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    every_n: int = 10,
+    sampler: Callable[[bytes, int], list] = frame_hashes_stub,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Video frame-sampling stage: explode-shaped ``mapInPandas`` (one
+    input row → many output rows, one per sampled frame). The sampler is
+    a pluggable seam with the same stub/real discipline as the image and
+    audio decoders; the Spark plumbing — schema, Arrow batch shape,
+    explode fan-out, partition sizing — is identical across samplers.
+
+    At 100 TB: video payloads dwarf images, so ``batch_partitions``
+    matters more here — size tasks to O(100 MB) of payload, and emit
+    only (id, frame_no, hash) so the binary never enters a shuffle.
+    """
+    src = df.select(id_col, bin_col)
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_sha": []}
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                for f, sha in sampler(payload, every_n):
+                    rows["doc_id"].append(did)
+                    rows["frame_no"].append(f)
+                    rows["frame_sha"].append(sha)
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(_sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
 def frame_sample_stub(
     df: DataFrame,
     id_col: str = "doc_id",
     bin_col: str = "payload",
     every_n: int = 10,
 ) -> DataFrame:
-    """Video frame-sampling stage contract (STUB): emits one row per
-    sampled frame with a deterministic fake frame hash. Real impl swaps
-    the generator body for an ffmpeg/pyav iterator — the Spark plumbing
-    (explode-shaped mapInPandas, one input row → many output rows) is the
-    part under test."""
-
-    schema = "doc_id bigint, frame_no int, frame_sha int"
-
-    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"doc_id": [], "frame_no": [], "frame_sha": []}
-            for _, r in pdf.iterrows():
-                n_frames = max(1, len(r[bin_col]) // 100)
-                for f in range(0, n_frames, every_n):
-                    rows["doc_id"].append(r[id_col])
-                    rows["frame_no"].append(f)
-                    rows["frame_sha"].append((len(r[bin_col]) * 31 + f) % (1 << 31))
-            yield pd.DataFrame(rows)
-
-    return df.select(id_col, bin_col).mapInPandas(_sample, schema=schema)
+    """Back-compat alias for the stub-sampled stage — see
+    :func:`sample_frames` (the seam) and :func:`frame_hashes_pil`
+    (the real PIL path)."""
+    return sample_frames(df, id_col, bin_col, every_n, sampler=frame_hashes_stub)

@@ -158,6 +158,30 @@ def score_sample(
     return df.filter(b < cutoff)
 
 
+def _fold_prefix_offsets(part: DataFrame, pid_col: str, within, prefix: list):
+    """Attach ``_start = prefix[pid] + within`` to ``part``, picking the
+    plan shape by offset count: ≤1024 offsets inline as a literal-array
+    lookup (no join in the plan); wider counts ship as a tiny
+    broadcast-joined table, because each literal costs one py4j
+    round-trip at plan-build time (tens of driver seconds at 65536).
+    Shared by :func:`pack_sequences` and :func:`select_to_token_budget`
+    so both prefix-sum consumers get the same wide-count fallback."""
+    if len(prefix) <= 1024:
+        prefix_arr = F.array(*[F.lit(x) for x in prefix])
+        return part.withColumn(
+            "_start", F.element_at(prefix_arr, F.col(pid_col) + 1) + within
+        )
+    spark = part.sparkSession
+    offsets = spark.createDataFrame(
+        list(enumerate(prefix)), f"{pid_col} int, _prefix long"
+    )
+    return (
+        part.join(F.broadcast(offsets), pid_col)
+        .withColumn("_start", F.col("_prefix") + within)
+        .drop("_prefix")
+    )
+
+
 def select_to_token_budget(
     df: DataFrame,
     id_col: str,
@@ -180,8 +204,10 @@ def select_to_token_budget(
     ordered — then the same two-job distributed prefix sum as
     ``pack_sequences``: per-partition running sums in one pass,
     per-partition totals collected (``partitions`` longs — a parameter,
-    not data) and folded back as broadcast literals. Never a
-    global-order window (single-task funnel). The partitioned frame is
+    not data) and folded back via ``_fold_prefix_offsets`` (literal
+    array ≤1024 partitions, broadcast-joined offsets table above — the
+    same fallback ``pack_sequences`` uses). Never a global-order window
+    (single-task funnel). The partitioned frame is
     materialized once so the totals pass and the filter pass see the
     identical partitioning.
 
@@ -220,10 +246,10 @@ def select_to_token_budget(
         acc += int(totals.get(p, 0))
     if not prefix:
         return df.limit(0)
-    prefix_arr = F.array(*[F.lit(x) for x in prefix])
-    start = F.element_at(prefix_arr, F.col("_pid") + 1) + within
+    # window exprs can't sit in WHERE, so _start materializes as a column;
+    # >1024 partitions switch to the broadcast-offsets table (shared helper)
     return (
-        part.withColumn("_start", start)  # window exprs can't sit in WHERE
+        _fold_prefix_offsets(part, "_pid", within, prefix)
         .filter(F.col("_start") < token_budget)
         .drop("_pid", "_start")
     )
@@ -369,24 +395,7 @@ def pack_sequences(
     for p in range(prefix_partitions):
         prefix.append(acc)
         acc += int(totals.get(p, 0))
-    if prefix_partitions <= 1024:
-        # small counts: literal array lookup, no join in the plan
-        prefix_arr = F.array(*[F.lit(x) for x in prefix])
-        start = F.element_at(prefix_arr, F.col("_pk") + 1) + within
-        out = part.withColumn("_start", start)
-    else:
-        # wide counts: a 65536-element literal array would cost one py4j
-        # round-trip per element at plan-build time (tens of seconds on
-        # the driver) — ship the offsets as a tiny broadcast-joined table
-        spark = df.sparkSession
-        offsets = spark.createDataFrame(
-            list(enumerate(prefix)), "_pk int, _prefix long"
-        )
-        out = (
-            part.join(F.broadcast(offsets), "_pk")
-            .withColumn("_start", F.col("_prefix") + within)
-            .drop("_prefix")
-        )
+    out = _fold_prefix_offsets(part, "_pk", within, prefix)
     return out.withColumns(
         {
             "seq_id": F.floor(F.col("_start") / budget).cast("long"),

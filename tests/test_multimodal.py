@@ -65,6 +65,85 @@ def test_frame_sample_explodes(spark):
     assert a == b
 
 
+def test_frame_sampler_stub_and_real_share_schema_contract(spark):
+    """Seam contract, video edition: the stub and the PIL sampler run
+    through the identical sample_frames stage, so the schema can never
+    diverge — asserted with whatever best_frame_sampler resolves to."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+        FRAME_SAMPLE_SCHEMA,
+        best_frame_sampler,
+        frame_hashes_stub,
+        sample_frames,
+    )
+
+    df = _payloads(spark)
+    stub_out = sample_frames(df, sampler=frame_hashes_stub)
+    real_out = sample_frames(df, sampler=best_frame_sampler())
+    assert stub_out.schema == real_out.schema
+    assert stub_out.columns == ["doc_id", "frame_no", "frame_sha"]
+    assert "frame_sha string" in FRAME_SAMPLE_SCHEMA
+
+
+def test_best_frame_sampler_resolution():
+    """PIL sampler when Pillow is importable, stub otherwise — resolved
+    driver-side like the image/audio seams."""
+    import importlib.util
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+        best_frame_sampler,
+        frame_hashes_pil,
+        frame_hashes_stub,
+    )
+
+    got = best_frame_sampler()
+    if importlib.util.find_spec("PIL") is None:
+        assert got is frame_hashes_stub
+    else:
+        assert got is frame_hashes_pil
+
+
+def test_sample_frames_with_pil_real_gif(spark):
+    """Gated on Pillow: a real 3-frame animated GIF samples its true
+    frames (every_n=2 → frames 0 and 2) with per-frame pixel hashes,
+    through the same explode-shaped mapInPandas stage the stub uses;
+    corrupt payloads become the (-1, NULL) sentinel row, never a task
+    failure. Without Pillow the lazy import must raise a clear error."""
+    import importlib.util
+    import io
+
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+        frame_hashes_pil,
+        sample_frames,
+    )
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(ImportError, match="[Pp]illow"):
+            frame_hashes_pil(b"GIF89a", 1)
+        pytest.skip("Pillow not installed; lazy-import error path verified")
+
+    from PIL import Image
+
+    frames = [Image.new("RGB", (4, 4), color=(i * 80, 0, 0)) for i in range(3)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True, append_images=frames[1:])
+    gif = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, gif), (2, b"definitely not video")], "doc_id bigint, payload binary"
+    )
+    rows = sorted(
+        (r["doc_id"], r["frame_no"], r["frame_sha"])
+        for r in sample_frames(df, every_n=2, sampler=frame_hashes_pil).collect()
+    )
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[1] for r in doc1] == [0, 2]
+    assert all(r[2] is not None and len(r[2]) == 64 for r in doc1)
+    doc2 = [r for r in rows if r[0] == 2]
+    assert doc2 == [(2, -1, None)]
+
+
 def test_best_image_decoder_resolution():
     """best_image_decoder: PIL decoder when Pillow is importable, stub
     otherwise — resolved driver-side, so one job never mixes the two."""

@@ -1230,6 +1230,36 @@ def test_select_to_token_budget_matches_reference(spark):
     assert [r["doc_id"] for r in top] == [ordered[0][0]]
 
 
+def test_select_to_token_budget_wide_partitions_broadcast_offsets(spark):
+    """partitions > 1024 must NOT build the prefix-offset lookup as a
+    wide literal array (one py4j round-trip per element at plan-build
+    time) — the shared _fold_prefix_offsets helper switches to a
+    broadcast-joined offsets table, the same fallback pack_sequences
+    uses. Asserted on the executed plan AND on result parity with the
+    narrow-partition run."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import (
+        select_to_token_budget,
+    )
+
+    rows = [(i, (i * 37) % 4000, 10 + (i * 13) % 50) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, score long, n long")
+
+    wide = select_to_token_budget(df, "doc_id", "n", "score", 20_000, partitions=2048)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # offsets table joined, not inlined
+    # no 2048-element literal array in the plan text
+    assert plan.count(",") < 2000
+
+    got = {r["doc_id"] for r in wide.collect()}
+    narrow = {
+        r["doc_id"]
+        for r in select_to_token_budget(
+            df, "doc_id", "n", "score", 20_000, partitions=16
+        ).collect()
+    }
+    assert got == narrow and got  # same selected set either way
+
+
 def test_funnel_ordered_steps(spark):
     """Funnel semantics: earliest-first chaining with strict order —
     a key completing out of order does not count, a stalled key keeps
