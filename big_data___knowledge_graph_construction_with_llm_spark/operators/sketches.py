@@ -145,10 +145,24 @@ def corpus_overlap(
     # trivial and Catalyst prunes it
     sa = content_fingerprints(
         a.select(F.lit(0).alias("_i"), text_col), text_col, "_i", normalize=normalize
-    ).agg(F.theta_sketch_agg("_h64").alias("sa"))
+    ).agg(F.theta_sketch_agg("_h64").alias("sketch"))
     sb = content_fingerprints(
         b.select(F.lit(0).alias("_i"), text_col), text_col, "_i", normalize=normalize
-    ).agg(F.theta_sketch_agg("_h64").alias("sb"))
+    ).agg(F.theta_sketch_agg("_h64").alias("sketch"))
+    return overlap_from_theta(sa, sb)
+
+
+def overlap_from_theta(a_sketches: DataFrame, b_sketches: DataFrame) -> DataFrame:
+    """The :func:`corpus_overlap` estimate computed off STORED Theta
+    sketches instead of raw text — the at-rest payoff: each side is a
+    frame of ``sketch`` binaries (any number of rows, e.g. one per
+    day/source partition as :func:`theta_sketch_by` writes them), merged
+    with ``theta_union_agg`` and then pushed through the same set
+    algebra. Asking "how much of A is in B" over any partition subset of
+    two stored corpora costs a few KB of sketch reads — the raw text is
+    never rescanned."""
+    sa = a_sketches.agg(F.theta_union_agg("sketch").alias("sa"))
+    sb = b_sketches.agg(F.theta_union_agg("sketch").alias("sb"))
     both = sa.crossJoin(sb)  # 1 row x 1 row — a parameter join, not data
     est = both.select(
         F.theta_sketch_estimate("sa").alias("n_a"),

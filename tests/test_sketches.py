@@ -99,6 +99,72 @@ def test_corpus_overlap_without_join(spark):
     )
 
 
+def test_sketch_store_at_rest_round_trip(spark, tmp_path):
+    """The headline contract, actually exercised through storage: write
+    each sketch store to parquet, read it back in a FRESH session (new
+    session state over the same JVM — a real catalog/conf boundary), and
+    answer rollups from the stored binaries alone.
+
+    - HLL: stored per-day sketches merge to the same grand total as a
+      direct whole-corpus sketch (lossless merge survives the store).
+    - KLL: stored per-day sketches answer global quantiles within the
+      rank tolerance.
+    - Theta: overlap_from_theta over two STORED per-day corpora stores
+      equals corpus_overlap computed from the raw text — the raw data is
+      never rescanned at estimate time.
+    """
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sketches import (
+        overlap_from_theta,
+    )
+
+    df = _events(spark)
+    hll_path = str(tmp_path / "hll_store")
+    kll_path = str(tmp_path / "kll_store")
+    distinct_sketch_by(df, ["day"], "user").write.parquet(hll_path)
+    quantile_sketch_by(df, ["day"], "v").write.parquet(kll_path)
+
+    a = spark.createDataFrame(
+        [(i % 3, f"doc number {i}") for i in range(1000)], "day int, text string"
+    )
+    b = spark.createDataFrame(
+        [(i % 3, f"doc number {i}") for i in range(500, 2000)], "day int, text string"
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+    )
+
+    ta_path = str(tmp_path / "theta_a")
+    tb_path = str(tmp_path / "theta_b")
+    for src, path in ((a, ta_path), (b, tb_path)):
+        # day rides along as the "id" column — same content identity
+        # (_h64) corpus_overlap uses, stored per-day
+        theta_sketch_by(
+            content_fingerprints(src, "text", "day"), ["day"], "_h64"
+        ).write.parquet(path)
+
+    fresh = spark.newSession()
+    stored_hll = fresh.read.parquet(hll_path)
+    direct = distinct_estimate(distinct_sketch_by(df, [], "user")).head()["n_distinct"]
+    assert distinct_estimate(stored_hll).head()["n_distinct"] == direct
+
+    stored_kll = fresh.read.parquet(kll_path)
+    q = quantile_estimate(stored_kll, [0.5]).head()["q_50"]
+    exact = df.agg(F.expr("percentile(v, 0.5)").alias("p")).head()["p"]
+    assert abs(q - exact) / exact < 0.02
+
+    got = overlap_from_theta(
+        fresh.read.parquet(ta_path), fresh.read.parquet(tb_path)
+    ).head()
+    want = corpus_overlap(a, b, "text").head()
+    assert (got["n_a"], got["n_b"], got["n_intersection"], got["n_union"]) == (
+        want["n_a"],
+        want["n_b"],
+        want["n_intersection"],
+        want["n_union"],
+    )
+    assert got["n_intersection"] == 500.0  # truth at this exact-regime size
+
+
 def test_theta_sketch_by_groups(spark):
     """Grouped theta sketches: binary column per group, usable in later
     set algebra (smoke the estimate path)."""

@@ -512,3 +512,106 @@ def test_streaming_funnel_state_spans_batches(spark, tmp_path):
     base = int(__import__("datetime").datetime(2024, 1, 1, tzinfo=__import__("datetime").timezone.utc).timestamp()) * 1_000_000
     assert last[1] == (3, base + 1 * m, base + 5 * m)
     assert last[2] == (1, base + 4 * m, base + 4 * m)  # view only; early purchase ignored
+
+
+def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
+    """Batch-twin parity (the stream_stream_interval_join pattern): the
+    same event set through the stateful streaming funnel and through the
+    batch funnel_times operator yields identical per-user (depth,
+    t_first, t_depth) — exercising every stall depth, repeats, and
+    within-batch disorder. Holds whenever disorder is confined to a
+    micro-batch (the documented streaming contract): batches here split
+    on event time, order inside each batch is scrambled."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        funnel_times,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    steps = ["view", "click", "purchase"]
+    # (user, minute, type) — u1 completes across batches; u2 starts with
+    # a too-early purchase; u3 stalls at click; u4 completes inside one
+    # batch with duplicate views; u5 clicks before viewing (depth 1 via
+    # the later view only); u6 never starts
+    evs = [
+        (1, 1, "view"), (1, 13, "click"), (1, 14, "purchase"),
+        (2, 2, "purchase"), (2, 3, "view"), (2, 15, "click"),
+        (3, 4, "view"), (3, 5, "click"), (3, 16, "click"),
+        (4, 6, "view"), (4, 6, "view"), (4, 7, "click"), (4, 8, "purchase"),
+        (5, 9, "click"), (5, 10, "view"),
+        (6, 11, "purchase"), (6, 17, "click"),
+    ]
+    import datetime as dt
+
+    def iso(minute):
+        return f"2024-02-01T00:{minute:02d}:00Z"
+
+    src = tmp_path / "funnel-parity-in"
+    src.mkdir()
+    # time-split batches (disorder only WITHIN a batch), scrambled inside
+    for name, batch in (
+        ("a.json", [e for e in evs if e[1] < 12]),
+        ("b.json", [e for e in evs if e[1] >= 12]),
+    ):
+        batch = sorted(batch, key=lambda e: (e[0] * 7919 + e[1] * 31) % 13)
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": iso(e[1]),
+                        "user_id": e[0],
+                        "event_type": e[2],
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                )
+                for i, e in enumerate(batch)
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_funnel(stream, steps)
+        .writeStream.format("memory")
+        .queryName("sfunnel_parity")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt-funnel-parity"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    stream_last = {}
+    for r in spark.sql("SELECT * FROM sfunnel_parity").collect():
+        stream_last[r["user_id"]] = (r["depth"], r["t_first"], r["t_depth"])
+
+    batch_df = spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 2, 1, 0, minute, tzinfo=dt.timezone.utc), t)
+            for u, minute, t in evs
+        ],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    batch_rows = funnel_times(batch_df, "user_id", "ts", "event_type", steps)
+    batch_out = {}
+    for r in batch_rows.collect():
+        ts_list = [r[f"t{i}"] for i in range(1, len(steps) + 1)]
+        depth = sum(1 for t in ts_list if t is not None)
+        batch_out[r["user_id"]] = (depth, ts_list[0], ts_list[depth - 1])
+
+    # the streaming op also reports not-yet-started keys (depth 0); the
+    # batch op only reports starters — parity holds on the started set
+    assert stream_last.pop(6) == (0, None, None)
+    assert stream_last == batch_out
+    assert {u: d for u, (d, _, _) in batch_out.items()} == {
+        1: 3, 2: 2, 3: 2, 4: 3, 5: 1,
+    }
