@@ -1267,8 +1267,11 @@ def excise_repeated_spans(
 
     ``hits`` (optional): a precomputed
     :func:`repeated_span_fingerprints` table (same ``span_tokens`` and
-    corpus!) — skips this call's own detection pass when another
-    consumer already paid for it."""
+    corpus, and built with ``sample_mod=1`` — a sampled hits table
+    silently excises only the sampled subset of repeated spans; sampling
+    is a detection-estimate knob, not an excision one) — skips this
+    call's own detection pass when another consumer already paid for
+    it."""
     _require_min_docs(min_docs)
     hit_fps = (
         hits.select("_sh64", "_sh128")

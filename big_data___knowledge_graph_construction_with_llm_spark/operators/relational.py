@@ -207,12 +207,17 @@ def funnel_times(
     the funnel, the EARLIEST-completion timestamps ``t1..tk`` of the
     ``steps`` sequence (each step strictly after the previous one's
     chosen time; later steps NULL where the funnel stalls). The greedy
-    earliest-first choice is the standard funnel semantics and is
-    optimal: completing via any witness implies completing via the
-    earliest one. ``within_seconds`` bounds the whole funnel's span
-    (t_k − t1), evaluated per candidate step so a too-late step leaves
-    the later columns NULL rather than disqualifying an earlier valid
-    prefix.
+    earliest-first choice is the standard funnel semantics; without a
+    horizon it is also optimal — completing via any witness implies
+    completing via the earliest one. ``within_seconds`` bounds the whole
+    funnel's span (t_k − t1) ANCHORED AT THE KEY'S EARLIEST STEP-1 TIME:
+    evaluated per candidate step, so a too-late step leaves the later
+    columns NULL rather than disqualifying an earlier valid prefix — but
+    a key whose first attempt times out is reported stalled even if a
+    LATER step-1 event would have completed inside its own window
+    (per-attempt-window funnels restart the anchor; this operator
+    deliberately does not — one anchor per key keeps the k-join chain
+    free of per-attempt fan-out).
 
     Scale shape: one partial-aggregated ``min`` per step over only that
     step's events (filters push to the scan), chained by k−1 equi-joins
@@ -303,8 +308,11 @@ def cohort_retention(
     not raw events), then one aggregation of (cohort, periods_since,
     distinct key) — hash-aggs and one key-shuffle, no windows, no
     per-key lists. Elapsed periods are computed from the truncated
-    timestamps' epoch difference for day/week (exact — both are
-    fixed-length), and via month arithmetic for month/quarter/year."""
+    timestamps' epoch difference for hour/day/week — exact under a UTC
+    or fixed-offset session timezone (which ``session.py`` pins; under a
+    DST-shifting zone a transition week spans 167/169 wall hours and the
+    integer division would land one period off) — and via month
+    arithmetic for month/quarter/year, which is DST-immune."""
     unit = period.lower()
     seconds = {"day": 86400, "week": 7 * 86400, "hour": 3600}
     trunc = F.date_trunc(unit, F.col(ts).cast("timestamp"))

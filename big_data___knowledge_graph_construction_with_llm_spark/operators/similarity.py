@@ -229,6 +229,7 @@ def ensure_ivf_index(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    gc_max_age_ms: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build-once, probe-many: materialize the IVF layout at ``path`` if
     absent and return ``(index, centroids)`` read back FROM DISK.
@@ -252,7 +253,11 @@ def ensure_ivf_index(
     complete attempt either way. All driver-side file ops go through the
     Hadoop FileSystem API (``fsutil``), never ``os.*``, so the protocol
     is identical on file:/hdfs:/s3a:. Losing attempt dirs are
-    unreferenced and cheap; GC them by age externally if they bother you.
+    unreferenced and cheap; pass ``gc_max_age_ms`` to sweep them after a
+    successful resolve (:func:`gc_ivf_attempts` — the winning attempt is
+    protected unconditionally, and the age threshold must exceed the
+    longest plausible build so an in-flight concurrent attempt is never
+    reaped), or run the janitor externally on your own schedule.
     """
     import uuid
 
@@ -290,6 +295,12 @@ def ensure_ivf_index(
         attempt_dir = _resolve()
         if attempt_dir is None:  # raced with another builder mid-marker-write
             attempt_dir = base
+    if gc_max_age_ms is not None and _resolve() == attempt_dir:
+        # opt-in post-build sweep. Only when the attempt we're about to
+        # read IS the marker-protected winner: in the lost-marker-race
+        # fallback our complete-but-unreferenced attempt would otherwise
+        # be eligible for reaping before we read it.
+        gc_ivf_attempts(spark, path, gc_max_age_ms)
     return (
         spark.read.parquet(f"{attempt_dir}/index"),
         spark.read.parquet(f"{attempt_dir}/centroids"),

@@ -63,3 +63,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: canonical name for the SQL entry point (register_views kept as the
+#: original spelling — same function)
+register_tables = register_views
+
+
+def sql(spark: SparkSession, query: str, sf_dir: str | None = None) -> DataFrame:
+    """Run an ANSI-SQL query against the engine's tables: with
+    ``sf_dir``, registers (or refreshes) the views first; without, the
+    caller has already called :func:`register_tables`. Because the views
+    are the same normalized frames the DataFrame registry uses, any
+    registry oracle_sql string that sticks to ANSI constructs runs here
+    verbatim — the two surfaces answer from one data model."""
+    if sf_dir is not None:
+        register_tables(spark, sf_dir)
+    return spark.sql(query)

@@ -333,6 +333,45 @@ def test_gc_ivf_attempts_protects_winner_and_young_builds(spark, tmp_path):
     assert fsutil.read_text(spark, f"{path}/_DONE").strip() != winner
 
 
+def test_ensure_ivf_index_opt_in_gc_sweeps_crashed_attempt(spark, tmp_path):
+    """The wired janitor: a crashed build's attempt dir (no _COMPLETE —
+    the builder died mid-write) is collected by the NEXT successful
+    ensure_ivf_index call when gc_max_age_ms is passed; the winner and
+    marker survive and the index resolves. Without the opt-in the
+    crashed dir is left alone (external-GC default)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    n = vecs.count()
+
+    # default: no sweep, the crashed dir stays
+    path = str(tmp_path / "ivf_nogc")
+    fsutil.write_text(spark, f"{path}/attempt-crashed00001/index/part-0", "junk")
+    ensure_ivf_index(spark, vecs, path, k=4, iterations=1)
+    assert fsutil.exists(spark, f"{path}/attempt-crashed00001")
+
+    # opt-in: the same crashed dir is reaped on the next successful build
+    path = str(tmp_path / "ivf_gc_wired")
+    fsutil.write_text(spark, f"{path}/attempt-crashed00002/index/part-0", "junk")
+    import time
+
+    time.sleep(0.05)  # the crashed dir must be strictly older than "now"
+    idx, cents = ensure_ivf_index(
+        spark, vecs, path, k=4, iterations=1, gc_max_age_ms=0
+    )
+    assert idx.count() == n and cents.count() == 4
+    assert not fsutil.exists(spark, f"{path}/attempt-crashed00002")
+    winner = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    assert fsutil.exists(spark, f"{path}/{winner}/_COMPLETE")
+    # idempotent re-entry with the sweep still resolves from disk
+    idx2, _ = ensure_ivf_index(spark, vecs, path, k=4, iterations=1, gc_max_age_ms=0)
+    assert idx2.count() == n
+    assert fsutil.exists(spark, f"{path}/{winner}/_COMPLETE")
+
+
 def test_gc_ivf_attempts_distinct_ages(spark, tmp_path):
     """Age is per-attempt: with two losers written at different times,
     a threshold between their ages deletes exactly the older one."""

@@ -332,3 +332,22 @@ def test_register_views_sql_surface(spark):
     assert spark.sql(
         "SELECT CAST(ts AS BIGINT) AS e FROM events LIMIT 1"
     ).head() is not None
+
+
+def test_sql_entry_point_matches_dataframe_registry(spark):
+    """One registry query run BOTH ways — the DataFrame plan from
+    queries() and its own oracle_sql string through the sql() entry
+    point (same Spark session, same views) — returns identical rows:
+    the SQL surface and the DataFrame surface share one data model."""
+    import __spark_entry__ as entry_mod
+
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import register_tables, sql
+    from tests.conftest import SF_DIR
+
+    name = "q_agg_basic"
+    df_rows = sorted(
+        tuple(r) for r in entry_mod.queries()[name](spark, SF_DIR).collect()
+    )
+    register_tables(spark, SF_DIR)
+    sql_rows = sorted(tuple(r) for r in sql(spark, entry_mod.oracle_sql()[name]).collect())
+    assert df_rows == sql_rows and df_rows
