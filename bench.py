@@ -27,6 +27,18 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from big_data___knowledge_graph_construction_with_llm_spark.session import get_spark  # noqa: E402
 
 
+def best_of(run1: dict[str, float], run2: dict[str, float]) -> dict[str, float]:
+    """Per-query best-of-2: min over the PASSING times only — a query
+    that succeeded in either run is a success (a naive min(t, -1.0)
+    would report a run2 hiccup as failure and silently drop the query
+    from the headline total). -1.0 only when BOTH runs failed."""
+    best: dict[str, float] = {}
+    for k in run1:
+        vals = [t for t in (run1[k], run2.get(k, -1.0)) if t >= 0]
+        best[k] = min(vals) if vals else -1.0
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # sf from the dir name, e.g. .../sf0.1 -> 0.1
@@ -101,13 +113,7 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_run2 = round(sum(t for t in timings_run2.values() if t >= 0), 3)
-    # min over the PASSING times only: a query that succeeded in one run
-    # and failed in the other is a success (min(t, -1.0) would mis-report
-    # it as failed and silently drop it from total_best)
-    best = {}
-    for k in timings:
-        vals = [t for t in (timings[k], timings_run2.get(k, -1.0)) if t >= 0]
-        best[k] = min(vals) if vals else -1.0
+    best = best_of(timings, timings_run2)
     total_best = round(sum(t for t in best.values() if t >= 0), 3)
 
     # accuracy contract for q_approx_sketches (untimed): the sketches are

@@ -40,16 +40,53 @@ HEAVY = [
 ]
 
 
-def _jvm_heap_mb(spark) -> int:
-    """Live JVM heap after a forced GC. NOTE: under local[n] this one
-    JVM holds the driver AND all executor state (shuffle blocks,
-    broadcast vars), so this is an upper bound on what a real cluster's
-    driver would retain — without the GC the reading is mostly
-    uncollected garbage and means nothing."""
-    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
-    spark.sparkContext._jvm.java.lang.System.gc()
+def _heap_probe(spark) -> dict:
+    """Post-GC live-heap snapshot WITH attribution counters. Under
+    local[n] one JVM holds the driver AND all executor state, so the raw
+    live heap alone cannot distinguish "driver structures grew" (bad at
+    100x) from "executor block/broadcast/shuffle residue grew" (expected
+    — a real cluster spreads it over executors). The counters split it:
+
+    - ``block_store_mb``: BlockManager MemoryStore bytes — broadcast
+      pieces + cached blocks, i.e. EXECUTOR-side storage memory.
+    - ``shuffle_statuses``: MapOutputTrackerMaster's retained shuffle
+      map-status count — per-shuffle metadata the ContextCleaner drops
+      when a shuffle becomes unreferenced; a monotone-growing number
+      here would mean unbounded driver bookkeeping.
+    """
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    rt = jvm.java.lang.Runtime.getRuntime()
+    jvm.java.lang.System.gc()
     time.sleep(1.0)
-    return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+    env = sc._jsc.sc().env()
+    return {
+        "live_heap_mb": int((rt.totalMemory() - rt.freeMemory()) / (1 << 20)),
+        "block_store_mb": round(
+            env.blockManager().memoryStore().memoryUsed() / (1 << 20), 1
+        ),
+        "shuffle_statuses": int(env.mapOutputTracker().shuffleStatuses().size()),
+    }
+
+
+def _drop_session_state(spark) -> None:
+    """Release executor-visible session state so the next probe reads
+    the RESIDUAL (true driver structures): Python ``gc.collect()`` FIRST
+    (the localCheckpoint lineage cuts leave py4j RDD handles in Python
+    reference cycles; until Python collects them the JVM cleaner sees
+    live references and the blocks pin the MemoryStore), then clear the
+    SQL cache and let the ContextCleaner drain — unreferenced RDD
+    blocks, broadcasts and shuffles are cleaned off reference-queue
+    processing, which a few GC cycles with settle time reliably trigger
+    in-process."""
+    import gc
+
+    spark.catalog.clearCache()
+    jvm = spark.sparkContext._jvm
+    for _ in range(3):
+        gc.collect()
+        jvm.java.lang.System.gc()
+        time.sleep(1.5)
 
 
 def run_suite(spark, sf_dir: str, repeats: int = 2) -> dict:
@@ -90,11 +127,23 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    heap_before = _jvm_heap_mb(spark)
+    probe_before = _heap_probe(spark)
     base = run_suite(spark, base_dir)
-    heap_mid = _jvm_heap_mb(spark)
+    probe_after_base = _heap_probe(spark)
     scaled = run_suite(spark, scaled_dir)
-    heap_after = _jvm_heap_mb(spark)
+    probe_after_scaled = _heap_probe(spark)
+    # attribution experiment 1: drop executor-visible state (cache +
+    # cleaner drain) — whatever heap survives is driver-attributable
+    _drop_session_state(spark)
+    probe_scaled_cleaned = _heap_probe(spark)
+    # attribution experiment 2 (control): re-run the 1x suite, clean
+    # again. If the cleaned heap keeps growing while data went BACK to
+    # 1x, the residual tracks accumulated per-task/stage bookkeeping
+    # (bounded by spark.ui.retained* limits), not data volume — the
+    # distinction the flat-driver-at-100x claim rests on.
+    base_rerun = run_suite(spark, base_dir, repeats=1)
+    _drop_session_state(spark)
+    probe_rerun_cleaned = _heap_probe(spark)
 
     ratio = {
         q: {
@@ -117,10 +166,26 @@ def main() -> None:
         "ratio": ratio,
         "driver": {
             "py_maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
-            "jvm_live_heap_mb_before": heap_before,
-            "jvm_live_heap_mb_after_base": heap_mid,
-            "jvm_live_heap_mb_after_scaled": heap_after,
-            "note": "local[n]: one JVM = driver + all executors; post-GC live heap",
+            "probe_before": probe_before,
+            "probe_after_base": probe_after_base,
+            "probe_after_scaled": probe_after_scaled,
+            "probe_scaled_cleaned": probe_scaled_cleaned,
+            "probe_rerun_base_cleaned": probe_rerun_cleaned,
+            "executor_attributable_mb": probe_after_scaled["live_heap_mb"]
+            - probe_scaled_cleaned["live_heap_mb"],
+            "driver_residual_mb": probe_scaled_cleaned["live_heap_mb"],
+            "base_rerun_total_wall_s": round(
+                sum(v["wall_s"] for v in base_rerun.values()), 2
+            ),
+            "note": (
+                "local[n]: one JVM = driver + all executors; post-GC live "
+                "heap. executor_attributable = reclaimed by cache-clear + "
+                "ContextCleaner drain after the 10x pass; driver_residual = "
+                "what survives (plans, status store, session) — compare "
+                "probe_rerun_base_cleaned to see whether the residual "
+                "tracks data volume (bad) or task count (bounded by "
+                "spark.ui.retained* config)."
+            ),
         },
         "base_total_wall_s": round(sum(v["wall_s"] for v in base.values()), 2),
         "scaled_total_wall_s": round(sum(v["wall_s"] for v in scaled.values()), 2),

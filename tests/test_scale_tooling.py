@@ -97,3 +97,25 @@ def test_scale_embeddings_rotation_decorrelates(spark):
     assert out[5]["label"] == 3 and out[100_005]["label"] == 1003
     # rotation by 7 really moved the dims
     assert list(out[100_005]["embedding"][:57]) == list(out[5]["embedding"][7:])
+
+
+def _bench_mod():
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_best_of_aggregation():
+    """best_of takes the min over PASSING runs only: a query that passed
+    run1 but hiccuped in run2 (or vice versa) is still a success with
+    its passing time; -1.0 only when both runs failed; run2-missing
+    falls back to run1."""
+    best_of = _bench_mod().best_of
+    assert best_of(
+        {"a": 2.0, "b": 3.0, "c": -1.0, "d": -1.0, "e": 1.5},
+        {"a": 1.0, "b": -1.0, "c": 4.0, "d": -1.0},
+    ) == {"a": 1.0, "b": 3.0, "c": 4.0, "d": -1.0, "e": 1.5}
