@@ -1512,8 +1512,15 @@ def ngram_decontaminate(
 ) -> DataFrame:
     """Drop corpus docs flagged by :func:`ngram_leaks` (exact shared
     n-gram with the benchmark). Anti-join on id only — the corpus text
-    never moves. Run AFTER the Jaccard :func:`decontaminate` pass if
-    both are wanted; they prune independent leak classes."""
+    never moves.
+
+    When combining with the Jaccard :func:`decontaminate` pass, do NOT
+    chain this over its output (``ngram_decontaminate(clean, …)``
+    consumes the lazy Jaccard DAG twice — span extraction + anti-join —
+    re-running its verify pipeline). The leak classes are independent:
+    run :func:`ngram_leaks` against the ORIGINAL corpus and anti-join
+    both id sets — identical kept set, one pass each (the composition
+    ``q_decontaminate`` uses; ~30% faster at sf0.1)."""
     return docs.join(
         ngram_leaks(docs, benchmark, id_col, text_col, n, min_hits).select(id_col),
         id_col,

@@ -417,10 +417,19 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     the green hash row proves that leg is load-bearing, not shadowed.
     The oracle recomputes both criteria exhaustively (benchmark is
     small, so DuckDB can afford all pairs) — agreement also certifies
-    the LSH stage lost no leak above the threshold on this corpus."""
+    the LSH stage lost no leak above the threshold on this corpus.
+
+    Composition note: the 13-gram leg runs against the ORIGINAL corpus,
+    not the Jaccard-cleaned frame — the leak sets are independent, so
+    the kept set is identical either way (docs NOT Jaccard-leaked AND
+    NOT 13-gram-leaked), but chaining ``ngram_decontaminate(clean, …)``
+    would consume the lazy Jaccard DAG twice (once for span extraction,
+    once as the anti-join left side), re-running its verify pipeline.
+    Independent legs + one extra anti-join measured ~30% faster at
+    sf0.1 with byte-identical output."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
         decontaminate,
-        ngram_decontaminate,
+        ngram_leaks,
     )
 
     d = load(spark, sf, "documents")
@@ -435,9 +444,8 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     corpus = d.select("doc_id", "text", "lang").unionByName(planted)
     bench = d.filter(F.col("doc_id") % 50 == 0).select("text")
     clean = decontaminate(corpus, bench, "doc_id", "text", threshold=0.8)
-    return ngram_decontaminate(clean, bench, "doc_id", "text", n=13).select(
-        "doc_id", "lang"
-    )
+    leak13 = ngram_leaks(corpus, bench, "doc_id", "text", n=13).select("doc_id")
+    return clean.join(leak13, "doc_id", "left_anti").select("doc_id", "lang")
 
 
 # --- similarity search ----------------------------------------------------------
