@@ -84,6 +84,7 @@ def curate(
     ngram_n: int | None = None,
     strict: bool = False,
     redact: bool = False,
+    materialize_stages: bool = True,
 ) -> DataFrame:
     """The full curation flow; returns the surviving rows of ``docs``
     with a ``split`` column (train/val/test). Every stage is one of the
@@ -121,7 +122,23 @@ def curate(
     rewrites ``text_col`` through :func:`operators.text.redact_pii` as
     the LAST stage — after dedup/decontamination, so redaction (which
     collapses distinct emails to one token) cannot create or mask
-    near-duplicate relationships the earlier stages decide on."""
+    near-duplicate relationships the earlier stages decide on.
+
+    ``materialize_stages`` (default True) cuts lineage at every stage
+    boundary through the pluggable ``materialize`` seam — the same
+    discipline :func:`curate_with_stats` applies. It matters because
+    several stages consume their input MORE THAN ONCE (semi/anti-join
+    back onto the frame they filtered): chained lazily, each such stage
+    re-executes its entire upstream DAG per consumer, and the base-scan
+    count compounds stage over stage — linear-per-stage materialization
+    is what keeps the whole flow linear. Pass False only to embed the
+    flow as a single lazy plan (composition into a larger query, or
+    plan-shape tests) on inputs small enough that recompute is cheaper
+    than the checkpoint writes."""
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import (
+        materialize,
+    )
+
     kept = docs
     for _name, stage in _curation_stages(
         doc_columns=docs.columns, id_col=id_col, text_col=text_col,
@@ -137,6 +154,8 @@ def curate(
         ngram_n=ngram_n, strict=strict, redact=redact,
     ):
         kept = stage(kept)
+        if materialize_stages:
+            kept = materialize(kept)
     return kept
 
 
@@ -265,10 +284,13 @@ def curate_with_stats(
 
     # defaults come FROM curate's signature — one source of truth, so a
     # changed default can never desynchronize the two entry points
+    # materialize_stages is curate-only: this entry point ALWAYS
+    # materializes (the counts depend on it), so it is excluded rather
+    # than silently accepted-and-ignored
     sig = {
         name: p.default
         for name, p in inspect.signature(curate).parameters.items()
-        if name not in ("docs", "id_col", "text_col")
+        if name not in ("docs", "id_col", "text_col", "materialize_stages")
     }
     unknown = set(kwargs) - set(sig)
     if unknown:
