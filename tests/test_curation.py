@@ -60,6 +60,13 @@ def test_curate_full_flow(spark):
         docs, benchmark=bench, min_tokens=5, jaccard_threshold=0.7
     ).collect()}
     assert got == again
+    # materialize_stages is a plan-shape choice, never a semantic one:
+    # the fully-lazy composition selects the identical rows
+    lazy = {r["doc_id"]: r["split"] for r in curate(
+        docs, benchmark=bench, min_tokens=5, jaccard_threshold=0.7,
+        materialize_stages=False,
+    ).collect()}
+    assert got == lazy
 
 
 def test_curate_redacts_pii_last(spark):
