@@ -514,6 +514,83 @@ def test_streaming_funnel_state_spans_batches(spark, tmp_path):
     assert last[2] == (1, base + 4 * m, base + 4 * m)  # view only; early purchase ignored
 
 
+def test_streaming_funnel_state_survives_query_restart(spark, tmp_path):
+    """Production restart semantics: the funnel's per-user state lives
+    in the checkpointed state store, not the query object — a NEW query
+    started from the same checkpoint after a stop resumes the funnel
+    exactly where the old one left it (step 1 committed by run one,
+    steps 2-3 by run two)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+        streaming_funnel,
+    )
+
+    src = tmp_path / "funnel-restart-in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt-funnel-restart")
+
+    def mk_stream():
+        return (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    def run_once(collected):
+        # foreachBatch sink: the memory sink does NOT support checkpoint
+        # recovery (Spark refuses the restart), foreachBatch does
+        def emit(df, batch_id):
+            collected.extend(
+                (r["user_id"], r["depth"], r["t_first"], r["t_depth"])
+                for r in df.collect()
+            )
+
+        q = (
+            streaming_funnel(mk_stream(), ["view", "click", "purchase"])
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    (src / "a.json").write_text(
+        json.dumps(
+            {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1,
+             "event_type": "view", "value": 0.0, "props": "{}"}
+        )
+    )
+    out1: list = []
+    run_once(out1)
+    assert {(u, d) for u, d, _, _ in out1} == {(1, 1)}
+
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"event_id": 2, "ts": "2024-01-01T00:02:00Z", "user_id": 1,
+                 "event_type": "click", "value": 0.0, "props": "{}"},
+                {"event_id": 3, "ts": "2024-01-01T00:03:00Z", "user_id": 1,
+                 "event_type": "purchase", "value": 0.0, "props": "{}"},
+            ]
+        )
+    )
+    out2: list = []
+    run_once(out2)  # fresh query object, same checkpoint
+    last = {u: (d, tf, td) for u, d, tf, td in out2}
+    m = 60 * 1_000_000
+    base = int(__import__("datetime").datetime(
+        2024, 1, 1, tzinfo=__import__("datetime").timezone.utc
+    ).timestamp()) * 1_000_000
+    # depth 3 requires the restarted query to have REMEMBERED step 1:
+    # run two's files contain no view event at all
+    assert last[1] == (3, base + 1 * m, base + 3 * m)
+
+
 def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
     """Batch-twin parity (the stream_stream_interval_join pattern): the
     same event set through the stateful streaming funnel and through the
