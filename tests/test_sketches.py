@@ -163,6 +163,18 @@ def test_sketch_store_at_rest_round_trip(spark, tmp_path):
         want["n_union"],
     )
     assert got["n_intersection"] == 500.0  # truth at this exact-regime size
+    # SELECTIVE merge — the store's whole point: overlap over a single
+    # day partition of each store, no rescan of either corpus. day==0
+    # holds doc numbers ≡ 0 (mod 3): a has 0..999, b has 500..1999 →
+    # shared day-0 docs are {501, 504, ..., 999} = 167 of them (the
+    # sides' day-0 residues differ: a's doc i at i%3, b's at i%3 too,
+    # so day 0 is i%3==0 on both; intersection = multiples of 3 in
+    # [500, 999] = 167)
+    sub = overlap_from_theta(
+        fresh.read.parquet(ta_path).filter(F.col("day") == 0),
+        fresh.read.parquet(tb_path).filter(F.col("day") == 0),
+    ).head()
+    assert (sub["n_a"], sub["n_b"], sub["n_intersection"]) == (334.0, 500.0, 167.0)
 
 
 def test_theta_sketch_by_groups(spark):
