@@ -149,13 +149,22 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: sketch accuracy check failed: {exc!r}", file=sys.stderr)
 
-    # recall contract for q_knn_ivf (untimed): IVF is rows-only in the
-    # correctness gate (the k-means quantizer is engine-specific), so the
-    # bench measures what the approximation actually costs — top-10
-    # overlap with the exact brute-force answer, per n_probe. n_probe=8
-    # probes all 8 clusters and must reach recall 1.0 (the IVF path
-    # degenerates to an exact scan), anchoring the sweep.
+    # ANN recall contracts (untimed). Shared setup runs ONCE — corpus,
+    # the at-rest IVF index, the 5 query vectors and their exact
+    # brute-force truth sets — then each metric gets its own guarded
+    # block so one failing contract never hides the other.
+    #
+    # ivf_recall (q_knn_ivf is rows-only in the correctness gate — the
+    # k-means quantizer is engine-specific): top-10 overlap with the
+    # exact answer per n_probe; n_probe=8 probes all 8 clusters and must
+    # reach recall 1.0 (the IVF path degenerates to an exact scan).
+    #
+    # pq_recall: with ALL clusters probed the probe error is zero, so it
+    # isolates what the m-byte ADC approximation costs at top-10;
+    # pq_rerank* measures the production composition (ADC shortlist ->
+    # exact re-rank), which should recover most of the gap.
     ivf_recall: dict[str, float] = {}
+    pq_recall: dict[str, float] = {}
     try:
         from pyspark.sql import functions as F
 
@@ -163,6 +172,9 @@ def main() -> None:
             ensure_ivf_index,
             knn_brute_force,
             knn_ivf,
+            knn_ivf_pq,
+            pq_codebooks,
+            pq_encode,
         )
         from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load as _load
 
@@ -181,88 +193,64 @@ def main() -> None:
             {r["vec_id"] for r in knn_brute_force(corpus, q, 10).collect()}
             for q in qvecs
         ]
-        for n_probe in (1, 2, 4, 8):
-            hits = 0
-            for q, truth in zip(qvecs, exact):
-                got = {
-                    r["vec_id"]
-                    for r in knn_ivf(idx, cents, q, 10, n_probe=n_probe).collect()
-                }
-                hits += len(got & truth)
-            ivf_recall[f"recall_at_10_nprobe_{n_probe}"] = round(
-                hits / (10 * len(qvecs)), 3
-            )
-    except Exception as exc:
-        print(f"bench: ivf recall check failed: {exc!r}", file=sys.stderr)
-
-    # recall contract for IVF-PQ (untimed): with ALL clusters probed the
-    # probe error is zero, so pq_recall isolates what the m-byte ADC
-    # approximation itself costs at top-10; pq_rerank_recall measures the
-    # production composition (ADC shortlist -> exact re-rank), which
-    # should recover most of the gap at ~5x the read cost of the top-k.
-    pq_recall: dict[str, float] = {}
-    try:
-        from pyspark.sql import functions as F
-
-        from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
-            knn_brute_force,
-            knn_ivf_pq,
-            pq_codebooks,
-            pq_encode,
-        )
-        from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load as _load
-
-        corpus = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-        dim = corpus.select(F.size("embedding")).first()[0]
-        books = pq_codebooks(corpus, dim, m=16, k=16, iterations=2)
-        idx, cents = ensure_ivf_index(
-            spark, corpus, _ivf_cache_path(spark, sf_dir), k=8, iterations=2
-        )
-        coded = pq_encode(idx, books, dim)
-        qvecs = [
-            [float(x) for x in r["embedding"]]
-            for r in _load(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") < 5)
-            .orderBy("vec_id")
-            .collect()
-        ]
-        hits_adc = 0
-        hits_rr = {50: 0, 100: 0, 200: 0}
-        for q in qvecs:
-            truth = {r["vec_id"] for r in knn_brute_force(corpus, q, 10).collect()}
-            adc = [
-                r["vec_id"]
-                for r in knn_ivf_pq(coded, cents, books, q, 200, n_probe=8).collect()
-            ]
-            hits_adc += len(set(adc[:10]) & truth)
-            for s in hits_rr:
-                short = spark.createDataFrame([(i,) for i in adc[:s]], "vec_id long")
-                rr = {
-                    r["vec_id"]
-                    for r in knn_brute_force(
-                        corpus.join(short, "vec_id", "left_semi"), q, 10
-                    ).collect()
-                }
-                hits_rr[s] += len(rr & truth)
         denom = 10 * len(qvecs)
-        pq_recall = {
-            "pq_recall_at_10_all_probes": round(hits_adc / denom, 3),
-            **{
-                f"pq_rerank{s}_recall_at_10": round(h / denom, 3)
-                for s, h in hits_rr.items()
-            },
-            "m_bytes": 16,
-            "codes_per_subspace": 16,
-            "note": (
-                "synthetic i.i.d.-gaussian embeddings are PQ's worst case "
-                "(no low-dim structure to quantize); the contract pinned "
-                "here is the RECOVERY SHAPE — ADC-only recall rising "
-                "monotonically through the exact-re-rank shortlist sweep — "
-                "not an absolute recall floor"
-            ),
-        }
+
+        try:
+            for n_probe in (1, 2, 4, 8):
+                hits = 0
+                for q, truth in zip(qvecs, exact):
+                    got = {
+                        r["vec_id"]
+                        for r in knn_ivf(idx, cents, q, 10, n_probe=n_probe).collect()
+                    }
+                    hits += len(got & truth)
+                ivf_recall[f"recall_at_10_nprobe_{n_probe}"] = round(hits / denom, 3)
+        except Exception as exc:
+            print(f"bench: ivf recall check failed: {exc!r}", file=sys.stderr)
+
+        try:
+            dim = corpus.select(F.size("embedding")).first()[0]
+            books = pq_codebooks(corpus, dim, m=16, k=16, iterations=2)
+            coded = pq_encode(idx, books, dim)
+            hits_adc = 0
+            hits_rr = {50: 0, 100: 0, 200: 0}
+            for q, truth in zip(qvecs, exact):
+                adc = [
+                    r["vec_id"]
+                    for r in knn_ivf_pq(coded, cents, books, q, 200, n_probe=8).collect()
+                ]
+                hits_adc += len(set(adc[:10]) & truth)
+                for s in hits_rr:
+                    short = spark.createDataFrame(
+                        [(i,) for i in adc[:s]], "vec_id long"
+                    )
+                    rr = {
+                        r["vec_id"]
+                        for r in knn_brute_force(
+                            corpus.join(short, "vec_id", "left_semi"), q, 10
+                        ).collect()
+                    }
+                    hits_rr[s] += len(rr & truth)
+            pq_recall = {
+                "pq_recall_at_10_all_probes": round(hits_adc / denom, 3),
+                **{
+                    f"pq_rerank{s}_recall_at_10": round(h / denom, 3)
+                    for s, h in hits_rr.items()
+                },
+                "m_bytes": 16,
+                "codes_per_subspace": 16,
+                "note": (
+                    "synthetic i.i.d.-gaussian embeddings are PQ's worst case "
+                    "(no low-dim structure to quantize); the contract pinned "
+                    "here is the RECOVERY SHAPE — ADC-only recall rising "
+                    "monotonically through the exact-re-rank shortlist sweep — "
+                    "not an absolute recall floor"
+                ),
+            }
+        except Exception as exc:
+            print(f"bench: pq recall check failed: {exc!r}", file=sys.stderr)
     except Exception as exc:
-        print(f"bench: pq recall check failed: {exc!r}", file=sys.stderr)
+        print(f"bench: ann recall setup failed: {exc!r}", file=sys.stderr)
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:

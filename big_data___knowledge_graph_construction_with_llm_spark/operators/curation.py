@@ -153,9 +153,18 @@ def curate(
         excise_boilerplate=excise_boilerplate, excise_lines=excise_lines,
         ngram_n=ngram_n, strict=strict, redact=redact,
     ):
-        kept = stage(kept)
         if materialize_stages:
-            kept = materialize(kept)
+            nxt = materialize(stage(kept))
+            # every materializer is EAGER, so once `nxt` exists the
+            # superseded checkpoint's blocks are dead weight — release
+            # them now instead of holding ~one corpus copy per stage
+            # until GC gets around to it (no-op for the input frame and
+            # for file-backed materializers)
+            if kept is not docs:
+                kept.unpersist()
+            kept = nxt
+        else:
+            kept = stage(kept)
     return kept
 
 

@@ -288,6 +288,12 @@ def frame_hashes_pil(payload: bytes, every_n: int) -> list:
     import hashlib
     import io
 
+    # caller errors must RAISE (as the stub's range() does), never fold
+    # into the corrupt-payload sentinel — the broad except below is for
+    # payload problems only, and the seam contract is identical behavior
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
     try:
         from PIL import Image
     except ImportError as e:  # pragma: no cover - exercised via best_frame_sampler
@@ -339,6 +345,8 @@ def sample_frames(
     matters more here — size tasks to O(100 MB) of payload, and emit
     only (id, frame_no, hash) so the binary never enters a shuffle.
     """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     src = df.select(id_col, bin_col)
     if batch_partitions:
         src = src.repartition(batch_partitions)

@@ -164,13 +164,18 @@ def overlap_from_theta(a_sketches: DataFrame, b_sketches: DataFrame) -> DataFram
     sa = a_sketches.agg(F.theta_union_agg("sketch").alias("sa"))
     sb = b_sketches.agg(F.theta_union_agg("sketch").alias("sb"))
     both = sa.crossJoin(sb)  # 1 row x 1 row — a parameter join, not data
+    # an EMPTY side (zero sketch rows — e.g. a mistyped partition key in
+    # the advertised subset use) unions to a NULL sketch whose estimate
+    # is NULL; that must read as 0.0 overlap, not NULL-propagate through
+    # every downstream gate under ANSI-off
+    def _est(c):
+        return F.coalesce(F.theta_sketch_estimate(c), F.lit(0.0))
+
     est = both.select(
-        F.theta_sketch_estimate("sa").alias("n_a"),
-        F.theta_sketch_estimate("sb").alias("n_b"),
-        F.theta_sketch_estimate(F.theta_intersection("sa", "sb")).alias(
-            "n_intersection"
-        ),
-        F.theta_sketch_estimate(F.theta_union("sa", "sb")).alias("n_union"),
+        _est(F.col("sa")).alias("n_a"),
+        _est(F.col("sb")).alias("n_b"),
+        _est(F.theta_intersection("sa", "sb")).alias("n_intersection"),
+        _est(F.theta_union("sa", "sb")).alias("n_union"),
     )
     return est.withColumns(
         {

@@ -71,14 +71,14 @@ def _heap_probe(spark) -> dict:
 
 def _drop_session_state(spark) -> None:
     """Release executor-visible session state so the next probe reads
-    the RESIDUAL (true driver structures): Python ``gc.collect()`` FIRST
-    (the localCheckpoint lineage cuts leave py4j RDD handles in Python
-    reference cycles; until Python collects them the JVM cleaner sees
-    live references and the blocks pin the MemoryStore), then clear the
-    SQL cache and let the ContextCleaner drain — unreferenced RDD
-    blocks, broadcasts and shuffles are cleaned off reference-queue
-    processing, which a few GC cycles with settle time reliably trigger
-    in-process."""
+    the RESIDUAL (true driver structures): clear the SQL cache, then run
+    paired Python+JVM GC cycles with settle time. Within each cycle the
+    Python ``gc.collect()`` comes BEFORE the JVM GC — the localCheckpoint
+    lineage cuts leave py4j RDD handles in Python reference cycles, and
+    until Python collects them the JVM cleaner sees live references and
+    the blocks pin the MemoryStore; once released, unreferenced RDD
+    blocks, broadcasts and shuffles drain off the ContextCleaner's
+    reference queue."""
     import gc
 
     spark.catalog.clearCache()

@@ -1247,8 +1247,10 @@ def test_select_to_token_budget_wide_partitions_broadcast_offsets(spark):
     wide = select_to_token_budget(df, "doc_id", "n", "score", 20_000, partitions=2048)
     plan = wide._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # offsets table joined, not inlined
-    # no 2048-element literal array in the plan text
-    assert plan.count(",") < 2000
+    # the literal-array branch would show its element_at(array(...), _pid+1)
+    # lookup in the plan; its absence pins the actual contract (a raw
+    # comma count would break on unrelated plan-verbosity growth)
+    assert "element_at" not in plan
 
     got = {r["doc_id"] for r in wide.collect()}
     narrow = {
