@@ -84,6 +84,27 @@ def test_frame_sampler_stub_and_real_share_schema_contract(spark):
     assert "frame_sha string" in FRAME_SAMPLE_SCHEMA
 
 
+def test_frame_samplers_reject_bad_every_n(spark):
+    """Caller errors raise identically through the seam: every_n < 1
+    fails fast in sample_frames AND in the PIL sampler itself (the
+    stub's range() raises on its own) — never folded into the
+    corrupt-payload sentinel."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.multimodal import (
+        frame_hashes_pil,
+        frame_hashes_stub,
+        sample_frames,
+    )
+
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(_payloads(spark), every_n=0)
+    with pytest.raises(ValueError):
+        frame_hashes_stub(b"x" * 500, 0)
+    with pytest.raises(ValueError, match="every_n"):
+        frame_hashes_pil(b"GIF89a", 0)  # raises BEFORE the PIL import gate
+
+
 def test_best_frame_sampler_resolution():
     """PIL sampler when Pillow is importable, stub otherwise — resolved
     driver-side like the image/audio seams."""

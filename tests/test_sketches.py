@@ -177,6 +177,28 @@ def test_sketch_store_at_rest_round_trip(spark, tmp_path):
     assert (sub["n_a"], sub["n_b"], sub["n_intersection"]) == (334.0, 500.0, 167.0)
 
 
+def test_overlap_from_theta_empty_side_is_zero(spark):
+    """An empty sketch side (mistyped/missing partition key in the
+    subset use) must read as 0.0 overlap everywhere, never NULL — a
+    NULL would silently falsify every downstream gate under ANSI-off."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sketches import (
+        overlap_from_theta,
+    )
+
+    df = spark.createDataFrame([(0, "a"), (1, "b")], "day int, v string")
+    st = theta_sketch_by(df, ["day"], "v")
+    empty = st.filter(F.col("day") == 99)
+    r = overlap_from_theta(empty, st).head()
+    assert (r["n_a"], r["n_intersection"], r["containment_a_in_b"], r["jaccard"]) == (
+        0.0,
+        0.0,
+        0.0,
+        0.0,
+    )
+    assert r["n_b"] == 2.0
+    assert tuple(overlap_from_theta(empty, empty).head()) == (0.0,) * 6
+
+
 def test_theta_sketch_by_groups(spark):
     """Grouped theta sketches: binary column per group, usable in later
     set algebra (smoke the estimate path)."""
