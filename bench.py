@@ -208,6 +208,27 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: ivf recall check failed: {exc!r}", file=sys.stderr)
 
+        # int8 storage quantization (4x smaller scans): top-10 overlap of
+        # the dequantized corpus vs exact — the cheap-compression point on
+        # the same accuracy axis the PQ sweep measures the far end of
+        try:
+            from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                dequantize_int8,
+                quantize_int8,
+            )
+
+            deq = corpus.select(
+                "vec_id",
+                dequantize_int8(quantize_int8(F.col("embedding"))).alias("embedding"),
+            )
+            hits8 = 0
+            for q, truth in zip(qvecs, exact):
+                got = {r["vec_id"] for r in knn_brute_force(deq, q, 10).collect()}
+                hits8 += len(got & truth)
+            ivf_recall["int8_recall_at_10"] = round(hits8 / denom, 3)
+        except Exception as exc:
+            print(f"bench: int8 recall check failed: {exc!r}", file=sys.stderr)
+
         try:
             dim = corpus.select(F.size("embedding")).first()[0]
             books = pq_codebooks(corpus, dim, m=16, k=16, iterations=2)
