@@ -78,6 +78,46 @@ def materialize(df: DataFrame) -> DataFrame:
     return _materializer(df)
 
 
+def release(df: DataFrame, blocking: bool = False) -> None:
+    """Strategy-aware storage release for a frame previously returned by
+    :func:`materialize`, for when a pipeline supersedes it (the next
+    stage/iteration is materialized and the old blocks are dead weight).
+
+    ``Dataset.unpersist()`` alone is NOT enough: it only drops
+    CacheManager entries (the ``persist_disk`` case). A
+    ``localCheckpoint`` frame's blocks are RDD-level persisted on the
+    internal RDD of its ``LogicalRDD`` plan, invisible to the
+    CacheManager, so they'd otherwise sit in executor storage until the
+    ContextCleaner happens to GC the RDD handle — one corpus copy per
+    superseded stage. This unpersists that internal RDD directly
+    (verified empirically: MemoryStore usage drops to ~0 immediately).
+
+    ``reliable_checkpoint`` frames are file-backed; the LogicalRDD branch
+    is a harmless no-op on their unpersisted checkpoint RDD and the
+    files stay readable — releasing a frame never invalidates it for a
+    consumer that re-reads it, EXCEPT under ``local_checkpoint``/
+    ``persist_disk`` where the blocks are the only copy; callers must
+    therefore only release frames no longer referenced by any
+    unexecuted plan.
+
+    ``blocking=False`` (default) lets block removal proceed
+    asynchronously — the right call inside a pipeline, where stalling on
+    executor round-trips buys nothing; pass ``True`` when the caller
+    needs the memory observably freed before proceeding (tests, memory
+    probes).
+    """
+    df.unpersist(blocking)
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        # non-py4j backends (e.g. Spark Connect) have no _jdf; storage
+        # release then falls back to the ContextCleaner, the pre-seam
+        # behavior
+        pass
+
+
 @contextmanager
 def using_materializer(fn: Materializer) -> Iterator[None]:
     """Scoped override (tests, or a single durable curation pass inside

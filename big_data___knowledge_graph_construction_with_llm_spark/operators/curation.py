@@ -137,6 +137,7 @@ def curate(
     than the checkpoint writes."""
     from big_data___knowledge_graph_construction_with_llm_spark.materialize import (
         materialize,
+        release,
     )
 
     kept = docs
@@ -156,12 +157,14 @@ def curate(
         if materialize_stages:
             nxt = materialize(stage(kept))
             # every materializer is EAGER, so once `nxt` exists the
-            # superseded checkpoint's blocks are dead weight — release
-            # them now instead of holding ~one corpus copy per stage
-            # until GC gets around to it (no-op for the input frame and
-            # for file-backed materializers)
+            # superseded stage's blocks are dead weight — release them
+            # now (strategy-aware: localCheckpoint blocks live on the
+            # internal RDD where Dataset.unpersist can't see them)
+            # instead of holding ~one corpus copy per stage until GC
+            # gets around to it (no-op for the input frame and for
+            # file-backed materializers)
             if kept is not docs:
-                kept.unpersist()
+                release(kept)
             kept = nxt
         else:
             kept = stage(kept)
@@ -289,7 +292,10 @@ def curate_with_stats(
     :func:`curate`."""
     import inspect
 
-    from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import (
+        materialize,
+        release,
+    )
 
     # defaults come FROM curate's signature — one source of truth, so a
     # changed default can never desynchronize the two entry points
@@ -312,6 +318,13 @@ def curate_with_stats(
     for name, stage in _curation_stages(
         doc_columns=docs.columns, id_col=id_col, text_col=text_col, **sig
     ):
-        kept = materialize(stage(kept))
+        nxt = materialize(stage(kept))
+        # superseded stage: same eager-release discipline as curate().
+        # The `is not docs` guard matters under persist_disk, where
+        # materialize(docs) returns docs itself — releasing it would
+        # silently drop a cache entry the CALLER may rely on.
+        if kept is not docs:
+            release(kept)
+        kept = nxt
         stats[name] = kept.count()
     return kept, stats

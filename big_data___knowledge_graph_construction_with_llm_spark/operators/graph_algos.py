@@ -24,7 +24,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize, release
 
 log = logging.getLogger(__name__)
 
@@ -58,6 +58,11 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("id"))
     )
+    # `prev` tracks the MATERIALIZED frame backing `labels` so the
+    # superseded iteration's blocks can be released as soon as the next
+    # one exists (materializers are eager; `labels` itself may be a
+    # projection over `prev`, which release() cannot see through)
+    prev = labels
     for _ in range(max_iter):
         prop = (
             e.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -75,6 +80,8 @@ def connected_components(
         )
         new = materialize(new)
         changed = new.filter("_chg").limit(1).count()
+        release(prev)
+        prev = new
         labels = new.drop("_chg")
         if changed == 0:
             break
@@ -91,6 +98,9 @@ def connected_components(
             "connected_components did not converge within max_iter=%d "
             "iterations; returned labels are partial", max_iter,
         )
+    # the symmetrized edge copy is dead: the returned labels are backed
+    # by their own materialized frame and never re-read `e`
+    release(e)
     return labels
 
 
@@ -181,6 +191,7 @@ def pagerank(
             raise ValueError("exact_scale > 1e16 risks int64 overflow")
         base_i = ((100 - dnum) * exact_scale) // (100 * n)
         ranks = verts.withColumn("r", F.lit(exact_scale // n))
+        prev = None  # superseded per-iteration rank frames, released eagerly
         for _ in range(iterations):
             contribs = (
                 e_w.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -202,6 +213,14 @@ def pagerank(
                     ).alias("r"),
                 )
             )
+            if prev is not None:
+                release(prev)
+            prev = ranks
+        if iterations > 0:
+            # loop ran ⇒ `ranks` is its own materialized frame; the edge
+            # and vertex copies are no longer referenced by the result
+            release(e_w)
+            release(verts)
         # r ≤ scale < 2^53 and scale is a power of ten: both operands are
         # exact doubles, so the one rounded division is IEEE-identical
         # everywhere
@@ -211,6 +230,7 @@ def pagerank(
 
     base = (1.0 - damping) / n
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev = None  # superseded per-iteration rank frames, released eagerly
     for _ in range(iterations):
         contribs = (
             e_w.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -234,6 +254,12 @@ def pagerank(
             # every 3rd iteration (deeper plans cost more in re-analysis /
             # codegen than the extra materializations save)
         )
+        if prev is not None:
+            release(prev)
+        prev = ranks
+    if iterations > 0:
+        release(e_w)
+        release(verts)
     return ranks
 
 
@@ -262,6 +288,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    prev = labels  # superseded per-iteration label frames, released eagerly
     for _ in range(max_iter):
         neigh = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
@@ -283,6 +310,9 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
         )
+        release(prev)
+        prev = labels
+    release(e)  # the returned labels are materialized; `e` is dead
     return labels
 
 
@@ -400,13 +430,17 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
         )
         low = materialize(low)
         if low.limit(1).count() == 0:
+            release(low)
             break
         survivors = (
             alive.join(low.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(low.withColumnRenamed("id", "dst"), "dst", "left_anti")
             .select("src", "dst")
         )
-        alive = materialize(survivors)
+        nxt = materialize(survivors)
+        release(low)
+        release(alive)  # superseded edge set: `nxt` is its own frame
+        alive = nxt
     else:
         log.warning(
             "k_core did not reach a fixpoint within max_iter=%d; the "
@@ -470,6 +504,9 @@ def k_hop_distances(
         levels.append(new)
         frontier = new.select("id")
         seen = seen.unionByName(frontier)
+    # every level is its own materialized frame; the (possibly
+    # symmetrized) edge copy is not referenced by the returned union
+    release(e)
     return reduce(DataFrame.unionByName, levels)
 
 

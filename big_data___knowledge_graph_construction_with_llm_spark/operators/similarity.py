@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize, release
 
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
@@ -177,7 +177,10 @@ def ivf_centroids(
     for _ in range(iterations):
         # pluggable lineage cut (materialize seam): computed once here,
         # reused by the collect below AND by the caller
+        prev = centroids
         centroids = materialize(_cluster_means(assigned))
+        if prev is not None:
+            release(prev)  # superseded Lloyd iteration (k×dims rows — small, but tidy)
         cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
         assigned = v.withColumn("cluster", nearest_cluster(F.col("_v"), cents))
     return centroids if centroids is not None else materialize(_cluster_means(assigned))
@@ -255,9 +258,22 @@ def ensure_ivf_index(
     is identical on file:/hdfs:/s3a:. Losing attempt dirs are
     unreferenced and cheap; pass ``gc_max_age_ms`` to sweep them after a
     successful resolve (:func:`gc_ivf_attempts` — the winning attempt is
-    protected unconditionally, and the age threshold must exceed the
-    longest plausible build so an in-flight concurrent attempt is never
-    reaped), or run the janitor externally on your own schedule.
+    protected unconditionally), or run the janitor externally on your
+    own schedule.
+
+    ``gc_max_age_ms`` sizing: the threshold must exceed BOTH (a) the
+    longest plausible index build, so an in-flight concurrent attempt is
+    never reaped before its marker write, AND (b) the longest plausible
+    READER lifetime (or the rebuild cadence, whichever is larger). (b)
+    closes a TOCTOU window: the frames this function returns are LAZY —
+    a reader that resolved winner A keeps scanning A's files after a
+    concurrent builder flips the marker to B, at which point A is no
+    longer marker-protected and a sweep whose age threshold A has
+    outlived would delete it mid-read. Readers that cannot bound their
+    lifetime (long interactive sessions) should either leave GC to an
+    external janitor scheduled against the rebuild cadence, or eagerly
+    materialize (e.g. ``.cache()`` + count, or write out) what they need
+    before the next rebuild can land.
     """
     import uuid
 
@@ -318,10 +334,14 @@ def gc_ivf_attempts(
     protects in-flight builds that haven't reached their marker write
     yet (a losing-but-complete attempt is safe to delete at ANY age —
     no reader ever resolves to it — but age is the only signal that
-    distinguishes a loser from a build still in progress). Returns the
-    deleted attempt names. ``now_ms`` is injectable for tests; defaults
-    to the current clock. Companion to the commit protocol documented
-    on :func:`ensure_ivf_index` and in DEPLOYMENT.md."""
+    distinguishes a loser from a build still in progress, AND from a
+    just-superseded previous winner that a long-lived reader may still
+    be lazily scanning: size ``max_age_ms`` past the longest reader
+    lifetime / rebuild cadence, per the sizing note on
+    :func:`ensure_ivf_index`). Returns the deleted attempt names.
+    ``now_ms`` is injectable for tests; defaults to the current clock.
+    Companion to the commit protocol documented on
+    :func:`ensure_ivf_index` and in DEPLOYMENT.md."""
     import time
 
     from big_data___knowledge_graph_construction_with_llm_spark import fsutil

@@ -65,3 +65,70 @@ def test_reliable_checkpoint_materializer(spark, tmp_path):
     out = M.reliable_checkpoint(df)
     assert out.count() == 10
     assert [r["x"] for r in out.orderBy("id").collect()] == [i * 2 for i in range(10)]
+
+
+def _memstore_bytes(spark) -> int:
+    return spark.sparkContext._jsc.sc().env().blockManager().memoryStore().memoryUsed()
+
+
+def test_release_frees_local_checkpoint_blocks(spark):
+    """The ADVICE finding release() exists for: Dataset.unpersist() is a
+    no-op on localCheckpoint blocks (they're RDD-level persisted, not
+    CacheManager entries), so release() must unpersist the LogicalRDD's
+    internal RDD — MemoryStore usage has to drop back to ~baseline."""
+    base = _memstore_bytes(spark)
+    df = spark.range(200_000).selectExpr("id", "repeat(cast(id as string), 20) AS s")
+    ck = M.local_checkpoint(df)
+    held = _memstore_bytes(spark) - base
+    assert held > 1_000_000  # the checkpoint actually lives in the MemoryStore
+    ck.unpersist()  # documented no-op for this strategy
+    assert _memstore_bytes(spark) - base == held
+    M.release(ck, blocking=True)
+    assert _memstore_bytes(spark) - base < held // 100
+
+
+def test_release_uncaches_persist_disk(spark):
+    df = spark.range(1000).selectExpr("id", "id * 2 AS x")
+    out = M.persist_disk(df)
+    assert out.storageLevel.useDisk
+    M.release(out)
+    assert not out.storageLevel.useDisk and not out.storageLevel.useMemory
+
+
+def test_release_is_safe_on_plain_frames(spark):
+    # releasing a never-materialized frame (or a projection over one)
+    # must be a silent no-op, not an error
+    df = spark.range(10).selectExpr("id * 3 AS x")
+    M.release(df)
+    assert df.count() == 10
+
+
+def test_iterative_release_bounds_storage(spark):
+    """The supersede pattern the operators use: materialize stage N+1,
+    release stage N. Persisted-RDD storage must stay bounded at ~one
+    frame instead of growing linearly with the iteration count."""
+    sc = spark.sparkContext._jsc.sc()
+    base = len(sc.getRDDStorageInfo())
+    cur = M.materialize(spark.range(50_000).selectExpr("id", "id * 2 AS v"))
+    for i in range(5):
+        nxt = M.materialize(cur.selectExpr("id", f"v + {i} AS v"))
+        M.release(cur)
+        cur = nxt
+        assert len(sc.getRDDStorageInfo()) - base <= 2  # cur (+ in-flight nxt)
+    assert cur.agg(F.count("*")).first()[0] == 50_000
+    M.release(cur)
+
+
+def test_connected_components_releases_iteration_frames(spark):
+    """After CC returns, only the frame backing the result should remain
+    persisted — the symmetrized edge copy and every superseded iteration
+    frame are released inside the loop (pre-fix this left ~2+iterations
+    persisted RDDs behind per call)."""
+    sc = spark.sparkContext._jsc.sc()
+    base = len(sc.getRDDStorageInfo())
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    labels = connected_components(e)
+    assert labels.filter(F.col("comp") != 0).count() == 0  # one 0-rooted chain
+    assert len(sc.getRDDStorageInfo()) - base <= 1  # just the result's frame
