@@ -9,29 +9,35 @@ Scaling model: each copy c in 0..9 is a shifted replica whose CONTENT is
 made copy-distinct, because a real corpus 10x the size has 10x the
 near-duplicate FAMILIES, not 10x-deeper families:
 
-- documents: ids shift by c*100_000 (stays below the +1e6/+3e6 clone
-  offsets the registry queries plant); for c>0 a copy-marker token is
-  inserted after every 5th token, which breaks >60% of 2- and 3-token
-  shingles, pushing cross-copy Jaccard to ~0.3 (<< the 0.8 thresholds)
-  and cross-copy simhash far past the hamming radius. Within-copy
-  duplicate/near-dup structure is untouched, so dedup work scales
-  linearly with rows.
-- embeddings: ids shift by c*100_000; for c>0 dimensions rotate by
-  (7*c) % 64, which preserves norms but decorrelates cross-copy
-  cosines; labels shift by c*1000 so the blocking-key DOMAIN grows with
-  the corpus (block count x10 at constant block size — the realistic
-  shape; keeping the label space fixed would grow blocks 10x and the
-  blocked pair space 100x, measuring the data model, not the engine).
-- customer: keys shift by c*1_000_000, names get a copy suffix (so the
-  bipartite components gain distinct members); nation is copied as-is —
-  25 components, each 10x the size.
+- documents: ids shift by c*DOC_STRIDE (the stride must clear the base
+  id range AND copies*stride must stay below the +1e6/+3e6 clone
+  offsets the registry queries plant — asserted); for c>0 a copy-marker
+  token is inserted after every 5th token, which breaks >60% of 2- and
+  3-token shingles, pushing cross-copy Jaccard to ~0.3 (<< the 0.8
+  thresholds) and cross-copy simhash far past the hamming radius.
+  Within-copy duplicate/near-dup structure is untouched, so dedup work
+  scales linearly with rows.
+- embeddings: ids shift by c*EMB_STRIDE (same below-1e6 constraint, for
+  the q_cosine_sim clone offset); for c>0 dimensions rotate by
+  (7*c) % 64 — distinct for every c < 64, which also bounds COPIES —
+  preserving norms but decorrelating cross-copy cosines; labels shift
+  by c*1000 so the blocking-key DOMAIN grows with the corpus (block
+  count xN at constant block size — the realistic shape; keeping the
+  label space fixed would grow blocks Nx and the blocked pair space
+  N²x, measuring the data model, not the engine).
+- customer: keys shift by c*CUST_STRIDE, names get a copy suffix (so
+  the bipartite components gain distinct members); nation is copied
+  as-is — 25 components, each Nx the size.
 
 All transforms are JVM expressions; generation itself is a distributed
 job. Usage:
 
     python scripts/make_scale_data.py [BASE_SF_DIR] [OUT_DIR] [COPIES]
+        [DOC_STRIDE] [EMB_STRIDE] [CUST_STRIDE]
 
-defaults: /root/testdata/sf0.1  <repo>/.scale/sf1  10
+defaults: /root/testdata/sf0.1  <repo>/.scale/sf1  10  100000 100000 1000000
+(for a 30x run the default strides would cross the 1e6 clone offsets —
+pass e.g. 10000 10000 100000; the asserts catch a bad choice).
 """
 
 from __future__ import annotations

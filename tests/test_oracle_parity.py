@@ -75,45 +75,39 @@ def test_entry_smoke(spark):
     assert len(rows) > 0 and df.columns
 
 
-#: oracle_sql() strings that are ANSI-portable enough to run VERBATIM on
-#: Spark SQL too (the rest use DuckDB-specific routines — quantile_cont,
-#: string_split_regex, ::VARCHAR casts, epoch(); q_dedup_exact PARSES on
-#: Spark but means something else — DuckDB's regexp_replace 'g' flag arg
-#: is Spark's position arg and [[:punct:]] is a POSIX class Java regex
-#: lacks — the cautionary tale for why this list is pinned, not probed).
-#: For these, the SQL entry point (plans.tables.sql) must reproduce the
-#: DataFrame registry's results exactly — the dual-surface contract.
-SPARK_PORTABLE_ORACLES = [
-    "q_agg_basic",
-    "q_canonicalize_relations",
-    "q_connected_components",  # recursive CTE — Spark 4 runs it
-    "q_filter_project",
-    "q_graph_build",
-    "q_grouping_sets",
-    "q_join_orders_customer",
-    "q_membership",
-    "q_range_join",
-    "q_scan_stats",
-    "q_sim_join_names",
-    "q_skew_join",
-    "q_triangle_count",
-    "q_two_hop",
-    "q_union_fill",
-    "q_weighted_mean",
-    "q_xml_records",
-]
+#: The SQL surface under test lives in plans/spark_sql.py: every
+#: oracle-checkable registry query has a Spark SQL string — the
+#: ANSI-portable oracle strings verbatim plus Spark-dialect twins for
+#: the DuckDB-specific rest (dialect gotchas documented in that module).
+from big_data___knowledge_graph_construction_with_llm_spark.plans.spark_sql import (  # noqa: E402
+    SPARK_PORTABLE_ORACLES,
+    spark_sql_queries,
+)
+
+SPARK_SQL = spark_sql_queries()
 
 
-@pytest.mark.parametrize("name", SPARK_PORTABLE_ORACLES)
+def test_sql_surface_covers_every_oracle_query():
+    """The dual-surface contract is TOTAL over the oracle-checkable
+    registry: a registry query without a SQL-surface string is a
+    regression, and a SQL string for a query the registry dropped is
+    dead weight."""
+    assert sorted(SPARK_SQL) == sorted(ORACLE)
+    # the portable subset really is reused verbatim (one text, two engines)
+    for name in SPARK_PORTABLE_ORACLES:
+        assert SPARK_SQL[name] == ORACLE[name]
+
+
+@pytest.mark.parametrize("name", sorted(SPARK_SQL))
 def test_sql_surface_parity(name, spark):
-    """Dual-surface parity: the oracle SQL string through the engine's
+    """Dual-surface parity: the query's SQL string through the engine's
     OWN SQL entry point equals the DataFrame plan — same session, same
     normalized views, order-insensitive value compare."""
     from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import register_tables
 
     register_tables(spark, SF_DIR)
     sdf = QUERIES[name](spark, SF_DIR)
-    qdf = spark.sql(ORACLE[name])
+    qdf = spark.sql(SPARK_SQL[name])
     assert sorted(sdf.columns) == sorted(qdf.columns)
     a = _canon([tuple(r) for r in sdf.collect()], sdf.columns)
     b = _canon([tuple(r) for r in qdf.collect()], qdf.columns)

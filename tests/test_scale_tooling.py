@@ -119,3 +119,22 @@ def test_bench_best_of_aggregation():
         {"a": 2.0, "b": 3.0, "c": -1.0, "d": -1.0, "e": 1.5},
         {"a": 1.0, "b": -1.0, "c": 4.0, "d": -1.0},
     ) == {"a": 1.0, "b": 3.0, "c": 4.0, "d": -1.0, "e": 1.5}
+
+
+def test_bench_median_aggregation():
+    """The headline aggregation: per-query median over PASSING passes
+    only (a one-pass hiccup neither fails the query nor drags the
+    median), -1.0 only when every pass failed, even-count medians
+    averaged."""
+    mod = _bench_mod()
+    med = mod._agg_passes(
+        [
+            {"a": 3.0, "b": 9.0, "c": -1.0, "d": -1.0},
+            {"a": 1.0, "b": -1.0, "c": 4.0, "d": -1.0},
+            {"a": 2.0, "b": 5.0, "c": 6.0, "d": -1.0},
+        ],
+        mod._median,
+    )
+    assert med == {"a": 2.0, "b": 7.0, "c": 5.0, "d": -1.0}
+    assert mod._median([4.0]) == 4.0
+    assert mod._median([1.0, 2.0, 10.0, 20.0]) == 6.0
