@@ -295,6 +295,27 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: ann recall setup failed: {exc!r}", file=sys.stderr)
 
+    # skew-join contract (untimed): plain vs salted vs AQE-split wall on
+    # this sf's corpus, broadcast disabled — documents where salted_join
+    # pays (pathological low-cardinality hot key) and where it doesn't
+    # (mild natural Zipf skew). Same experiment the scale study runs at
+    # 10x (scripts/bench_scale.py, BENCH_SCALE.json `skew_join`).
+    skew_join: dict = {}
+    try:
+        import importlib.util
+
+        _spec = importlib.util.spec_from_file_location(
+            "bench_scale_mod",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_scale.py"
+            ),
+        )
+        _bs = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(_bs)
+        skew_join = _bs.skew_join_experiment(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: skew join experiment failed: {exc!r}", file=sys.stderr)
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
@@ -310,6 +331,7 @@ def main() -> None:
                 "sketch_accuracy": sketch_accuracy,
                 "ivf_recall": ivf_recall,
                 "pq_recall": pq_recall,
+                "skew_join": skew_join,
             },
             fh,
             indent=1,

@@ -1,17 +1,36 @@
-"""Scale stress study: the six heaviest pipelines at sf0.1 vs the 10x
-sf1 dataset (see ``make_scale_data.py``), measuring what the "survives
-100x" design arguments predict — near-linear wall time, shuffle volume
-proportional to rows (never to pairs), and flat driver memory.
+"""Scale stress study: the heaviest pipelines at sf0.1 vs the 10x sf1
+dataset — plus a 30x tier, the composed curation/encode flows, and a
+skew-join experiment (see ``make_scale_data.py``), measuring what the
+"survives 100x" design arguments predict — near-linear wall time,
+shuffle volume proportional to rows (never to pairs), and flat driver
+memory.
 
 Writes BENCH_SCALE.json at the repo root:
 
     {"base": {...}, "scaled": {...}, "ratio": {...},
+     "scaled30": {...}, "ratio30": {...}, "skew_join": {...},
      "driver": {...}, "copies": N}
+
+- base/scaled/ratio: the heavy REGISTRY pipelines plus the composed
+  flows a 100 TB user actually runs end-to-end — ``curate`` /
+  ``curate_with_stats`` (gates → exact dedup → near-dedup →
+  decontaminate → split, stage-materialized) and ``encode_pack``
+  (build_vocab → encode_documents → pack_sequences with the
+  >1024-prefix-partition broadcast fallback exercised at BOTH tiers).
+- scaled30: a second decade on the three cheapest heavy pipelines,
+  with the post-clean driver-residual probe repeated at 30x.
+- skew_join: plain-vs-salted wall on a REAL Zipf-skewed key from the
+  scale corpus (token → vocab-id join over exploded document tokens),
+  with broadcast disabled so the measurement reflects the
+  too-big-to-broadcast dimension case salting exists for, both with
+  AQE's skew splitter off (isolating the manual tool) and on.
 
 One-off evidence artifact; NOT part of the driver's timed gate (the
 driver's bench stays bench.py at sf0.1). Usage:
 
-    python scripts/make_scale_data.py          # once
+    python scripts/make_scale_data.py          # once (10x)
+    python scripts/make_scale_data.py /root/testdata/sf0.1 \\
+        .scale/sf3 30 10000 10000 100000     # once (30x)
     python scripts/bench_scale.py
 """
 
@@ -38,6 +57,59 @@ HEAVY = [
     "q_cosine_sim",
     "q_token_count",   # heavy since r5: repeated-span detection + excision
 ]
+
+#: the 30x tier re-runs only the three cheapest heavy pipelines (the
+#: point is the second scaling decade, not a 30x bill for every query)
+HEAVY30 = ["q_dedup_exact", "q_simhash_dedup", "q_connected_components"]
+
+
+def _curate_fn(with_stats: bool):
+    def run(spark, sf_dir):
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+            curate,
+            curate_with_stats,
+        )
+        from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+        docs = load(spark, sf_dir, "documents")
+        bench = docs.filter("doc_id % 50 = 0").select("doc_id", "text")
+        if with_stats:
+            kept, _stats = curate_with_stats(docs, benchmark=bench)
+            return kept
+        return curate(docs, benchmark=bench)
+
+    return run
+
+
+def _encode_pack_fn(spark, sf_dir):
+    """build_vocab → encode_documents → pack_sequences, with
+    prefix_partitions=2048 so the >1024 broadcast-offsets fallback (the
+    constant that matters at scale) is on at every tier."""
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        build_vocab,
+        encode_documents,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_size=50_000)
+    enc = encode_documents(docs, vocab).withColumn(
+        "n_tokens", F.size("token_ids").cast("long")
+    )
+    return pack_sequences(
+        enc, "doc_id", "n_tokens", budget=4096, prefix_partitions=2048
+    )
+
+
+#: composed training-data flows measured alongside the registry queries
+EXTRA = {
+    "curate": _curate_fn(False),
+    "curate_with_stats": _curate_fn(True),
+    "encode_pack": _encode_pack_fn,
+}
 
 
 def _heap_probe(spark) -> dict:
@@ -89,19 +161,23 @@ def _drop_session_state(spark) -> None:
         time.sleep(1.5)
 
 
-def run_suite(spark, sf_dir: str, repeats: int = 2) -> dict:
+def run_suite(spark, sf_dir: str, repeats: int = 2, names: list[str] | None = None) -> dict:
     """Per-query MIN over ``repeats`` passes — the suite swings tens of
     percent run-to-run on a busy host, and the scaling ratio needs the
     compute cost, not the noise floor. Shuffle/input are deterministic
-    (taken from the last pass)."""
+    (taken from the last pass). ``names`` defaults to HEAVY + EXTRA;
+    EXTRA names resolve to the composed-flow runners."""
     queries = entry_mod.queries()
     mc = MetricsCollector(spark)
     out: dict[str, dict] = {}
+    if names is None:
+        names = HEAVY + list(EXTRA)
     for _ in range(repeats):
-        for name in HEAVY:
+        for name in names:
+            fn = EXTRA.get(name) or queries[name]
             mc.start()
             t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             wall = round(time.perf_counter() - t0, 2)
             rec = mc.finish(name)
@@ -114,10 +190,102 @@ def run_suite(spark, sf_dir: str, repeats: int = 2) -> dict:
     return out
 
 
+def skew_join_experiment(spark, sf_dir: str) -> dict:
+    """Plain vs salted join on a real Zipf-skewed key from the scale
+    corpus: every (token, doc_id) occurrence of the documents table
+    joined against the bounded vocabulary — the encode join, measured
+    for the case the dimension is too big to broadcast (threshold
+    disabled). Variants:
+
+    - ``plain_smj``: sort-merge join, AQE skew splitting OFF — the hot
+      'the'/'la' partitions land on single tasks.
+    - ``salted_smj``: ``salted_join(num_salts=8)``, same confs — the
+      manual skew tool under test.
+    - ``plain_aqe``: AQE skew splitting back ON — what the session
+      default already buys, the bar the manual tool must be judged
+      against.
+
+    Also records the hot key's share so the skew is documented, not
+    assumed.
+    """
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import salted_join
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import build_vocab, tokens
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    occ = occ.localCheckpoint()  # pin the input so each variant starts equal
+    vocab = build_vocab(docs, max_size=50_000).localCheckpoint()
+    # pathological variant: collapse the key to the token's first char —
+    # ~30 key values over the same rows, the hot letter carrying a
+    # double-digit share, every key pinned to ONE reduce task in a plain
+    # shuffle join (the shape a bad natural key takes at 100 TB)
+    occ1 = occ.select("doc_id", F.substring("token", 1, 1).alias("token")).localCheckpoint()
+    vocab1 = (
+        vocab.select(F.substring("token", 1, 1).alias("token"))
+        .distinct()
+        .withColumn("token_id", F.ascii("token"))
+        .localCheckpoint()
+    )
+
+    n = occ.count()
+
+    def scenario(left, right, tag_meta):
+        top = left.groupBy("token").count().orderBy(F.desc("count")).first()
+        res = {
+            "rows": n,
+            "n_keys": left.select("token").distinct().count(),
+            "hot_key": top["token"],
+            "hot_share": round(top["count"] / n, 4),
+            "num_salts": 8,
+            **tag_meta,
+        }
+
+        def timed(tag, fn):
+            t0 = time.perf_counter()
+            fn().select(
+                F.count("*").alias("n"), F.sum("token_id").alias("s")
+            ).write.format("noop").mode("overwrite").save()
+            res[tag + "_wall_s"] = round(time.perf_counter() - t0, 2)
+
+        conf = spark.conf
+        prev_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            timed("plain_smj", lambda: left.join(right, "token"))
+            timed("salted_smj", lambda: salted_join(left, right, "token", num_salts=8))
+            conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            timed("plain_aqe", lambda: left.join(right, "token"))
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+            conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+        return res
+
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import release
+
+    try:
+        return {
+            "zipf_token": scenario(occ, vocab, {"note": "natural token key"}),
+            "first_char": scenario(
+                occ1, vocab1, {"note": "pathological low-cardinality key"}
+            ),
+        }
+    finally:
+        for df in (occ, vocab, occ1, vocab1):
+            release(df)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base_dir = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
     scaled_dir = os.environ.get("SCALE_DIR", os.path.join(repo, ".scale", "sf1"))
+    scale30_dir = os.environ.get("SCALE30_DIR", os.path.join(repo, ".scale", "sf3"))
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name="spark-graft-bench-scale")
@@ -145,25 +313,52 @@ def main() -> None:
     _drop_session_state(spark)
     probe_rerun_cleaned = _heap_probe(spark)
 
-    ratio = {
-        q: {
-            "wall": round(scaled[q]["wall_s"] / max(base[q]["wall_s"], 1e-9), 2),
-            "shuffle": round(
-                scaled[q]["shuffle_read_mb"] / max(base[q]["shuffle_read_mb"], 1e-9), 2
-            ),
-            "input": round(
-                scaled[q]["input_mb"] / max(base[q]["input_mb"], 1e-9), 2
-            ),
+    # second scaling decade: 30x on the three cheapest heavy pipelines,
+    # then clean + probe — the driver residual must stay flat while the
+    # data tripled past the already-measured 10x
+    scaled30 = {}
+    probe_30_cleaned = None
+    if os.path.isdir(scale30_dir):
+        scaled30 = run_suite(spark, scale30_dir, names=HEAVY30)
+        _drop_session_state(spark)
+        probe_30_cleaned = _heap_probe(spark)
+    else:
+        print(f"bench_scale: {scale30_dir} missing, skipping 30x tier", file=sys.stderr)
+
+    skew = skew_join_experiment(spark, scaled_dir)
+
+    def ratios(scaled_suite, base_suite):
+        return {
+            q: {
+                "wall": round(
+                    scaled_suite[q]["wall_s"] / max(base_suite[q]["wall_s"], 1e-9), 2
+                ),
+                "shuffle": round(
+                    scaled_suite[q]["shuffle_read_mb"]
+                    / max(base_suite[q]["shuffle_read_mb"], 1e-9),
+                    2,
+                ),
+                "input": round(
+                    scaled_suite[q]["input_mb"]
+                    / max(base_suite[q]["input_mb"], 1e-9),
+                    2,
+                ),
+            }
+            for q in scaled_suite
         }
-        for q in HEAVY
-    }
+
     result = {
         "copies": 10,
+        "copies30": 30 if scaled30 else None,
         "base_dir": base_dir,
         "scaled_dir": scaled_dir,
+        "scale30_dir": scale30_dir if scaled30 else None,
         "base": base,
         "scaled": scaled,
-        "ratio": ratio,
+        "ratio": ratios(scaled, base),
+        "scaled30": scaled30,
+        "ratio30": ratios(scaled30, base),
+        "skew_join": skew,
         "driver": {
             "py_maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
             "probe_before": probe_before,
@@ -171,9 +366,13 @@ def main() -> None:
             "probe_after_scaled": probe_after_scaled,
             "probe_scaled_cleaned": probe_scaled_cleaned,
             "probe_rerun_base_cleaned": probe_rerun_cleaned,
+            "probe_30x_cleaned": probe_30_cleaned,
             "executor_attributable_mb": probe_after_scaled["live_heap_mb"]
             - probe_scaled_cleaned["live_heap_mb"],
             "driver_residual_mb": probe_scaled_cleaned["live_heap_mb"],
+            "driver_residual_30x_mb": (
+                probe_30_cleaned["live_heap_mb"] if probe_30_cleaned else None
+            ),
             "base_rerun_total_wall_s": round(
                 sum(v["wall_s"] for v in base_rerun.values()), 2
             ),

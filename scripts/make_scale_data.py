@@ -66,11 +66,11 @@ def _mark_every_5(text_col, marker: str):
     return F.array_join(chunks, " ")
 
 
-def scale_documents(d: DataFrame, copies: int) -> DataFrame:
+def scale_documents(d: DataFrame, copies: int, stride: int = 100_000) -> DataFrame:
     out = None
     for c in range(copies):
         part = d.select(
-            (F.col("doc_id") + c * 100_000).alias("doc_id"),
+            (F.col("doc_id") + c * stride).alias("doc_id"),
             (
                 F.col("text") if c == 0 else _mark_every_5(F.col("text"), f"zq{c}x")
             ).alias("text"),
@@ -81,7 +81,7 @@ def scale_documents(d: DataFrame, copies: int) -> DataFrame:
     return out
 
 
-def scale_embeddings(e: DataFrame, copies: int) -> DataFrame:
+def scale_embeddings(e: DataFrame, copies: int, stride: int = 100_000) -> DataFrame:
     out = None
     for c in range(copies):
         k = (7 * c) % 64
@@ -91,7 +91,7 @@ def scale_embeddings(e: DataFrame, copies: int) -> DataFrame:
             else F.concat(F.slice("embedding", k + 1, 64 - k), F.slice("embedding", 1, k))
         )
         part = e.select(
-            (F.col("vec_id") + c * 100_000).alias("vec_id"),
+            (F.col("vec_id") + c * stride).alias("vec_id"),
             emb.alias("embedding"),
             (F.col("label") + F.lit(c * 1000)).cast("int").alias("label"),
         )
@@ -99,11 +99,11 @@ def scale_embeddings(e: DataFrame, copies: int) -> DataFrame:
     return out
 
 
-def scale_customer(cst: DataFrame, copies: int) -> DataFrame:
+def scale_customer(cst: DataFrame, copies: int, stride: int = 1_000_000) -> DataFrame:
     out = None
     for c in range(copies):
         part = cst.select(
-            (F.col("c_custkey") + c * 1_000_000).alias("c_custkey"),
+            (F.col("c_custkey") + c * stride).alias("c_custkey"),
             (
                 F.col("c_name")
                 if c == 0
@@ -122,6 +122,19 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1")
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    doc_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 100_000
+    emb_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 100_000
+    cust_stride = int(sys.argv[6]) if len(sys.argv) > 6 else 1_000_000
+
+    if copies >= 64:
+        raise SystemExit("copies must be < 64 (embedding rotation period)")
+    # id-scheme invariants: copies never collide with each other or with
+    # the +1e6/+3e6/+5e6 clone offsets the registry queries plant
+    if copies * doc_stride > 1_000_000 or copies * emb_stride > 1_000_000:
+        raise SystemExit(
+            f"copies*stride must stay <= 1e6 (clone offsets): "
+            f"docs {copies * doc_stride}, embeddings {copies * emb_stride}"
+        )
 
     spark = get_spark(app_name="make-scale-data")
     spark.sparkContext.setLogLevel("ERROR")
@@ -131,15 +144,20 @@ def main() -> None:
     c = spark.read.parquet(f"{base}/customer.parquet")
     n = spark.read.parquet(f"{base}/nation.parquet")
 
-    scale_documents(d, copies).repartition(16).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
-    )
-    scale_embeddings(e, copies).repartition(8).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
-    )
-    scale_customer(c, copies).repartition(8).write.mode("overwrite").parquet(
-        f"{out_dir}/customer.parquet"
-    )
+    for df, col, stride in ((d, "doc_id", doc_stride), (e, "vec_id", emb_stride), (c, "c_custkey", cust_stride)):
+        mx = df.agg(F.max(col)).first()[0]
+        if mx >= stride:
+            raise SystemExit(f"stride {stride} <= max({col}) {mx}: copies would overlap")
+
+    scale_documents(d, copies, doc_stride).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
+    scale_embeddings(e, copies, emb_stride).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+    scale_customer(c, copies, cust_stride).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/customer.parquet")
     n.write.mode("overwrite").parquet(f"{out_dir}/nation.parquet")
 
     for t in ("documents", "embeddings", "customer"):

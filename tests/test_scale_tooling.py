@@ -99,6 +99,22 @@ def test_scale_embeddings_rotation_decorrelates(spark):
     assert list(out[100_005]["embedding"][:57]) == list(out[5]["embedding"][7:])
 
 
+def test_scale_documents_custom_stride(spark):
+    """The 30x tier uses a smaller id stride (copies*stride must stay
+    below the +1e6 clone offsets); copies must shift by exactly the
+    requested stride and stay disjoint."""
+    mod = _tooling()
+    base = spark.createDataFrame(
+        [(7, " ".join(f"tok{i}" for i in range(12)), "en", "src1", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted(
+        r["doc_id"] for r in mod.scale_documents(base, 30, stride=10_000).collect()
+    )
+    assert out == [7 + c * 10_000 for c in range(30)]
+    assert max(out) < 1_000_000
+
+
 def _bench_mod():
     import importlib.util
 
