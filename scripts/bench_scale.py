@@ -1,14 +1,15 @@
 """Scale stress study: the heaviest pipelines at sf0.1 vs the 10x sf1
-dataset — plus a 30x tier, the composed curation/encode flows, and a
-skew-join experiment (see ``make_scale_data.py``), measuring what the
-"survives 100x" design arguments predict — near-linear wall time,
-shuffle volume proportional to rows (never to pairs), and flat driver
-memory.
+dataset — plus 30x and 100x tiers, the composed curation/encode flows,
+and a skew-join experiment (see ``make_scale_data.py``), measuring
+what the "survives 100x" design arguments predict — near-linear wall
+time, shuffle volume proportional to rows (never to pairs), and flat
+driver memory.
 
 Writes BENCH_SCALE.json at the repo root:
 
     {"base": {...}, "scaled": {...}, "ratio": {...},
-     "scaled30": {...}, "ratio30": {...}, "skew_join": {...},
+     "scaled30": {...}, "ratio30": {...},
+     "scaled100": {...}, "ratio100": {...}, "skew_join": {...},
      "driver": {...}, "copies": N}
 
 - base/scaled/ratio: the heavy REGISTRY pipelines plus the composed
@@ -17,8 +18,11 @@ Writes BENCH_SCALE.json at the repo root:
   decontaminate → split, stage-materialized) and ``encode_pack``
   (build_vocab → encode_documents → pack_sequences with the
   >1024-prefix-partition broadcast fallback exercised at BOTH tiers).
-- scaled30: a second decade on the three cheapest heavy pipelines,
-  with the post-clean driver-residual probe repeated at 30x.
+- scaled30 / scaled100: second and third decades on the three cheapest
+  heavy pipelines (1x→10x→100x is two full decades of rows on the SAME
+  code path), with the post-clean driver-residual probe repeated at
+  the top of each tier — the flat-driver claim is checked against a
+  100x spread, not extrapolated from one doubling.
 - skew_join: plain-vs-salted wall on a REAL Zipf-skewed key from the
   scale corpus (token → vocab-id join over exploded document tokens),
   with broadcast disabled so the measurement reflects the
@@ -31,6 +35,8 @@ driver's bench stays bench.py at sf0.1). Usage:
     python scripts/make_scale_data.py          # once (10x)
     python scripts/make_scale_data.py /root/testdata/sf0.1 \\
         .scale/sf3 30 10000 10000 100000     # once (30x)
+    python scripts/make_scale_data.py /root/testdata/sf0.1 \\
+        .scale/sf10 100 10000 10000 50000    # once (100x, no embeddings)
     python scripts/bench_scale.py
 """
 
@@ -286,6 +292,7 @@ def main() -> None:
     base_dir = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
     scaled_dir = os.environ.get("SCALE_DIR", os.path.join(repo, ".scale", "sf1"))
     scale30_dir = os.environ.get("SCALE30_DIR", os.path.join(repo, ".scale", "sf3"))
+    scale100_dir = os.environ.get("SCALE100_DIR", os.path.join(repo, ".scale", "sf10"))
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark(app_name="spark-graft-bench-scale")
@@ -325,6 +332,18 @@ def main() -> None:
     else:
         print(f"bench_scale: {scale30_dir} missing, skipping 30x tier", file=sys.stderr)
 
+    # third decade: 100x on the same three pipelines (the tier skips
+    # embeddings — none of these read them), closing a full 1x→10x→100x
+    # two-decade span with the same clean + probe at the top
+    scaled100 = {}
+    probe_100_cleaned = None
+    if os.path.isdir(scale100_dir):
+        scaled100 = run_suite(spark, scale100_dir, names=HEAVY30)
+        _drop_session_state(spark)
+        probe_100_cleaned = _heap_probe(spark)
+    else:
+        print(f"bench_scale: {scale100_dir} missing, skipping 100x tier", file=sys.stderr)
+
     skew = skew_join_experiment(spark, scaled_dir)
 
     def ratios(scaled_suite, base_suite):
@@ -350,14 +369,18 @@ def main() -> None:
     result = {
         "copies": 10,
         "copies30": 30 if scaled30 else None,
+        "copies100": 100 if scaled100 else None,
         "base_dir": base_dir,
         "scaled_dir": scaled_dir,
         "scale30_dir": scale30_dir if scaled30 else None,
+        "scale100_dir": scale100_dir if scaled100 else None,
         "base": base,
         "scaled": scaled,
         "ratio": ratios(scaled, base),
         "scaled30": scaled30,
         "ratio30": ratios(scaled30, base),
+        "scaled100": scaled100,
+        "ratio100": ratios(scaled100, base),
         "skew_join": skew,
         "driver": {
             "py_maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
@@ -367,11 +390,15 @@ def main() -> None:
             "probe_scaled_cleaned": probe_scaled_cleaned,
             "probe_rerun_base_cleaned": probe_rerun_cleaned,
             "probe_30x_cleaned": probe_30_cleaned,
+            "probe_100x_cleaned": probe_100_cleaned,
             "executor_attributable_mb": probe_after_scaled["live_heap_mb"]
             - probe_scaled_cleaned["live_heap_mb"],
             "driver_residual_mb": probe_scaled_cleaned["live_heap_mb"],
             "driver_residual_30x_mb": (
                 probe_30_cleaned["live_heap_mb"] if probe_30_cleaned else None
+            ),
+            "driver_residual_100x_mb": (
+                probe_100_cleaned["live_heap_mb"] if probe_100_cleaned else None
             ),
             "base_rerun_total_wall_s": round(
                 sum(v["wall_s"] for v in base_rerun.values()), 2

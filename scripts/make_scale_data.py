@@ -37,7 +37,10 @@ job. Usage:
 
 defaults: /root/testdata/sf0.1  <repo>/.scale/sf1  10  100000 100000 1000000
 (for a 30x run the default strides would cross the 1e6 clone offsets —
-pass e.g. 10000 10000 100000; the asserts catch a bad choice).
+pass e.g. 10000 10000 100000; for a 100x run pass 10000 10000 50000 —
+copies >= 64 exceed the embedding-rotation period, so those tiers skip
+the embeddings table, which none of the >=30x pipelines read; the
+asserts catch a bad stride choice).
 """
 
 from __future__ import annotations
@@ -126,11 +129,17 @@ def main() -> None:
     emb_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 100_000
     cust_stride = int(sys.argv[6]) if len(sys.argv) > 6 else 1_000_000
 
-    if copies >= 64:
-        raise SystemExit("copies must be < 64 (embedding rotation period)")
+    # the dim-rotation trick is distinct only for c < 64; past that the
+    # embeddings table is SKIPPED (the >=64x tiers measure the
+    # documents/customer pipelines, none of which read embeddings)
+    with_embeddings = copies < 64
+    if not with_embeddings:
+        print(f"copies={copies} >= 64: skipping embeddings (rotation period)")
     # id-scheme invariants: copies never collide with each other or with
     # the +1e6/+3e6/+5e6 clone offsets the registry queries plant
-    if copies * doc_stride > 1_000_000 or copies * emb_stride > 1_000_000:
+    if copies * doc_stride > 1_000_000 or (
+        with_embeddings and copies * emb_stride > 1_000_000
+    ):
         raise SystemExit(
             f"copies*stride must stay <= 1e6 (clone offsets): "
             f"docs {copies * doc_stride}, embeddings {copies * emb_stride}"
@@ -140,11 +149,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     d = spark.read.parquet(f"{base}/documents.parquet")
-    e = spark.read.parquet(f"{base}/embeddings.parquet")
+    e = spark.read.parquet(f"{base}/embeddings.parquet") if with_embeddings else None
     c = spark.read.parquet(f"{base}/customer.parquet")
     n = spark.read.parquet(f"{base}/nation.parquet")
 
-    for df, col, stride in ((d, "doc_id", doc_stride), (e, "vec_id", emb_stride), (c, "c_custkey", cust_stride)):
+    checks = [(d, "doc_id", doc_stride), (c, "c_custkey", cust_stride)]
+    if with_embeddings:
+        checks.append((e, "vec_id", emb_stride))
+    for df, col, stride in checks:
         mx = df.agg(F.max(col)).first()[0]
         if mx >= stride:
             raise SystemExit(f"stride {stride} <= max({col}) {mx}: copies would overlap")
@@ -152,15 +164,17 @@ def main() -> None:
     scale_documents(d, copies, doc_stride).repartition(16).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/documents.parquet")
-    scale_embeddings(e, copies, emb_stride).repartition(8).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/embeddings.parquet")
+    if with_embeddings:
+        scale_embeddings(e, copies, emb_stride).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/embeddings.parquet")
     scale_customer(c, copies, cust_stride).repartition(8).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/customer.parquet")
     n.write.mode("overwrite").parquet(f"{out_dir}/nation.parquet")
 
-    for t in ("documents", "embeddings", "customer"):
+    tables = ("documents", "embeddings", "customer") if with_embeddings else ("documents", "customer")
+    for t in tables:
         print(t, spark.read.parquet(f"{out_dir}/{t}.parquet").count())
     spark.stop()
 

@@ -115,6 +115,24 @@ def test_scale_documents_custom_stride(spark):
     assert max(out) < 1_000_000
 
 
+def test_scale_documents_100x_stride_clears_clone_offsets(spark):
+    """The 100x tier (third decade): 100 copies at stride 10_000 must
+    stay strictly below the +1e6 clone offset the registry queries
+    plant, with every copy disjoint. (The tier skips embeddings — 100
+    exceeds the 64-rotation period — which none of the >=30x pipelines
+    read; main() gates that with ``with_embeddings``.)"""
+    mod = _tooling()
+    base = spark.createDataFrame(
+        [(4999, " ".join(f"tok{i}" for i in range(12)), "en", "src1", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted(
+        r["doc_id"] for r in mod.scale_documents(base, 100, stride=10_000).collect()
+    )
+    assert out == [4999 + c * 10_000 for c in range(100)]
+    assert max(out) < 1_000_000
+
+
 def _bench_mod():
     import importlib.util
 
