@@ -500,6 +500,7 @@ def k_hop_distances(
             nxt.join(seen, "id", "left_anti").withColumn("dist", F.lit(dist))
         )
         if new.limit(1).count() == 0:
+            release(new)  # empty probe frame: unreferenced by the result
             break
         levels.append(new)
         frontier = new.select("id")

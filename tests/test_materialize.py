@@ -132,3 +132,23 @@ def test_connected_components_releases_iteration_frames(spark):
     labels = connected_components(e)
     assert labels.filter(F.col("comp") != 0).count() == 0  # one 0-rooted chain
     assert len(sc.getRDDStorageInfo()) - base <= 1  # just the result's frame
+
+
+def test_k_hop_releases_edge_copy_and_empty_probe(spark):
+    """k_hop_distances keeps only the level frames that back its result:
+    the (symmetrized) edge copy and — on early exit — the empty frontier
+    probe frame are released, not left persisted until GC."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.graph_algos import (
+        k_hop_distances,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    base = len(sc.getRDDStorageInfo())
+    # a 3-vertex path probed at k=5 exhausts the frontier at level 2,
+    # exercising the empty-probe early exit
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    src = spark.createDataFrame([(0,)], "id long")
+    out = {(r["id"], r["dist"]) for r in k_hop_distances(edges, src, k=5).collect()}
+    assert out == {(0, 0), (1, 1), (2, 2)}
+    # persisted: exactly the 3 level frames (dist 0, 1, 2) the result reads
+    assert len(sc.getRDDStorageInfo()) - base <= 3
