@@ -231,37 +231,44 @@ def incremental_dedup_sink(
         )
 
         spark = batch.sparkSession
-        empty_fps = content_fingerprints(batch.limit(0), text_col, id_col)
-        if fsutil.exists(spark, store_path):
-            store_schema = (
-                empty_fps.withColumn("lineage", F.lit(""))
-                .withColumn("batch_id", F.lit(0).cast("long"))
-                .schema
-            )
-            fps = spark.read.schema(store_schema).parquet(store_path).filter(
-                ~(
-                    (F.col("lineage") == F.lit(lineage))
-                    & (F.col("batch_id") >= F.lit(batch_id))
+        # the batch feeds TWO actions (fingerprint pass, emit join) and a
+        # foreachBatch frame re-reads its source slice per action — cache
+        # it so each micro-batch is read from the source exactly once
+        batch = batch.persist()
+        try:
+            empty_fps = content_fingerprints(batch.limit(0), text_col, id_col)
+            if fsutil.exists(spark, store_path):
+                store_schema = (
+                    empty_fps.withColumn("lineage", F.lit(""))
+                    .withColumn("batch_id", F.lit(0).cast("long"))
+                    .schema
                 )
+                fps = spark.read.schema(store_schema).parquet(store_path).filter(
+                    ~(
+                        (F.col("lineage") == F.lit(lineage))
+                        & (F.col("batch_id") >= F.lit(batch_id))
+                    )
+                )
+            else:
+                fps = empty_fps
+            _, new_fps = incremental_dedup(
+                batch, fps, text_col, id_col, normalize=normalize
             )
-        else:
-            fps = empty_fps
-        _, new_fps = incremental_dedup(
-            batch, fps, text_col, id_col, normalize=normalize
-        )
-        # one materialized frame decides the batch: the emitted rows and
-        # the store append both derive from it, so they cannot disagree
-        # (and the batch is fingerprinted exactly once)
-        new_fps = materialize(new_fps)
-        emit(batch.join(new_fps.select(id_col), id_col, "left_semi"), batch_id)
-        (
-            new_fps.withColumn("lineage", F.lit(lineage))
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .write.partitionBy("lineage", "batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(store_path)
-        )
+            # one materialized frame decides the batch: the emitted rows
+            # and the store append both derive from it, so they cannot
+            # disagree (and the batch is fingerprinted exactly once)
+            new_fps = materialize(new_fps)
+            emit(batch.join(new_fps.select(id_col), id_col, "left_semi"), batch_id)
+            (
+                new_fps.withColumn("lineage", F.lit(lineage))
+                .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                .write.partitionBy("lineage", "batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(store_path)
+            )
+        finally:
+            batch.unpersist()
 
     return _sink
 

@@ -108,7 +108,18 @@ def streaming_funnel(
     exactly; an event arriving batches late cannot retroactively create
     an earlier chain — the committed prefix stands. That one-way drift
     is the standard streaming-funnel trade; run the batch operator over
-    landed data where exactness matters."""
+    landed data where exactness matters.
+
+    Operational note (applies to every ``ProcessingTimeTimeout``
+    operator, also :func:`running_totals`): a query over this operator
+    NEVER self-terminates — not under ``processAllAvailable()`` and not
+    under ``trigger(availableNow=True)`` either, because pending
+    processing-time timeouts always count as potential work, so the
+    engine keeps scheduling no-data timeout-check batches (measured
+    ~1s each on local[32]) after the source is drained. Bounded drains
+    (backfills, benches, tests) must detect completion from query
+    progress (cumulative ``numInputRows`` reaching the known source
+    size) and call ``stop()``; see ``scripts/bench_streaming.py``."""
     if not steps:
         raise ValueError("steps must be non-empty")
     return events.groupBy("user_id").applyInPandasWithState(
@@ -128,7 +139,8 @@ def running_totals(
 
     Keys idle for ``idle_timeout_ms`` of processing time are evicted
     (timeout branch in the state function), so state stays bounded on an
-    unbounded key space.
+    unbounded key space. Same never-self-terminates caveat as
+    :func:`streaming_funnel` — see its operational note.
 
     Batch-twin semantics (for the final batch): ``groupBy(user_id)
     .agg(count(*), sum(value))``.
