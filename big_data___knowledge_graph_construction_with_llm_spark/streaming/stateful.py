@@ -60,15 +60,19 @@ def _make_funnel_fn(steps: list[str], idle_timeout_ms: int):
             state.remove()
             return
         times = list(state.get[0]) if state.exists else [-1] * k
-        rows = pd.concat(list(pdfs))
+        chunks = list(pdfs)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
         rows = rows.sort_values("ts")
-        for ts, et in zip(rows["ts"], rows["event_type"]):
-            us = int(pd.Timestamp(ts).value // 1_000)  # ns -> micros
+        # ns→µs once per key-batch, vectorized — a per-row pd.Timestamp
+        # here multiplies the per-key Python overhead this operator is
+        # bound by (BENCH_STREAM.json)
+        us_all = rows["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        for us, et in zip(us_all, rows["event_type"].to_numpy()):
             j = next((i for i in range(k) if times[i] == -1), None)
             if j is None:
                 break  # funnel complete; nothing left to advance
             if et == steps[j] and (j == 0 or us > times[j - 1]):
-                times[j] = us
+                times[j] = int(us)
         state.update((times,))
         state.setTimeoutDuration(idle_timeout_ms)
         depth = sum(1 for t in times if t != -1)

@@ -25,6 +25,9 @@ so the query drains and terminates):
   operator (Arrow-batched PYTHON state path), events tiers. Its
   rows/s vs ``stateful_dedup``'s quantifies the JVM-vs-Python state
   gap the docs claim.
+- ``stream_stream_interval_join`` — purchases joined to preceding
+  clicks within 30 minutes, both sides watermarked; input rows
+  counts BOTH sides' scans.
 
 Tiers: events 1x (sf0.1, 100k rows) and an inline-scaled 10x (shifted
 replicas — event ids and USERS shift per copy, so the 10x tier has 10x
@@ -226,6 +229,7 @@ def main() -> None:
         curate_stream,
         incremental_dedup_sink,
         stateful_dedup,
+        stream_stream_interval_join,
         tumbling_counts,
     )
     from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
@@ -312,6 +316,28 @@ def main() -> None:
         )
         print(f"streaming_funnel {tier}: {t[tier]}", file=sys.stderr)
     topo["streaming_funnel"] = t
+
+    t = {}
+    for tier, src in event_tiers.items():
+        # two independent streaming reads of the same shard set: purchases
+        # joined to the clicks that preceded them within 30 minutes. Input
+        # rows = BOTH sides' scans (2x the tier), the honest denominator
+        # for a two-source topology. Watermarked on both sides, so the
+        # query self-terminates and state stays bounded by the interval.
+        left = _read_stream(spark, src, EVENT_SCHEMA).filter(
+            F.col("event_type") == "purchase"
+        )
+        right = _read_stream(spark, src, EVENT_SCHEMA).filter(
+            F.col("event_type") == "click"
+        )
+        t[tier] = _drain(
+            stream_stream_interval_join(left, right, within="30 minutes"),
+            "append",
+            ckpt(f"ssjoin-{tier}"),
+            2 * rows_of(tier),
+        )
+        print(f"stream_stream_interval_join {tier}: {t[tier]}", file=sys.stderr)
+    topo["stream_stream_interval_join"] = t
 
     results["topologies"] = topo
 
