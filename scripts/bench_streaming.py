@@ -28,6 +28,9 @@ so the query drains and terminates):
 - ``stream_stream_interval_join`` — purchases joined to preceding
   clicks within 30 minutes, both sides watermarked; input rows
   counts BOTH sides' scans.
+- ``curated_ingest`` — the COMPOSED ingest topology DEPLOYMENT.md §1
+  prescribes: ``curate_stream`` feeding ``incremental_dedup_sink``
+  as its foreachBatch sink, documents tiers.
 
 Tiers: events 1x (sf0.1, 100k rows) and an inline-scaled 10x (shifted
 replicas — event ids and USERS shift per copy, so the 10x tier has 10x
@@ -303,10 +306,6 @@ def main() -> None:
 
     t = {}
     for tier, src in event_tiers.items():
-        if tier == "events_100x":
-            # the Arrow-Python state path is row-bound well before 10M
-            # rows; the 1x/10x pair already brackets its throughput
-            continue
         stream = _read_stream(spark, src, EVENT_SCHEMA)
         t[tier] = _drain(
             streaming_funnel(stream, ["view", "click", "purchase"]),
@@ -316,6 +315,35 @@ def main() -> None:
         )
         print(f"streaming_funnel {tier}: {t[tier]}", file=sys.stderr)
     topo["streaming_funnel"] = t
+
+    # the composed ingest topology DEPLOYMENT.md §1 prescribes: stream
+    # curation (gates + watermark dedup + redaction) feeding the durable
+    # store-backed exact-dedup sink — the end-to-end path a 100 TB
+    # deployment actually runs at the ingest edge
+    t = {}
+    for tier, src in doc_tiers.items():
+        store = os.path.join(work, f"fps-composed-{tier}")
+        emit = lambda df, bid: df.write.format("noop").mode("overwrite").save()  # noqa: E731
+        sink = incremental_dedup_sink(
+            store, "text", "doc_id", emit, lineage=f"bench-composed-{tier}"
+        )
+        done_batches = [0]
+
+        def counted_sink(df, bid, _sink=sink, _done=done_batches):
+            _sink(df, bid)
+            _done[0] += 1
+
+        stream = _read_stream(spark, src, DOC_SCHEMA)
+        t[tier] = _drain(
+            curate_stream(stream, min_tokens=3, watermark="1 hour"),
+            "append",
+            ckpt(f"composed-{tier}"),
+            rows_of(tier),
+            sink=counted_sink,
+            done=lambda _d=done_batches: _d[0] >= expected_batches,
+        )
+        print(f"curated_ingest {tier}: {t[tier]}", file=sys.stderr)
+    topo["curated_ingest"] = t
 
     t = {}
     for tier, src in event_tiers.items():
