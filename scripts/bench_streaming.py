@@ -155,6 +155,7 @@ def _drain(
     # running maxima: recentProgress only retains the last ~100 entries,
     # so endless idle batches would rotate the data batches out
     seen = batches = state_rows = 0
+    batch_ms: dict[str, int] = {}  # batchId -> triggerExecution ms (data batches)
     while time.perf_counter() - t0 < timeout_s:
         progress = _progress_dicts(q)
         seen = max(seen, sum(int(p.get("numInputRows", 0)) for p in progress))
@@ -164,18 +165,25 @@ def _drain(
         for p in progress:
             for op in p.get("stateOperators", []) or []:
                 state_rows = max(state_rows, int(op.get("numRowsTotal", 0)))
+            if int(p.get("numInputRows", 0)) > 0:
+                ms = (p.get("durationMs") or {}).get("triggerExecution")
+                if ms is not None:
+                    batch_ms[str(p.get("batchId"))] = int(ms)
         finished = done() if done is not None else seen >= expected_rows
         if finished or not q.isActive:
             break
         time.sleep(0.25)
     wall = time.perf_counter() - t0
     q.stop()
+    lat = sorted(batch_ms.values())
     return {
         "rows": expected_rows,
         "rows_reported": seen,
         "wall_s": round(wall, 2),
         "rows_per_s": round(expected_rows / wall, 1) if wall > 0 else -1.0,
         "batches": batches,
+        "batch_ms_p50": lat[len(lat) // 2] if lat else None,
+        "batch_ms_max": lat[-1] if lat else None,
         "state_rows_max": state_rows,
     }
 
