@@ -377,6 +377,41 @@ def main() -> None:
 
     results["topologies"] = topo
 
+    # state-store provider comparison: the default in-memory
+    # (HDFS-backed snapshot) provider vs RocksDB, on the topology with
+    # the largest state (dedup horizon = 1.25M rows at the 100x tier).
+    # RocksDB keeps state off-heap and incremental-checkpoints — the
+    # provider a 100 TB deployment runs when per-partition state
+    # outgrows executor heap; this measures what that insurance costs
+    # at a state size the heap provider still handles comfortably.
+    comparison: dict[str, dict] = {}
+    src = event_tiers["events_100x"]
+    for label, provider in (
+        ("hdfs_backed", None),
+        (
+            "rocksdb",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        ),
+    ):
+        if provider is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            stream = _read_stream(spark, src, EVENT_SCHEMA)
+            comparison[label] = _drain(
+                stateful_dedup(stream, ["event_id"]),
+                "append",
+                ckpt(f"provider-{label}"),
+                rows_of("events_100x"),
+            )
+            print(f"state_store {label}: {comparison[label]}", file=sys.stderr)
+        except Exception as exc:
+            comparison[label] = {"error": repr(exc)}
+            print(f"state_store {label} failed: {exc!r}", file=sys.stderr)
+        finally:
+            if provider is not None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    results["state_store_comparison"] = comparison
+
     # Tier-over-tier scaling. At these volumes the drain wall is mostly
     # per-query/per-batch FIXED cost (startup + 8 batch schedulings), so
     # the load-bearing number is marginal_rows_per_s — the extra rows
