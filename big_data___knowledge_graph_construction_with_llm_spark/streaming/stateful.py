@@ -156,3 +156,93 @@ def running_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+#: fully-qualified RocksDB provider class — transformWithState requires it
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def streaming_funnel_tws(
+    events: DataFrame,
+    steps: list[str],
+    idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS,
+) -> DataFrame:
+    """:func:`streaming_funnel` on ``transformWithStateInPandas`` —
+    Spark 4's successor API to ``applyInPandasWithState``. Same greedy
+    in-order semantics, same per-batch emission contract, same output
+    schema; the per-user step times live in a named ``ValueState``
+    instead of the monolithic state tuple, and idle keys evict via the
+    engine's native state TTL (``ttlDurationMs``, refreshed on every
+    update) instead of a hand-rolled processing-time timeout branch.
+
+    Operational differences from the v1 operator, both favorable:
+
+    - Requires the RocksDB state store provider (Spark enforces this
+      for ``transformWithState``): set
+      ``spark.sql.streaming.stateStore.providerClass`` to
+      :data:`ROCKSDB_PROVIDER` on the session before starting the
+      query.
+    - TTL eviction is store-internal — there is no pending-timeout
+      "potential work", so unlike v1 a bounded drain under
+      ``trigger(availableNow=True)`` terminates on its own.
+
+    Environment gate: STARTING the query additionally needs the
+    ``protobuf`` Python package (Spark's state-server protocol between
+    the JVM and the Python processor imports
+    ``google.protobuf``; verified empirically — the driver-side state
+    worker exits at init without it). The package is not installed in
+    this container, so the operator is plan-constructed and
+    schema-tested here and its end-to-end parity test is import-gated,
+    the same pattern as the PIL/soundfile/neo4j seams.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    ttl_ms = idle_timeout_ms
+
+    class _FunnelProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._times = handle.getValueState(
+                "times", "times array<bigint>", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._times.get()
+            times = list(got[0]) if got is not None else [-1] * k
+            chunks = list(rows)
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+            pdf = pdf.sort_values("ts")
+            us_all = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            for us, et in zip(us_all, pdf["event_type"].to_numpy()):
+                j = next((i for i in range(k) if times[i] == -1), None)
+                if j is None:
+                    break
+                if et == steps[j] and (j == 0 or us > times[j - 1]):
+                    times[j] = int(us)
+            self._times.update((times,))
+            depth = sum(1 for t in times if t != -1)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "depth": [depth],
+                    "t_first": [times[0] if times[0] != -1 else None],
+                    "t_depth": [times[depth - 1] if depth else None],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_FunnelProcessor(),
+        outputStructType=FUNNEL_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -324,6 +324,39 @@ def main() -> None:
         print(f"streaming_funnel {tier}: {t[tier]}", file=sys.stderr)
     topo["streaming_funnel"] = t
 
+    # the transformWithState twin (Spark 4's successor API): runs only
+    # where the `protobuf` package exists — Spark's Python state-server
+    # protocol needs it, and this container lacks it (same gate as the
+    # operator's e2e test)
+    try:
+        import google.protobuf  # noqa: F401
+
+        from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+            ROCKSDB_PROVIDER,
+            streaming_funnel_tws,
+        )
+
+        t = {}
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        try:
+            for tier, src in event_tiers.items():
+                stream = _read_stream(spark, src, EVENT_SCHEMA)
+                t[tier] = _drain(
+                    streaming_funnel_tws(stream, ["view", "click", "purchase"]),
+                    "update",
+                    ckpt(f"funnel-tws-{tier}"),
+                    rows_of(tier),
+                )
+                print(f"streaming_funnel_tws {tier}: {t[tier]}", file=sys.stderr)
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        topo["streaming_funnel_tws"] = t
+    except ImportError:
+        print(
+            "bench_streaming: protobuf absent, skipping streaming_funnel_tws",
+            file=sys.stderr,
+        )
+
     # the composed ingest topology DEPLOYMENT.md §1 prescribes: stream
     # curation (gates + watermark dedup + redaction) feeding the durable
     # store-backed exact-dedup sink — the end-to-end path a 100 TB

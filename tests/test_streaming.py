@@ -692,3 +692,107 @@ def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
     assert {u: d for u, (d, _, _) in batch_out.items()} == {
         1: 3, 2: 2, 3: 2, 4: 3, 5: 1,
     }
+
+
+def test_streaming_funnel_tws_plan_and_validation(spark, tmp_path):
+    """The transformWithStateInPandas twin is plan-constructible with the
+    v1 operator's exact output schema and rejects empty steps. (Query
+    START additionally needs the `protobuf` package — Spark's Python
+    state-server protocol — absent in this container; the e2e parity
+    test below is gated on it, the PIL/soundfile/neo4j pattern.)"""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+        FUNNEL_SCHEMA,
+        streaming_funnel_tws,
+    )
+
+    src = tmp_path / "tws-plan-in"
+    src.mkdir()
+    (src / "a.json").write_text("")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).json(str(src))
+    )
+    out = streaming_funnel_tws(stream, ["view", "click"])
+    assert out.isStreaming
+    assert out.schema == spark.createDataFrame([], FUNNEL_SCHEMA).schema
+    with pytest.raises(ValueError, match="steps"):
+        streaming_funnel_tws(stream, [])
+
+
+def test_streaming_funnel_tws_matches_v1(spark, tmp_path):
+    """E2E parity: the transformWithState funnel emits the same final
+    per-user (depth, t_first, t_depth) as the v1 applyInPandasWithState
+    operator on the same time-split batches. Gated on the protobuf
+    package (state-server protocol) the container lacks."""
+    pytest.importorskip("google.protobuf")
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        streaming_funnel,
+        streaming_funnel_tws,
+    )
+
+    steps = ["view", "click", "purchase"]
+    evs = [
+        (1, 1, "view"), (1, 13, "click"), (1, 14, "purchase"),
+        (2, 2, "purchase"), (2, 3, "view"), (2, 15, "click"),
+        (3, 4, "view"), (3, 5, "click"),
+        (4, 6, "view"), (4, 7, "click"), (4, 8, "purchase"),
+    ]
+    src = tmp_path / "tws-parity-in"
+    src.mkdir()
+    for name, batch in (
+        ("a.json", [e for e in evs if e[1] < 12]),
+        ("b.json", [e for e in evs if e[1] >= 12]),
+    ):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {
+                        "event_id": i,
+                        "ts": f"2024-02-01T00:{e[1]:02d}:00Z",
+                        "user_id": e[0],
+                        "event_type": e[2],
+                        "value": 0.0,
+                        "props": "{}",
+                    }
+                )
+                for i, e in enumerate(batch)
+            )
+        )
+
+    def run(op, name, provider=None):
+        if provider is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            stream = (
+                spark.readStream.schema(
+                    "event_id bigint, ts timestamp, user_id bigint, "
+                    "event_type string, value double, props string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = (
+                op(stream, steps)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+        finally:
+            if provider is not None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return {
+            r["user_id"]: (r["depth"], r["t_first"], r["t_depth"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    v1 = run(streaming_funnel, "tws_parity_v1")
+    v2 = run(streaming_funnel_tws, "tws_parity_v2", provider=ROCKSDB_PROVIDER)
+    assert v1 == v2
