@@ -246,3 +246,47 @@ def streaming_funnel_tws(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+def running_totals_tws(
+    events: DataFrame, idle_timeout_ms: int = DEFAULT_IDLE_TIMEOUT_MS
+) -> DataFrame:
+    """:func:`running_totals` on ``transformWithStateInPandas`` — the
+    second custom stateful operator's successor-API twin, same contract:
+    per-user running ``(count, sum(value))`` emitted every micro-batch
+    the user appears in, idle keys evicted via native state TTL.
+
+    Same environment notes as :func:`streaming_funnel_tws`: requires
+    the RocksDB provider (:data:`ROCKSDB_PROVIDER`), and query START
+    needs the ``protobuf`` package (plan construction does not)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ttl_ms = idle_timeout_ms
+
+    class _TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState(
+                "acc", _STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._acc.get()
+            n, total = (int(got[0]), float(got[1])) if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._acc.update((n, total))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_TotalsProcessor(),
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -796,3 +796,75 @@ def test_streaming_funnel_tws_matches_v1(spark, tmp_path):
     v1 = run(streaming_funnel, "tws_parity_v1")
     v2 = run(streaming_funnel_tws, "tws_parity_v2", provider=ROCKSDB_PROVIDER)
     assert v1 == v2
+
+
+def test_running_totals_tws_plan_and_gated_parity(spark, tmp_path):
+    """The running-totals successor-API twin: plan-constructible with the
+    v1 schema always; e2e parity with v1 runs only where protobuf
+    exists (state-server protocol gate)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        RUNNING_TOTALS_SCHEMA,
+        running_totals,
+        running_totals_tws,
+    )
+
+    src = tmp_path / "tws-totals-in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "event_id": i,
+                    "ts": f"2024-03-01T00:0{i}:00Z",
+                    "user_id": 1 + i % 2,
+                    "event_type": "click",
+                    "value": float(2**i),
+                    "props": "{}",
+                }
+            )
+            for i in range(4)
+        )
+    )
+
+    def stream():
+        return spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).json(str(src))
+
+    out = running_totals_tws(stream())
+    assert out.isStreaming
+    assert out.schema == spark.createDataFrame([], RUNNING_TOTALS_SCHEMA).schema
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        return  # plan/schema pinned; e2e needs the state-server protocol
+
+    def run(op, name, provider=None):
+        if provider is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+        try:
+            q = (
+                op(stream())
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            q.stop()
+        finally:
+            if provider is not None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return {
+            r["user_id"]: (r["n"], r["total"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+
+    assert run(running_totals, "totals_v1") == run(
+        running_totals_tws, "totals_v2", provider=ROCKSDB_PROVIDER
+    )
