@@ -78,6 +78,35 @@ def list_dir(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     ]
 
 
+def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """RECURSIVE leaf-file listing as ``(full_path, size_bytes)`` pairs,
+    ``[]`` if absent. Hidden/metadata entries (``_SUCCESS``, ``.crc``)
+    are skipped at every level — the callers (``operators.layout``)
+    want the data files a scan would actually open."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        s = it.next()
+        name = s.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((s.getPath().toString(), int(s.getLen())))
+    return out
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """``FileSystem.rename`` — atomic directory move on HDFS/local, a
+    COPY on object stores (S3A emulates rename); callers doing
+    swap-into-place (``operators.layout.compact_small_files``) must
+    document that window."""
+    fs, s = _fs(spark, src)
+    _, d = _fs(spark, dst)
+    return bool(fs.rename(s, d))
+
+
 def mtime(spark: SparkSession, path: str) -> int:
     """Modification time of ``path`` in epoch millis, 0 if absent.
     Works on any configured filesystem (the ``os.path.getmtime``

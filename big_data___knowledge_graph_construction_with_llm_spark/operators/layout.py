@@ -1,0 +1,308 @@
+"""Data-layout management for the at-rest corpus.
+
+The operators a 100 TB deployment runs BETWEEN pipelines, not inside
+them — they decide how many bytes every later scan has to touch:
+
+1. **Small files.** Streaming sinks and over-parallel writers leave
+   thousands of KB-sized part files; each one costs a namenode/S3
+   LIST + open + footer read per scan, and Spark packs them into
+   read tasks no better than ``maxPartitionBytes`` lets it.
+   → :func:`compact_small_files` (+ :func:`file_stats` to decide when).
+2. **Scan selectivity.** Parquet keeps per-row-group min/max stats,
+   and Spark's scan skips row groups whose stats exclude the pushed
+   filter — but a corpus written in arrival order has near-full-range
+   stats in every file, so a selective filter still reads everything.
+   → :func:`write_clustered` (range-cluster on the filter column) and
+   :func:`with_zorder` (multi-column interleaved clustering, so
+   filters on ANY prefix-free subset of the clustered columns skip).
+3. **Verification.** Footer-stats truth, not vibes:
+   :func:`clustering_stats` reads the parquet footers and reports the
+   per-file min/max spans and how much they overlap.
+
+The reference's only layout decision is one output subdir per source
+format (``…AWS/ingestion/DataIngestionBatch.py:76,83,90,103``);
+everything here is EXT surface mandated by the 100 TB north star.
+Skip ratios are measured (scan-decoded rows via
+:func:`decoded_scan_rows`, not plan text) in ``tests/test_layout.py``
+and recorded per-round in BENCH_DETAIL.json's ``layout`` block
+(``scripts/bench_scale.py:layout_experiment``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+#: files smaller than this fraction of the target are "small" in
+#: :func:`file_stats`'s advisory count
+_SMALL_FRACTION = 0.5
+
+
+def file_stats(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Leaf-file census of a dataset directory: the numbers that decide
+    whether :func:`compact_small_files` is worth a rewrite. Pure
+    listing — no data bytes are read, so it is safe to run against a
+    100 TB path (one recursive LIST)."""
+    files = fsutil.list_files(spark, path)
+    sizes = sorted(sz for _, sz in files)
+    total = sum(sizes)
+    return {
+        "n_files": len(sizes),
+        "total_bytes": total,
+        "min_file_bytes": sizes[0] if sizes else 0,
+        "max_file_bytes": sizes[-1] if sizes else 0,
+        "mean_file_bytes": total // len(sizes) if sizes else 0,
+        "n_small_files": sum(
+            1 for s in sizes if s < target_file_bytes * _SMALL_FRACTION
+        ),
+        "target_file_bytes": target_file_bytes,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+    shuffle: bool = False,
+    verify: bool = True,
+) -> dict:
+    """Rewrite a parquet dataset into ~``target_file_bytes`` files and
+    swap it into place; returns before/after :func:`file_stats`.
+
+    ``shuffle=False`` (default) uses ``coalesce`` — zero shuffle, but
+    the scan itself runs with only ``n_out`` tasks, so for a compaction
+    whose INPUT is huge relative to the cluster pass ``shuffle=True``
+    (full-parallel read, one exchange) instead. ``partition_by``
+    re-applies hive-style partitioning on the rewrite, clustering rows
+    so each output partition dir gets ~one file.
+
+    The swap is two directory renames (old → ``.__replaced__``,
+    tmp → live). On HDFS/local each rename is atomic but the pair is
+    not: a reader can observe a missing directory for the instant
+    between them, and on object stores rename itself is a copy. That
+    is the documented limit of raw-parquet layout management — a
+    production 100 TB deployment puts a transactional table format
+    (Delta/Iceberg — an atomic metadata swap) over these same
+    mechanics; the operator keeps the engine dependency-free.
+    ``verify=True`` counts the rewrite before the swap (one extra
+    metadata-only pass over the tmp dir's footers) and aborts on any
+    mismatch, leaving the live dir untouched.
+    """
+    before = file_stats(spark, path, target_file_bytes)
+    if before["n_files"] == 0:
+        raise ValueError(f"compact_small_files: no data files under {path!r}")
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(path)
+    base = path.rstrip("/")
+    tmp, old = base + ".__compacting__", base + ".__replaced__"
+    fsutil.delete(spark, tmp)
+    fsutil.delete(spark, old)
+    if partition_by:
+        # cluster rows by partition key so each partition dir gets ~one
+        # file per coalesced task instead of n_out × n_partitions shards
+        out = df.repartition(n_out, *partition_by)
+    else:
+        out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    if verify:
+        n0 = df.count()
+        n1 = spark.read.parquet(tmp).count()
+        if n0 != n1:
+            fsutil.delete(spark, tmp)
+            raise RuntimeError(
+                f"compact_small_files: rewrite row count {n1} != source {n0};"
+                f" {path!r} left untouched"
+            )
+    if not fsutil.rename(spark, path, old):
+        fsutil.delete(spark, tmp)
+        raise RuntimeError(f"compact_small_files: could not move {path!r} aside")
+    if not fsutil.rename(spark, tmp, path):
+        fsutil.rename(spark, old, path)  # roll back
+        fsutil.delete(spark, tmp)
+        raise RuntimeError(f"compact_small_files: swap failed; {path!r} restored")
+    fsutil.delete(spark, old)
+    return {"before": before, "after": file_stats(spark, path, target_file_bytes)}
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 32,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet range-clustered on ``cluster_cols``: disjoint key
+    ranges per output file (``repartitionByRange`` samples the key
+    distribution, so skew still yields balanced files) and rows sorted
+    within each, which tightens BOTH the per-file and the per-row-group
+    footer stats. A pushed-down filter on the leading cluster column
+    then skips every row group whose range excludes it — the measured
+    effect is in ``tests/test_layout.py`` (scan-decoded rows,
+    :func:`decoded_scan_rows`) and BENCH_DETAIL's ``layout`` block,
+    not just the plan text. One
+    shuffle to write, paid once; every selective scan afterwards reads
+    ~``selectivity × total`` instead of ``total``. Complements
+    ``sources.tabular.write_bucketed`` (join-key co-location): cluster
+    for filters, bucket for joins."""
+    writer = (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def _bucket_of(col: Column, boundaries: list[float]) -> Column:
+    """Equal-frequency bucket id of ``col`` given its internal quantile
+    cut points: the count of boundaries ≤ value, folded JVM-side over a
+    literal array (no UDF, no join). NULL → bucket 0."""
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    v = col.cast("double")
+    return F.coalesce(
+        F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+        ),
+        F.lit(0),
+    )
+
+
+def zorder_key(buckets: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` low bits of each bucket column into one long
+    (bit ``j`` of column ``c`` lands at position ``j*k + c``) — the
+    Z-order curve: nearby (b0, b1, …) tuples get nearby keys, so
+    clustering on the key keeps every interleaved column's footer spans
+    narrow at once. Pure bit arithmetic, whole-stage-codegen friendly."""
+    k = len(buckets)
+    terms = [
+        F.shiftleft(F.shiftright(b.cast("long"), j).bitwiseAND(F.lit(1)), j * k + c)
+        for c, b in enumerate(buckets)
+        for j in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def with_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    key_col: str = "_zkey",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Attach a Z-order key over numeric ``cols``: per-column
+    equal-frequency bucketing (``2**bits`` buckets from
+    ``approxQuantile`` — skew-proof where equal-width ``width_bucket``
+    is not) + bit interleave. The quantile fetch is one bounded
+    driver-side parameter collect (≤ ``2**bits`` doubles per column —
+    the centroids/prefix-totals pattern); bucketing + interleave are
+    pure projections. Write the result with
+    ``write_clustered(out, path, [key_col])`` and a filter on ANY of
+    ``cols`` skips — the single-column cluster only serves its leading
+    column. Non-numeric columns: hash or dictionary-encode to a number
+    first (Z-order needs an ordered domain to bucket)."""
+    m = (1 << bits) - 1
+    qs = [i / (m + 1) for i in range(1, m + 1)]
+    buckets = []
+    for c in cols:
+        # bounded parameter fetch: <=2**bits cut points per column
+        bounds = sorted(set(df.stat.approxQuantile(c, qs, relative_error)))
+        buckets.append(_bucket_of(F.col(c), bounds))
+    return df.withColumn(key_col, zorder_key(buckets, bits))
+
+
+def decoded_scan_rows(df: DataFrame) -> int:
+    """Execute ``df`` (projected to its first column, so the collect
+    stays small) and return how many rows the file scan actually
+    DECODED — i.e. what survived parquet row-group / page pruning under
+    the pushed-down filter. This is the ground truth a layout change
+    moves, read from the scan node's ``numOutputRows`` SQL metric after
+    execution. Executor ``input_bytes`` cannot stand in for it:
+    verified on this engine, local-filesystem parquet page reads go
+    uncounted there (a full scan and a full-column aggregate both
+    report only ~footer bytes), while the pushdown stats reads are
+    counted — the metric moves the WRONG way. Used by
+    ``tests/test_layout.py`` and the bench's layout block."""
+    df = df.select(df.columns[0])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "AdaptiveSparkPlan" in name:
+            try:
+                yield from walk(node.executedPlan())
+                return
+            except Exception:
+                pass
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            yield from walk(children.apply(i))
+
+    total = 0
+    for node in walk(plan):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name or "BatchScan" in name:
+            total += int(node.metrics().apply("numOutputRows").value())
+    return total
+
+
+def clustering_stats(path: str, column: str) -> dict:
+    """Footer-stats truth for a clustered dataset: per-row-group
+    min/max spans of ``column`` across every parquet file under
+    ``path`` (pyarrow footer reads — no data pages touched), plus the
+    sorted-span overlap fraction (adjacent spans that overlap / total
+    adjacent pairs; ~0 = disjoint ranges = maximal skipping, ~1 =
+    every file covers the full domain = no skipping). Local paths only
+    (pyarrow does the footer IO); on a cluster run the same census as
+    a small Spark job over ``input_file_name()``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    spans: list[tuple] = []
+    paths = []
+    if os.path.isdir(local):
+        for root, _dirs, names in os.walk(local):
+            paths += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+    else:
+        paths = [local]
+    for p in sorted(paths):
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            raise ValueError(f"clustering_stats: {column!r} not in {p!r}")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is not None and st.has_min_max:
+                spans.append((st.min, st.max))
+    spans.sort()
+    overlaps = sum(
+        1 for (_, hi), (lo, _) in zip(spans, spans[1:]) if lo <= hi
+    )
+    return {
+        "n_row_groups": len(spans),
+        "spans": spans,
+        "overlap_fraction": round(overlaps / max(len(spans) - 1, 1), 4),
+    }
