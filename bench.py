@@ -301,6 +301,7 @@ def main() -> None:
     # (mild natural Zipf skew). Same experiment the scale study runs at
     # 10x (scripts/bench_scale.py, BENCH_SCALE.json `skew_join`).
     skew_join: dict = {}
+    layout: dict = {}
     try:
         import importlib.util
 
@@ -315,6 +316,15 @@ def main() -> None:
         skew_join = _bs.skew_join_experiment(spark, sf_dir)
     except Exception as exc:
         print(f"bench: skew join experiment failed: {exc!r}", file=sys.stderr)
+
+    # at-rest layout contract (untimed): scan-decoded rows for the same
+    # selective filter on arrival-order vs range-clustered vs Z-ordered
+    # parquet, plus one small-file compaction — the data-skipping story
+    # measured, not asserted (operators/layout.py)
+    try:
+        layout = _bs.layout_experiment(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: layout experiment failed: {exc!r}", file=sys.stderr)
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -332,6 +342,7 @@ def main() -> None:
                 "ivf_recall": ivf_recall,
                 "pq_recall": pq_recall,
                 "skew_join": skew_join,
+                "layout": layout,
             },
             fh,
             indent=1,

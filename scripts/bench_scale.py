@@ -287,6 +287,112 @@ def skew_join_experiment(spark, sf_dir: str) -> dict:
             release(df)
 
 
+def layout_experiment(spark, sf_dir: str) -> dict:
+    """At-rest layout vs scan cost on the bench corpus (lineitem):
+    the same ~2%-selective filter measured as SCAN-DECODED ROWS
+    (``operators.layout.decoded_scan_rows`` — what parquet row-group
+    pruning actually let through) against three layouts of the same
+    rows:
+
+    - ``arrival``: written in natural order — every row group spans
+      the whole ``l_partkey`` domain, nothing can skip;
+    - ``clustered``: ``write_clustered`` on ``l_partkey``;
+    - ``zorder``: ``with_zorder`` on (``l_partkey``, ``l_suppkey``) —
+      the second filter column must ALSO skip, which the single-column
+      cluster cannot serve.
+
+    Plus one :func:`compact_small_files` run (64 shards → target-sized)
+    with before/after file counts and wall. All writes go to a scratch
+    dir and are deleted; decoded-rows ratios are scale-free, so the
+    sf0.1 measurement is the design evidence, re-checked every bench
+    run.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        clustering_stats,
+        compact_small_files,
+        decoded_scan_rows,
+        with_zorder,
+        write_clustered,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    li = load(spark, sf_dir, "lineitem")
+    scratch = tempfile.mkdtemp(prefix="layout_bench_")
+    try:
+        arrival = f"{scratch}/arrival"
+        clustered = f"{scratch}/clustered"
+        zpath = f"{scratch}/zorder"
+        li.repartition(16).write.parquet(arrival)
+        write_clustered(spark.read.parquet(arrival), clustered, ["l_partkey"], n_files=16)
+        t0 = time.perf_counter()
+        zdf = with_zorder(spark.read.parquet(arrival), ["l_partkey", "l_suppkey"], bits=6)
+        write_clustered(zdf, zpath, ["_zkey"], n_files=16)
+        zorder_write_s = round(time.perf_counter() - t0, 2)
+
+        hi = li.agg(F.max("l_partkey")).first()[0]
+        lo_p, hi_p = int(hi * 0.40), int(hi * 0.42)
+        pred_part = (F.col("l_partkey") >= lo_p) & (F.col("l_partkey") < hi_p)
+        hs = li.agg(F.max("l_suppkey")).first()[0]
+        pred_supp = (F.col("l_suppkey") >= int(hs * 0.40)) & (
+            F.col("l_suppkey") < int(hs * 0.42)
+        )
+
+        n = li.count()
+        res = {
+            "rows": n,
+            "selectivity": round(
+                spark.read.parquet(arrival).filter(pred_part).count() / n, 4
+            ),
+            "decoded_partkey": {
+                "arrival": decoded_scan_rows(
+                    spark.read.parquet(arrival).filter(pred_part)
+                ),
+                "clustered": decoded_scan_rows(
+                    spark.read.parquet(clustered).filter(pred_part)
+                ),
+                "zorder": decoded_scan_rows(
+                    spark.read.parquet(zpath).filter(pred_part)
+                ),
+            },
+            "decoded_suppkey": {
+                "clustered": decoded_scan_rows(
+                    spark.read.parquet(clustered).filter(pred_supp)
+                ),
+                "zorder": decoded_scan_rows(
+                    spark.read.parquet(zpath).filter(pred_supp)
+                ),
+            },
+            "overlap_fraction": {
+                "arrival": clustering_stats(arrival, "l_partkey")[
+                    "overlap_fraction"
+                ],
+                "clustered": clustering_stats(clustered, "l_partkey")[
+                    "overlap_fraction"
+                ],
+            },
+            "zorder_write_s": zorder_write_s,
+        }
+
+        frag = f"{scratch}/frag"
+        li.repartition(64).write.parquet(frag)
+        t0 = time.perf_counter()
+        rep = compact_small_files(spark, frag, target_file_bytes=64 << 20)
+        res["compact"] = {
+            "files_before": rep["before"]["n_files"],
+            "files_after": rep["after"]["n_files"],
+            "total_mb": round(rep["before"]["total_bytes"] / 1e6, 1),
+            "wall_s": round(time.perf_counter() - t0, 2),
+        }
+        return res
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base_dir = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
