@@ -1,0 +1,299 @@
+"""Learned byte-pair-encoding tokenizer — train on the corpus, encode
+the corpus — with the 100 TB split put where it belongs:
+
+- **Counting is distributed** (the only corpus-sized pass): word
+  frequencies via explode + partial-aggregated count, exactly
+  ``text.build_vocab``'s shuffle shape.
+- **Merge learning is driver-side over the BOUNDED word-frequency
+  table** (``max_words`` cap, documented collect) — the same shape
+  every production BPE trainer uses: merges depend only on the
+  word→freq map, never on document order, so a ~1M-entry table
+  carries the full signal of 100 TB of text.
+- **Encoding touches Python only for DISTINCT words** (one Arrow
+  batch pass over the vocabulary-sized frame — each unique word is
+  encoded once, however many billion times it occurs); the join-back
+  and per-document order-preserving flatten are pure JVM DataFrame
+  ops (the ``encode_documents`` rebuild shape).
+
+The reference has no tokenizer (its LLM prompt consumes raw text,
+``…AWS/LLM/chains.py``); this is EXT surface mandated by the
+training-data north star — ``text.bpe_ish_token_count`` estimates
+piece counts with a fixed regex, this module LEARNS the pieces.
+
+Determinism: merges rank by (pair count desc, pair lexicographic asc)
+and the piece vocabulary is alphabet-sorted-then-merge-ordered, so the
+same corpus yields the same model on every run and partitioning.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.text import tokens
+
+#: end-of-word marker appended to every word's symbol sequence, so
+#: "low" and the prefix of "lower" learn distinct final pieces
+END = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+) -> DataFrame:
+    """Distributed word→count table feeding the trainer: one explode +
+    map-side-combined count, pruned by ``min_count`` and capped to the
+    ``max_words`` most frequent (deterministic (count, word) order).
+    The cap bounds the driver collect in :func:`train_bpe`; rare words
+    past the cap contribute ~nothing to merge counts."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    return counts.orderBy(F.col("count").desc(), F.col("word")).limit(max_words)
+
+
+@dataclass(frozen=True)
+class BpeModel:
+    """An ordered merge list + the base alphabet. ``pieces`` is the
+    deterministic piece vocabulary: alphabet (sorted) first, then one
+    piece per merge in learned order."""
+
+    alphabet: tuple[str, ...]
+    merges: tuple[tuple[str, str], ...]
+
+    @property
+    def pieces(self) -> list[str]:
+        return list(self.alphabet) + [a + b for a, b in self.merges]
+
+    def vocab_df(self, spark: SparkSession) -> DataFrame:
+        """Piece table ``(piece, piece_id, left, right)`` — left/right
+        NULL for alphabet entries, the merge operands otherwise. Small
+        by construction (= vocab_size rows); store with the corpus."""
+        rows = [(p, i, None, None) for i, p in enumerate(self.alphabet)]
+        base = len(self.alphabet)
+        rows += [
+            (a + b, base + r, a, b) for r, (a, b) in enumerate(self.merges)
+        ]
+        return spark.createDataFrame(
+            rows, "piece string, piece_id int, left string, right string"
+        )
+
+    def save(self, spark: SparkSession, path: str) -> None:
+        self.vocab_df(spark).repartition(1).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BpeModel":
+        rows = spark.read.parquet(path).orderBy("piece_id").collect()
+        alphabet = tuple(r["piece"] for r in rows if r["left"] is None)
+        merges = tuple(
+            (r["left"], r["right"]) for r in rows if r["left"] is not None
+        )
+        return cls(alphabet=alphabet, merges=merges)
+
+
+def _pair_counts(words: dict[tuple[str, ...], int]) -> Counter:
+    pc: Counter = Counter()
+    for syms, freq in words.items():
+        for a, b in zip(syms, syms[1:]):
+            pc[(a, b)] += freq
+    return pc
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i, n = 0, len(syms)
+    ab = pair[0] + pair[1]
+    while i < n:
+        if i + 1 < n and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 8_000,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+) -> BpeModel:
+    """Learn a BPE model of ``vocab_size`` pieces (base characters +
+    learned merges) from the corpus. The distributed part is
+    :func:`word_frequencies`; the merge loop runs on the driver over
+    that bounded table with incremental pair-count maintenance (each
+    merge re-counts only the words that contain the merged pair, via a
+    pair→words index), so training cost scales with the word table,
+    not the corpus. Ties rank lexicographically — bit-identical models
+    across runs."""
+    freq_rows = word_frequencies(df, text_col, min_count, max_words).collect()
+    words: dict[tuple[str, ...], int] = {}
+    for r in freq_rows:
+        words[tuple(r["word"]) + (END,)] = words.get(
+            tuple(r["word"]) + (END,), 0
+        ) + int(r["count"])
+
+    alphabet = tuple(sorted({s for syms in words for s in syms}))
+    if vocab_size < len(alphabet):
+        raise ValueError(
+            f"vocab_size {vocab_size} < base alphabet {len(alphabet)}"
+        )
+    pc = _pair_counts(words)
+    # pair → the set of current word forms containing it (the
+    # incremental index: a merge touches only these entries)
+    index: dict[tuple[str, str], set] = {}
+    for syms in words:
+        for p in zip(syms, syms[1:]):
+            index.setdefault(p, set()).add(syms)
+
+    merges: list[tuple[str, str]] = []
+    while len(alphabet) + len(merges) < vocab_size and pc:
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 1:
+            break
+        merges.append(best)
+        for old in list(index.get(best, ())):
+            if old not in words:
+                continue
+            freq = words.pop(old)
+            new = _merge_word(old, best)
+            words[new] = words.get(new, 0) + freq
+            for p in zip(old, old[1:]):
+                pc[p] -= freq
+                if pc[p] <= 0:
+                    pc.pop(p, None)
+                s = index.get(p)
+                if s is not None:
+                    s.discard(old)
+                    if not s:
+                        index.pop(p, None)
+            for p in zip(new, new[1:]):
+                pc[p] = pc.get(p, 0) + freq
+                index.setdefault(p, set()).add(new)
+        pc.pop(best, None)
+        index.pop(best, None)
+    return BpeModel(alphabet=alphabet, merges=tuple(merges))
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank merging of one word (the standard BPE encode
+    loop): repeatedly apply the best-ranked applicable merge until none
+    applies. Unknown characters pass through as single-char pieces."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i, p in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pair = (syms[best_i], syms[best_i + 1])
+        syms = list(_merge_word(tuple(syms), pair))
+    return syms
+
+
+def _encode_frame(
+    df: DataFrame,
+    model: BpeModel,
+    id_col: str,
+    text_col: str,
+    emit_ids: bool,
+) -> DataFrame:
+    """Shared encode pipeline. Python runs ONCE PER DISTINCT WORD (an
+    Arrow ``mapInPandas`` over the vocabulary-bounded distinct-word
+    frame; merge ranks — and for the ids variant the piece→id dict —
+    ship in the closure, so no corpus-sized literal or second Python
+    pass); the corpus-sized flatten — posexplode, broadcast join on
+    word, per-document rebuild in position order — is all JVM."""
+    import pandas as pd
+
+    ranks = {p: r for r, p in enumerate(model.merges)}
+    id_of = {p: i for i, p in enumerate(model.pieces)} if emit_ids else None
+    out_field = "piece_ids" if emit_ids else "pieces"
+    out_type = "array<int>" if emit_ids else "array<string>"
+
+    def encode_batch(batches):
+        for pdf in batches:
+            encoded = [_encode_word(w, ranks) for w in pdf["word"]]
+            if id_of is not None:
+                # unseen characters (not in the training alphabet) map
+                # to -1, the OOV convention of encode_documents
+                encoded = [
+                    [id_of.get(p, -1) for p in ps] for ps in encoded
+                ]
+            yield pd.DataFrame({"word": pdf["word"], out_field: encoded})
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(
+            F.filter(tokens(text_col), lambda t: t != "")
+        ).alias("pos", "word"),
+    )
+    uniq = toks.select("word").where(F.col("word").isNotNull()).distinct()
+    piece_map = uniq.mapInPandas(encode_batch, f"word string, {out_field} {out_type}")
+    joined = toks.join(F.broadcast(piece_map), "word", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.col(out_field).alias("ps"))
+                )
+            ).alias("_ord")
+        )
+        .select(
+            id_col,
+            F.flatten(
+                F.transform(
+                    F.filter(F.col("_ord"), lambda s: s["pos"].isNotNull()),
+                    lambda s: s["ps"],
+                )
+            ).alias(out_field),
+        )
+        .select(
+            id_col, out_field, F.size(out_field).cast("int").alias("n_pieces")
+        )
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    model: BpeModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents to BPE pieces: ``(id, pieces array<string>,
+    n_pieces)`` with word order preserved. Empty/blank documents keep
+    a row with an empty array (``posexplode_outer``). Scale shape: see
+    :func:`_encode_frame` — Python cost is per distinct word, however
+    many billion occurrences the corpus has.
+
+    Precondition (as ``encode_documents``): ``id_col`` unique."""
+    return _encode_frame(df, model, id_col, text_col, emit_ids=False)
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    model: BpeModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Piece-id encoding ``(id, piece_ids array<int>, n_pieces)``
+    against the model's deterministic piece numbering — the
+    train-ready output (feed to ``sampling.pack_sequences``). Every
+    emitted piece is in the vocabulary by construction (encoding only
+    applies model merges over alphabet characters); genuinely unseen
+    characters map to -1."""
+    return _encode_frame(df, model, id_col, text_col, emit_ids=True)

@@ -1,0 +1,125 @@
+"""Learned BPE tokenizer (`operators.bpe`): deterministic training on
+distributed word frequencies, distinct-word-bounded encoding, model
+persistence."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.bpe import (
+    END,
+    BpeModel,
+    _encode_word,
+    bpe_encode,
+    bpe_encode_ids,
+    train_bpe,
+    word_frequencies,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_train_learns_hand_computable_merges(spark):
+    # "ab"×5, "ac"×3 over alphabet {</w>, a, b, c}:
+    #   round 1: (a,b)=5 ties (b,</w>)=5 → lexicographic min (a,b)
+    #   round 2: (ab,</w>)=5 beats (a,c)=3
+    #   round 3: (a,c)=3 ties (c,</w>)=3 → (a,c)
+    #   round 4: (ac,</w>)=3
+    df = _docs(spark, ["ab ab ab ab ab ac ac ac"])
+    model = train_bpe(df, vocab_size=8)
+    assert model.alphabet == (END, "a", "b", "c")
+    assert model.merges == (
+        ("a", "b"),
+        ("ab", END),
+        ("a", "c"),
+        ("ac", END),
+    )
+    assert model.pieces == [END, "a", "b", "c", "ab", "ab" + END, "ac", "ac" + END]
+
+
+def test_train_is_deterministic_across_partitioning(spark):
+    texts = [f"tok{i % 17} tok{i % 5} shared word{i % 3}" for i in range(200)]
+    m1 = train_bpe(_docs(spark, texts), vocab_size=40)
+    m2 = train_bpe(_docs(spark, texts).repartition(7), vocab_size=40)
+    assert m1 == m2
+
+
+def test_word_frequencies_cap_keeps_most_frequent(spark):
+    df = _docs(spark, ["a a a b b c"])
+    rows = word_frequencies(df, max_words=2).collect()
+    assert [(r["word"], r["count"]) for r in rows] == [("a", 3), ("b", 2)]
+
+
+def test_encode_word_roundtrip_and_greedy_rank():
+    model_ranks = {("a", "b"): 0, ("ab", END): 1, ("a", "c"): 2}
+    assert _encode_word("ab", model_ranks) == ["ab" + END]
+    assert _encode_word("ac", model_ranks) == ["ac", END]
+    assert _encode_word("cab", model_ranks) == ["c", "ab" + END]
+    # unknown characters pass through; concatenation always rebuilds
+    for w in ("zzz", "abcab", "b"):
+        assert "".join(_encode_word(w, model_ranks)) == w + END
+
+
+def test_encode_preserves_order_and_rebuilds_text(spark):
+    texts = ["the cat sat on the mat", "a cat and a hat", ""]
+    df = _docs(spark, texts)
+    model = train_bpe(df, vocab_size=30)
+    out = {r["doc_id"]: r for r in bpe_encode(df, model).collect()}
+    assert len(out) == 3
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if w]
+        got = "".join(out[i]["pieces"])
+        assert got == "".join(w + END for w in words)
+        assert out[i]["n_pieces"] == len(out[i]["pieces"])
+    assert out[2]["pieces"] == [] and out[2]["n_pieces"] == 0
+
+
+def test_encode_ids_decode_back(spark):
+    texts = ["repeat repeat repeat unique", "repeat other"]
+    df = _docs(spark, texts)
+    model = train_bpe(df, vocab_size=25)
+    pieces = model.pieces
+    out = {r["doc_id"]: r["piece_ids"] for r in bpe_encode_ids(df, model).collect()}
+    for i, t in enumerate(texts):
+        assert all(0 <= pid < len(pieces) for pid in out[i])
+        decoded = "".join(pieces[pid] for pid in out[i])
+        assert decoded == "".join(w + END for w in t.split() if w)
+
+
+def test_unseen_character_is_oov(spark):
+    model = train_bpe(_docs(spark, ["aa ab ba"]), vocab_size=10)
+    df = _docs(spark, ["aa qq"])
+    ids = bpe_encode_ids(df, model).collect()[0]["piece_ids"]
+    assert -1 in ids  # 'q' was never in the training alphabet
+    ps = bpe_encode(df, model).collect()[0]["pieces"]
+    assert "q" in ps
+
+
+def test_python_stage_runs_over_distinct_words_only(spark):
+    df = _docs(spark, ["x " * 1000, "x y"])
+    model = train_bpe(df, vocab_size=12)
+    plan = bpe_encode(df, model)._jdf.queryExecution().executedPlan().toString()
+    # exactly one Arrow python stage, fed by the distinct-word aggregate
+    assert plan.count("MapInPandas") == 1
+    assert "HashAggregate" in plan
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    model = train_bpe(_docs(spark, ["roundtrip model storage test"]), vocab_size=30)
+    path = str(tmp_path / "bpe_model")
+    model.save(spark, path)
+    loaded = BpeModel.load(spark, path)
+    assert loaded == model
+    # vocab table ids follow the deterministic piece order
+    rows = model.vocab_df(spark).orderBy("piece_id").collect()
+    assert [r["piece"] for r in rows] == model.pieces
+
+
+def test_vocab_size_smaller_than_alphabet_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        train_bpe(_docs(spark, ["abcdefgh"]), vocab_size=3)
