@@ -1,0 +1,203 @@
+"""Declarative data-validation (expectations) for pipeline gates.
+
+A 100 TB curation run cannot afford one scan per check, and it cannot
+afford checks that silently sample. This module computes EVERY scalar
+expectation — null-completeness, ranges, regex compliance, set
+membership, uniqueness, custom predicates — in ONE aggregate pass over
+the frame (violation counters are `sum(when(...))` expressions and
+`count_distinct` twins folded into a single `agg`), and only
+referential-integrity rules (which inherently need the other table)
+add an anti-join each, with the reference side deduplicated first so
+it broadcasts when bounded.
+
+Null semantics, chosen to keep rules composable (the Deequ
+convention): value rules (`in_range` / `matches` / `in_set`) PASS null
+values — completeness is `not_null`'s job, so "95% complete and 100%
+in-range" decompose cleanly; `satisfies` is raw three-valued logic
+where NULL counts as a violation (documented at the factory).
+
+The reference validates only tolerantly-parsed LLM output (required
+keys `subject/relation/object`, `…Local/main.py:70` — covered by
+`pipeline.py:146`); this module is the EXT generalization for the
+training-data north star.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: rule kinds — "row" and "unique" fold into the single agg pass;
+#: "foreign_key" costs one anti-join against the (deduplicated) ref
+_KINDS = ("row", "unique", "foreign_key")
+
+
+@dataclass
+class Rule:
+    name: str
+    kind: str
+    predicate: Column | None = None  # row kind: True/None-passes-by-factory
+    cols: list[str] = field(default_factory=list)  # unique kind
+    ref: DataFrame | None = None  # foreign_key kind
+    ref_col: str | None = None
+    col: str | None = None
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown rule kind {self.kind!r}")
+
+
+def not_null(col: str) -> Rule:
+    """Completeness: every value present."""
+    return Rule(f"not_null({col})", "row", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo=None, hi=None) -> Rule:
+    """Bounds (inclusive); one-sided when only ``lo`` or ``hi`` given.
+    Null values pass — pair with :func:`not_null` for completeness."""
+    if lo is None and hi is None:
+        raise ValueError("in_range needs lo and/or hi")
+    c = F.col(col)
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (c >= lo)
+    if hi is not None:
+        pred = pred & (c <= hi)
+    return Rule(
+        f"in_range({col},{lo},{hi})", "row", F.coalesce(pred, F.lit(True))
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    """Full-value regex compliance (``rlike``). Null values pass."""
+    return Rule(
+        f"matches({col})",
+        "row",
+        F.coalesce(F.col(col).rlike(pattern), F.lit(True)),
+    )
+
+
+def in_set(col: str, values) -> Rule:
+    """Domain membership. Null values pass."""
+    return Rule(
+        f"in_set({col})",
+        "row",
+        F.coalesce(F.col(col).isin(list(values)), F.lit(True)),
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Rule:
+    """Custom row predicate under raw three-valued logic: a NULL result
+    is a violation (use ``F.coalesce(pred, F.lit(True))`` yourself for
+    null-passes semantics)."""
+    return Rule(f"satisfies({name})", "row", predicate)
+
+
+def unique(*cols: str) -> Rule:
+    """Key uniqueness over ``cols`` (violations = rows beyond the first
+    of each duplicated key). Folded into the same single aggregate pass
+    as the row rules via a ``count_distinct`` twin."""
+    if not cols:
+        raise ValueError("unique needs at least one column")
+    return Rule(f"unique({','.join(cols)})", "unique", cols=list(cols))
+
+
+def foreign_key(col: str, ref: DataFrame, ref_col: str) -> Rule:
+    """Referential integrity: every non-null ``col`` exists in
+    ``ref[ref_col]``. Costs one left-anti join; the reference side is
+    projected + deduplicated first so a bounded dimension broadcasts."""
+    return Rule(
+        f"foreign_key({col}->{ref_col})",
+        "foreign_key",
+        ref=ref,
+        ref_col=ref_col,
+        col=col,
+    )
+
+
+def _scalar_report_frame(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """The ONE-scan aggregate carrying every scalar rule's violation
+    counter (``_n`` + one ``_v{i}`` per row/unique rule) as a single
+    1-row frame — exposed so the one-pass claim is plan-assertable
+    (``tests/test_validate.py``)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, r in enumerate(rules):
+        if r.kind == "row":
+            aggs.append(
+                F.sum(
+                    F.when(~F.coalesce(r.predicate, F.lit(False)), 1).otherwise(0)
+                ).alias(f"_v{i}")
+            )
+        elif r.kind == "unique":
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.count_distinct(F.struct(*[F.col(c) for c in r.cols]))
+                ).alias(f"_v{i}")
+            )
+    return df.agg(*aggs)
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Run every rule and return the report frame ``(rule, kind,
+    violations, n_rows, ok)`` — all row + unique rules in ONE scan of
+    ``df``, plus one anti-join per foreign-key rule. The report is
+    driver-assembled (its size is the rule count) so gating code can
+    ``collect()`` it for free."""
+    spark = df.sparkSession
+    row = _scalar_report_frame(df, rules).first()
+    n = int(row["_n"])
+    records = []
+    for i, r in enumerate(rules):
+        if r.kind == "foreign_key":
+            v = (
+                df.select(F.col(r.col).alias("_k"))
+                .where(F.col("_k").isNotNull())
+                .join(
+                    r.ref.select(F.col(r.ref_col).alias("_k")).distinct(),
+                    "_k",
+                    "left_anti",
+                )
+                .count()
+            )
+        else:
+            v = int(row[f"_v{i}"])
+        records.append((r.name, r.kind, v, n, v == 0))
+    return spark.createDataFrame(
+        records, "rule string, kind string, violations long, n_rows long, ok boolean"
+    )
+
+
+def failed_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Rows violating any ROW-kind rule, with the violated rule names
+    in a ``_violations`` array — the quarantine side of the gate
+    (unique / foreign-key rules are set-level, not row-attributable in
+    one pass; use :func:`validate` + a keyed join to chase those).
+    Pure projection + filter: pushes down, streams, never shuffles."""
+    row_rules = [r for r in rules if r.kind == "row"]
+    if not row_rules:
+        raise ValueError("failed_rows needs at least one row-kind rule")
+    arr = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(r.predicate, F.lit(False)), F.lit(r.name)
+                )
+                for r in row_rules
+            ]
+        )
+    )
+    return df.withColumn("_violations", arr).where(F.size("_violations") > 0)
+
+
+def assert_valid(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Gate form: return the report if everything passes, raise
+    ``ValueError`` naming the failed rules (with counts) otherwise."""
+    report = validate(df, rules)
+    bad = [r for r in report.collect() if not r["ok"]]
+    if bad:
+        detail = ", ".join(f"{r['rule']}={r['violations']}" for r in bad)
+        raise ValueError(f"validation failed: {detail}")
+    return report

@@ -1,0 +1,113 @@
+"""Single-pass expectations (`operators.validate`): report correctness,
+null semantics, one-scan claim, quarantine rows, gate behavior."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+    assert_valid,
+    failed_rows,
+    foreign_key,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    satisfies,
+    unique,
+    validate,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.createDataFrame(
+        [
+            (1, "en", 10, "a@b.co"),
+            (2, "en", -3, "bad"),
+            (3, None, 120, None),
+            (3, "de", 50, "x@y.io"),
+            (5, "xx", None, "z@w.me"),
+        ],
+        "id long, lang string, score int, email string",
+    )
+
+
+def test_report_counts(spark, frame):
+    ref = spark.createDataFrame([("en",), ("de",)], "code string")
+    rules = [
+        not_null("lang"),
+        in_range("score", 0, 100),
+        matches("email", r"^[^@]+@[^@]+$"),
+        in_set("lang", ["en", "de"]),
+        unique("id"),
+        foreign_key("lang", ref, "code"),
+    ]
+    rep = {r["rule"]: r for r in validate(frame, rules).collect()}
+    assert all(r["n_rows"] == 5 for r in rep.values())
+    assert rep["not_null(lang)"]["violations"] == 1
+    # nulls pass value rules: score=-3 and 120 violate, score=None passes
+    assert rep["in_range(score,0,100)"]["violations"] == 2
+    assert rep["matches(email)"]["violations"] == 1  # "bad"; None passes
+    assert rep["in_set(lang)"]["violations"] == 1  # "xx"; None passes
+    assert rep["unique(id)"]["violations"] == 1  # id=3 twice
+    assert rep["foreign_key(lang->code)"]["violations"] == 1  # "xx"
+    assert not any(r["ok"] for r in rep.values())
+
+
+def test_all_green_report(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, v int")
+    rep = validate(df, [not_null("v"), in_range("v", 0, 10), unique("id")])
+    assert all(r["ok"] for r in rep.collect())
+
+
+def test_satisfies_null_is_violation(spark):
+    df = spark.createDataFrame([(1,), (None,)], "v int")
+    rep = validate(df, [satisfies("v_pos", F.col("v") > 0)]).collect()[0]
+    assert rep["violations"] == 1
+
+
+def test_scalar_rules_run_in_one_scan(frame):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        _scalar_report_frame,
+    )
+
+    rules = [not_null("lang"), in_range("score", 0, 100), unique("id")]
+    agg = _scalar_report_frame(frame, rules)
+    # every counter in ONE aggregate over ONE relation — a per-rule
+    # scan would show one LogicalRDD per rule here
+    opt = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("LogicalRDD") == 1
+    row = agg.first()
+    assert row["_n"] == 5 and row["_v0"] == 1 and row["_v2"] == 1
+
+
+def test_failed_rows_quarantine(frame):
+    rules = [not_null("lang"), in_range("score", 0, 100)]
+    rows = {
+        (r["id"], tuple(r["_violations"]))
+        for r in failed_rows(frame, rules).collect()
+    }
+    assert (2, ("in_range(score,0,100)",)) in rows
+    assert (3, ("not_null(lang)", "in_range(score,0,100)")) in rows
+    assert len(rows) == 2  # ids 5/3b/1 pass the row rules
+
+
+def test_failed_rows_requires_row_rule(frame):
+    with pytest.raises(ValueError):
+        failed_rows(frame, [unique("id")])
+
+
+def test_assert_valid_raises_with_names(spark, frame):
+    with pytest.raises(ValueError, match=r"not_null\(lang\)=1"):
+        assert_valid(frame, [not_null("lang")])
+    ok = spark.createDataFrame([(1,)], "v int")
+    rep = assert_valid(ok, [not_null("v")])
+    assert rep.collect()[0]["ok"]
+
+
+def test_rule_factories_validate_inputs():
+    with pytest.raises(ValueError):
+        in_range("x")
+    with pytest.raises(ValueError):
+        unique()
