@@ -123,3 +123,50 @@ def test_vocab_size_smaller_than_alphabet_rejected(spark):
 
     with pytest.raises(ValueError):
         train_bpe(_docs(spark, ["abcdefgh"]), vocab_size=3)
+
+
+def test_encode_word_roundtrip_property():
+    # pure-python property sweep: greedy encoding always rebuilds the
+    # word exactly, whatever (well-formed) merge table it is given
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.text(alphabet="abcd", min_size=1, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(words, min_size=1, max_size=30), words)
+    def check(corpus, probe):
+        freqs: dict[tuple[str, ...], int] = {}
+        for w in corpus:
+            k = tuple(w) + (END,)
+            freqs[k] = freqs.get(k, 0) + 1
+        # train a tiny in-memory model through the same helpers
+        from big_data___knowledge_graph_construction_with_llm_spark.operators import bpe as B
+
+        pc = B._pair_counts(freqs)
+        merges = []
+        while pc and len(merges) < 10:
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            freqs = {
+                B._merge_word(syms, best): f for syms, f in freqs.items()
+            }
+            pc = B._pair_counts(freqs)
+        ranks = {p: r for r, p in enumerate(merges)}
+        assert "".join(_encode_word(probe, ranks)) == probe + END
+
+    check()
+
+
+def test_bpe_feeds_sequence_packing(spark):
+    # the training-data tail: learned pieces -> ids -> packed bins
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.sampling import pack_sequences
+
+    texts = [f"doc {i} alpha beta gamma delta" for i in range(20)]
+    df = _docs(spark, texts)
+    model = train_bpe(df, vocab_size=40)
+    enc = bpe_encode_ids(df, model)
+    packed = pack_sequences(enc, "doc_id", "n_pieces", budget=64)
+    rows = packed.collect()
+    assert len(rows) == 20
+    assert len({r["seq_id"] for r in rows}) > 1  # really split into bins
