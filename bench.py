@@ -326,6 +326,20 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: layout experiment failed: {exc!r}", file=sys.stderr)
 
+    # tokenizer + validation contracts (untimed): train/encode wall and
+    # the distinct-word bound for the learned BPE path; the one-scan
+    # gate priced on the orders table (scripts/bench_scale.py)
+    bpe_block: dict = {}
+    validation: dict = {}
+    try:
+        bpe_block = _bs.bpe_experiment(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: bpe experiment failed: {exc!r}", file=sys.stderr)
+    try:
+        validation = _bs.validation_experiment(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: validation experiment failed: {exc!r}", file=sys.stderr)
+
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
@@ -343,6 +357,8 @@ def main() -> None:
                 "pq_recall": pq_recall,
                 "skew_join": skew_join,
                 "layout": layout,
+                "bpe": bpe_block,
+                "validation": validation,
             },
             fh,
             indent=1,

@@ -186,22 +186,47 @@ def train_bpe(
     return BpeModel(alphabet=alphabet, merges=tuple(merges))
 
 
+def _make_word_encoder(ranks: dict[tuple[str, str], int], end: str):
+    """Build the greedy lowest-rank word encoder as a SELF-CONTAINED
+    closure: it references nothing module-level, so cloudpickle ships
+    it by value into Arrow workers — the executors' Python does not
+    need this package on its import path (it may not be there when the
+    driver script added the repo to ``sys.path`` itself)."""
+
+    def encode(word: str) -> list[str]:
+        syms = list(word) + [end]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            ab = a + b
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    return encode
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank merging of one word (the standard BPE encode
     loop): repeatedly apply the best-ranked applicable merge until none
-    applies. Unknown characters pass through as single-char pieces."""
-    syms = list(word) + [END]
-    while len(syms) > 1:
-        best_rank, best_i = None, -1
-        for i, p in enumerate(zip(syms, syms[1:])):
-            r = ranks.get(p)
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank, best_i = r, i
-        if best_rank is None:
-            break
-        pair = (syms[best_i], syms[best_i + 1])
-        syms = list(_merge_word(tuple(syms), pair))
-    return syms
+    applies. Unknown characters pass through as single-char pieces.
+    Driver-side/test convenience over :func:`_make_word_encoder` (the
+    form that ships to executors)."""
+    return _make_word_encoder(ranks, END)(word)
 
 
 def _encode_frame(
@@ -219,14 +244,16 @@ def _encode_frame(
     word, per-document rebuild in position order — is all JVM."""
     import pandas as pd
 
-    ranks = {p: r for r, p in enumerate(model.merges)}
+    encode = _make_word_encoder(
+        {p: r for r, p in enumerate(model.merges)}, END
+    )
     id_of = {p: i for i, p in enumerate(model.pieces)} if emit_ids else None
     out_field = "piece_ids" if emit_ids else "pieces"
     out_type = "array<int>" if emit_ids else "array<string>"
 
     def encode_batch(batches):
         for pdf in batches:
-            encoded = [_encode_word(w, ranks) for w in pdf["word"]]
+            encoded = [encode(w) for w in pdf["word"]]
             if id_of is not None:
                 # unseen characters (not in the training alphabet) map
                 # to -1, the OOV convention of encode_documents

@@ -393,6 +393,94 @@ def layout_experiment(spark, sf_dir: str) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def bpe_experiment(spark, sf_dir: str, vocab_size: int = 512) -> dict:
+    """Measured contract for the learned BPE tokenizer on the bench
+    corpus: train wall (distributed count + driver merge loop), encode
+    wall and docs/s, and the distinct-word count that bounds the
+    Python stage — the number that makes the 100 TB story concrete
+    (encode cost is per unique word, not per occurrence)."""
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.bpe import (
+        bpe_encode_ids,
+        train_bpe,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import tokens
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    t0 = time.perf_counter()
+    model = train_bpe(docs, vocab_size=vocab_size, max_words=100_000)
+    train_s = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    agg = bpe_encode_ids(docs, model).agg(
+        F.count("*").alias("n"), F.sum("n_pieces").alias("pieces")
+    ).first()
+    encode_s = round(time.perf_counter() - t0, 2)
+    return {
+        "n_docs": n_docs,
+        "distinct_words": n_words,
+        "vocab_size": len(model.pieces),
+        "n_merges": len(model.merges),
+        "train_s": train_s,
+        "encode_s": encode_s,
+        "docs_per_s": round(agg["n"] / max(encode_s, 1e-9)),
+        "total_pieces": int(agg["pieces"]),
+    }
+
+
+def validation_experiment(spark, sf_dir: str) -> dict:
+    """Measured contract for the one-pass expectations gate: a
+    six-rule report (completeness, range, regex, set, uniqueness +
+    one referential rule into nation) over the orders table, with the
+    scalar-rules wall separated from the anti-join wall — the claim
+    priced is 'a gate costs one scan'."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import validate as V
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    scalar_rules = [
+        V.not_null("o_custkey"),
+        V.in_range("o_totalprice", 0, 1e9),
+        V.matches("o_orderstatus", "^[A-Z]$"),
+        V.in_set(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        ),
+        V.unique("o_orderkey"),
+    ]
+    t0 = time.perf_counter()
+    rep = V.validate(orders, scalar_rules)
+    scalar_rows = rep.collect()
+    scalar_s = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    fk = V.validate(
+        orders, [V.foreign_key("o_custkey", customer, "c_custkey")]
+    ).collect()
+    fk_s = round(time.perf_counter() - t0, 2)
+    return {
+        "n_rows": scalar_rows[0]["n_rows"],
+        "n_scalar_rules": len(scalar_rules),
+        "scalar_pass_s": scalar_s,
+        "fk_antijoin_s": fk_s,
+        "all_ok": all(r["ok"] for r in scalar_rows + fk),
+        "violations": {
+            r["rule"]: r["violations"]
+            for r in scalar_rows + fk
+            if r["violations"]
+        },
+    }
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     base_dir = os.environ.get("SCALE_BASE", "/root/testdata/sf0.1")
