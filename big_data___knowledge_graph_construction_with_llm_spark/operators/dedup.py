@@ -1345,6 +1345,126 @@ def excise_repeated_spans(
     )
 
 
+def scrub_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Gate + excision in ONE corpus pass: every ``df`` column with
+    ``text_col`` scrubbed of cross-document repeated spans, plus the
+    per-document ``boilerplate_frac`` — result-identical (pinned by
+    test) to :func:`boilerplate_fraction` + :func:`excise_repeated_spans`
+    sharing a :func:`repeated_span_fingerprints` table, but the corpus
+    is span-exploded ONCE instead of three times. A single materialized
+    POSITIONAL span frame ``(id, pos, 192-bit fp)`` feeds all three
+    derivations:
+
+    - detection: ``countDistinct(id)`` per fingerprint (positional
+      duplicates collapse in the counter, so the distinct-span frame
+      the standalone detector builds is not needed);
+    - the fraction: ``countDistinct(struct(fp))`` per doc reproduces
+      the standalone gate's distinct-span numerator/denominator off
+      the duplicated positional rows;
+    - the rebuild: covered positions via the usual
+      semi-join → ``sequence`` explode, only AFFECTED docs' tokens
+      shuffle.
+
+    Span text still never shuffles (fingerprints only); the extra cost
+    over one standalone operator is just the positional frame's
+    ``pos`` column. Prefer this whenever BOTH the gate value and the
+    scrubbed text are wanted (``q_token_count``'s shape); keep the
+    standalone operators when only one is."""
+    _require_min_docs(min_docs)
+    pos_spans = materialize(
+        df.filter(F.trim(F.col(text_col)) != "")
+        .filter(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= span_tokens
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(shingles(text_col, span_tokens)).alias("pos", "_s"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64("_s").alias("_sh64"),
+            F.md5("_s").alias("_sh128"),
+        )
+    )
+    hit_marks = materialize(
+        pos_spans.groupBy("_sh64", "_sh128")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_sh64", "_sh128")
+    )
+    frac = (
+        pos_spans.join(
+            hit_marks.select("_sh64", "_sh128", F.lit(1).alias("_hit")),
+            ["_sh64", "_sh128"],
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct(F.struct("_sh64", "_sh128")).alias("_n_spans"),
+            F.countDistinct(
+                F.when(F.col("_hit") == 1, F.struct("_sh64", "_sh128"))
+            ).alias("_n_rep"),
+        )
+        .select(
+            id_col,
+            (F.col("_n_rep") / F.col("_n_spans")).alias("boilerplate_frac"),
+        )
+    )
+    covered = materialize(
+        pos_spans.join(hit_marks, ["_sh64", "_sh128"], "left_semi")
+        .select(
+            F.col(id_col).alias("_cov_id"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
+            ).alias("_cov"),
+        )
+        .distinct()
+    )
+    affected = covered.select(F.col("_cov_id").alias(id_col)).distinct()
+    tokpos = df.join(affected, id_col, "left_semi").select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "_tok"
+        ),
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos[id_col] == covered["_cov_id"])
+        & (tokpos["pos"] == covered["_cov"]),
+        "left_anti",
+    )
+    rebuilt = affected.join(
+        kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_tok"))),
+                    lambda s: s["_tok"],
+                ),
+                " ",
+            ).alias("_new_text")
+        ),
+        id_col,
+        "left",
+    ).select(id_col, F.coalesce("_new_text", F.lit("")).alias("_new_text"))
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.col(text_col)))
+        .drop("_new_text")
+        .join(frac, id_col, "left")
+        .withColumn(
+            "boilerplate_frac",
+            F.coalesce("boilerplate_frac", F.lit(0.0)),
+        )
+    )
+
+
 def _doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Positional line frame for the line-dedup family: ``(id, pos,
     _line, _lh64, _lh128)`` — one row per newline-split line, identity

@@ -708,9 +708,7 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
     is not oracle-expressible and is covered by unit tests
     (``tests/test_operators_misc.py``) instead of a registry slot."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
-        boilerplate_fraction,
-        excise_repeated_spans,
-        repeated_span_fingerprints,
+        scrub_repeated_spans,
     )
 
     d = load(spark, sf, "documents")
@@ -720,19 +718,15 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" " + _BOILER))
         ).otherwise(F.col("text")).alias("ptext"),
     )
-    # ONE detection pass feeds both the gate fraction and the excision
-    # (the hits= sharing contract) — each would otherwise re-run the
-    # corpus-wide span explode + aggregation
-    hits = materialize(
-        repeated_span_fingerprints(planted, "doc_id", "ptext", 8, 2)
-    )
-    bf = boilerplate_fraction(
-        planted, "doc_id", "ptext", span_tokens=8, min_docs=2, hits=hits
-    )
-    ex = excise_repeated_spans(
-        planted, "doc_id", "ptext", span_tokens=8, min_docs=2, hits=hits
+    # gate fraction + excision from ONE combined pass (r7): the corpus
+    # is span-exploded once inside scrub_repeated_spans instead of
+    # three times (detect / fraction / excise), result-identical to the
+    # standalone pair sharing a hits= table — pinned by operator test
+    s = scrub_repeated_spans(
+        planted, "doc_id", "ptext", span_tokens=8, min_docs=2
     ).select(
         "doc_id",
+        "boilerplate_frac",
         F.when(F.trim("ptext") == "", F.lit(0))
         .otherwise(T.token_count("ptext"))
         .cast("int")
@@ -745,8 +739,7 @@ def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
             T.bpe_ish_token_count("text").alias("n_pieces"),
             F.md5("text").alias("fp"),
         )
-        .join(bf, "doc_id")
-        .join(ex, "doc_id")
+        .join(s, "doc_id")
         .select(
             "doc_id", "n_tokens", "n_pieces", "fp",
             F.round("boilerplate_frac", 4).alias("boilerplate_frac"),

@@ -1445,3 +1445,85 @@ def test_store_signatures_equal_text_signatures(spark):
         for r in _sigs_from_fps(_shingle_fps(df, "doc_id", "text", 3), 64).collect()
     }
     assert from_text == from_store
+
+
+def test_scrub_repeated_spans_matches_standalone_pair(spark):
+    # the one-pass gate+excise must be RESULT-IDENTICAL to
+    # boilerplate_fraction + excise_repeated_spans sharing a hits
+    # table, across the edge shapes: planted block, short doc, blank
+    # doc, fully-boilerplate doc
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        boilerplate_fraction,
+        excise_repeated_spans,
+        repeated_span_fingerprints,
+        scrub_repeated_spans,
+    )
+
+    boiler = "this content is licensed under the example public licence v1"
+    rows = []
+    for i in range(120):
+        t = (
+            f"doc {i} body alpha{i % 7} beta{i % 11} gamma delta epsilon "
+            f"zeta eta theta iota word{i}"
+        )
+        if i % 5 == 0:
+            t = t + " " + boiler
+        if i % 29 == 0:
+            t = "short doc"
+        if i % 31 == 0:
+            t = ""
+        if i % 37 == 0:
+            t = boiler
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hits = materialize(repeated_span_fingerprints(df, "doc_id", "text", 8, 2))
+    bf = {
+        r["doc_id"]: r["boilerplate_frac"]
+        for r in boilerplate_fraction(
+            df, "doc_id", "text", 8, 2, hits=hits
+        ).collect()
+    }
+    ex = {
+        r["doc_id"]: r["text"]
+        for r in excise_repeated_spans(
+            df, "doc_id", "text", 8, 2, hits=hits
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in scrub_repeated_spans(df, "doc_id", "text", 8, 2).collect()
+    }
+    assert set(got) == set(bf) == set(ex)
+    for i, r in got.items():
+        assert abs(r["boilerplate_frac"] - bf[i]) < 1e-12, i
+        assert r["text"] == ex[i], i
+
+
+def test_scrub_repeated_spans_single_span_explode(spark):
+    # the whole point: ONE positional span explode feeds detection,
+    # fraction and rebuild — the standalone pair + shared hits costs
+    # three. Count Generate(posexplode(shingles...)) nodes fed by the
+    # text column in the analyzed plan.
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        scrub_repeated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta tail{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = (
+        scrub_repeated_spans(df, "doc_id", "text", 8, 2)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the span explode ran ONCE inside materialize — every consumer in
+    # the final plan reads the same LogicalRDD leaf, so the plan holds
+    # ZERO shingle explodes and exactly one token posexplode (the
+    # affected-docs rebuild)
+    assert plan.count("slice(split(") == 0
+    assert plan.count("posexplode") == 1
+    assert plan.count("LogicalRDD") >= 3  # pos_spans reused + covered + hits
