@@ -9,11 +9,14 @@ the corpus — with the 100 TB split put where it belongs:
   every production BPE trainer uses: merges depend only on the
   word→freq map, never on document order, so a ~1M-entry table
   carries the full signal of 100 TB of text.
-- **Encoding touches Python only for DISTINCT words** (one Arrow
-  batch pass over the vocabulary-sized frame — each unique word is
-  encoded once, however many billion times it occurs); the join-back
-  and per-document order-preserving flatten are pure JVM DataFrame
-  ops (the ``encode_documents`` rebuild shape).
+- **Encoding touches Python only for DISTINCT words** (each unique
+  word is encoded once, however many billion times it occurs) — and
+  because the distinct-word set itself is UNBOUNDED on web-scale
+  text, the join-back is frequency-split: the ``head_words`` most
+  frequent words (≈ all occurrences, by Zipf) broadcast, the long
+  tail shuffle-joins its own rare occurrences. The per-document
+  order-preserving flatten is pure JVM DataFrame ops (the
+  ``encode_documents`` rebuild shape).
 
 The reference has no tokenizer (its LLM prompt consumes raw text,
 ``…AWS/LLM/chains.py``); this is EXT surface mandated by the
@@ -235,13 +238,26 @@ def _encode_frame(
     id_col: str,
     text_col: str,
     emit_ids: bool,
+    head_words: int = 1_000_000,
 ) -> DataFrame:
     """Shared encode pipeline. Python runs ONCE PER DISTINCT WORD (an
-    Arrow ``mapInPandas`` over the vocabulary-bounded distinct-word
-    frame; merge ranks — and for the ids variant the piece→id dict —
-    ship in the closure, so no corpus-sized literal or second Python
-    pass); the corpus-sized flatten — posexplode, broadcast join on
-    word, per-document rebuild in position order — is all JVM."""
+    Arrow ``mapInPandas`` over distinct words; merge ranks — and for
+    the ids variant the piece→id dict — ship in the closure, so no
+    corpus-sized literal); the corpus-sized flatten — posexplode, join
+    on word, per-document rebuild in position order — is all JVM.
+
+    The join is FREQUENCY-SPLIT, because the distinct-word set is
+    UNBOUNDED on web-scale text (``tokens()`` is a whitespace split —
+    URLs, numbers, typos push distinct words to the billions, far past
+    any broadcast limit): the ``head_words`` most frequent words —
+    which by Zipf's law cover almost every occurrence — are encoded
+    and BROADCAST-joined (no shuffle of the corpus), while the long
+    tail's occurrences (the small remainder, and by construction never
+    a hot key: every tail word is rarer than the head's least-frequent
+    member) take one plain shuffle join with no hint, leaving AQE free
+    to pick the strategy from actual stats. One extra groupBy(word)
+    over the exploded tokens buys the split; its shuffle is the same
+    shape the old distinct() already paid."""
     import pandas as pd
 
     encode = _make_word_encoder(
@@ -250,6 +266,7 @@ def _encode_frame(
     id_of = {p: i for i, p in enumerate(model.pieces)} if emit_ids else None
     out_field = "piece_ids" if emit_ids else "pieces"
     out_type = "array<int>" if emit_ids else "array<string>"
+    map_schema = f"word string, {out_field} {out_type}"
 
     def encode_batch(batches):
         for pdf in batches:
@@ -268,9 +285,42 @@ def _encode_frame(
             F.filter(tokens(text_col), lambda t: t != "")
         ).alias("pos", "word"),
     )
-    uniq = toks.select("word").where(F.col("word").isNotNull()).distinct()
-    piece_map = uniq.mapInPandas(encode_batch, f"word string, {out_field} {out_type}")
-    joined = toks.join(F.broadcast(piece_map), "word", "left")
+    # occurrence-mass head: top-K by count (deterministic tiebreak on
+    # the word; TakeOrdered — no global sort materializes)
+    counts = (
+        toks.where(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+    )
+    head = (
+        counts.orderBy(F.col("_wc").desc(), "word")
+        .limit(head_words)
+        .select("word")
+    )
+    head_map = head.mapInPandas(encode_batch, map_schema)
+    # tail words come off the SAME counts aggregate (its exchange is
+    # canonically equal across branches, so execution reuses one
+    # shuffle), anti-joined against the bounded head
+    tail_map = (
+        counts.join(F.broadcast(head), "word", "left_anti")
+        .select("word")
+        .mapInPandas(encode_batch, map_schema)
+    )
+    first = toks.join(F.broadcast(head_map), "word", "left")
+    # a null out_field means either a tail word or the null row an
+    # empty document keeps through posexplode_outer — only real words
+    # go to the tail join. The two branches re-probe the same broadcast
+    # (one ReusedExchange at execution); only the tail branch — by
+    # Zipf a sliver of occurrences, and never a hot key — shuffles.
+    covered = first.where(
+        F.col(out_field).isNotNull() | F.col("word").isNull()
+    )
+    tail_toks = first.where(
+        F.col(out_field).isNull() & F.col("word").isNotNull()
+    ).drop(out_field)
+    joined = covered.unionByName(
+        tail_toks.join(tail_map, "word", "left")
+    )
     return (
         joined.groupBy(id_col)
         .agg(
@@ -300,15 +350,22 @@ def bpe_encode(
     model: BpeModel,
     id_col: str = "doc_id",
     text_col: str = "text",
+    head_words: int = 1_000_000,
 ) -> DataFrame:
     """Encode documents to BPE pieces: ``(id, pieces array<string>,
     n_pieces)`` with word order preserved. Empty/blank documents keep
     a row with an empty array (``posexplode_outer``). Scale shape: see
     :func:`_encode_frame` — Python cost is per distinct word, however
-    many billion occurrences the corpus has.
+    many billion occurrences the corpus has, and only the
+    ``head_words`` most frequent words' encodings broadcast (the
+    unbounded tail shuffle-joins its own rare occurrences). The result
+    is invariant to ``head_words`` — it only moves the
+    broadcast/shuffle boundary.
 
     Precondition (as ``encode_documents``): ``id_col`` unique."""
-    return _encode_frame(df, model, id_col, text_col, emit_ids=False)
+    return _encode_frame(
+        df, model, id_col, text_col, emit_ids=False, head_words=head_words
+    )
 
 
 def bpe_encode_ids(
@@ -316,11 +373,14 @@ def bpe_encode_ids(
     model: BpeModel,
     id_col: str = "doc_id",
     text_col: str = "text",
+    head_words: int = 1_000_000,
 ) -> DataFrame:
     """Piece-id encoding ``(id, piece_ids array<int>, n_pieces)``
     against the model's deterministic piece numbering — the
     train-ready output (feed to ``sampling.pack_sequences``). Every
     emitted piece is in the vocabulary by construction (encoding only
     applies model merges over alphabet characters); genuinely unseen
-    characters map to -1."""
-    return _encode_frame(df, model, id_col, text_col, emit_ids=True)
+    characters map to -1. ``head_words``: see :func:`bpe_encode`."""
+    return _encode_frame(
+        df, model, id_col, text_col, emit_ids=True, head_words=head_words
+    )

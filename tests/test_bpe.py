@@ -102,9 +102,61 @@ def test_python_stage_runs_over_distinct_words_only(spark):
     df = _docs(spark, ["x " * 1000, "x y"])
     model = train_bpe(df, vocab_size=12)
     plan = bpe_encode(df, model)._jdf.queryExecution().executedPlan().toString()
-    # exactly one Arrow python stage, fed by the distinct-word aggregate
-    assert plan.count("MapInPandas") == 1
+    # the Arrow python stages exist and every one of them sits above a
+    # word-level aggregate (count-distinct head / anti-joined tail) —
+    # never above the corpus-sized token frame: each MapInPandas line
+    # maps word -> word, pieces, with nothing doc-sized in its output
+    assert "MapInPandas" in plan
+    for line in plan.splitlines():
+        if "MapInPandas" in line:
+            assert "doc_id" not in line and "pos" not in line
     assert "HashAggregate" in plan
+    # the head piece-map is the forced broadcast side (pre-AQE plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tail_join_is_unhinted_shuffle(spark):
+    # head_words=1 forces real words into the tail; the tail join must
+    # appear as a plain SortMergeJoin in the INITIAL physical plan — a
+    # forced broadcast would already show as BroadcastHashJoin there
+    # (AQE may still convert it at runtime from actual stats, which is
+    # the intended escape valve, but the plan carries no hint)
+    df = _docs(spark, ["alpha beta gamma delta", "beta gamma"])
+    model = train_bpe(df, vocab_size=30)
+    plan = (
+        bpe_encode(df, model, head_words=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+
+
+def test_encode_invariant_to_head_words(spark):
+    # the frequency split only moves the broadcast/shuffle boundary:
+    # head_words=1 forces (almost) everything through the tail join
+    # and must produce byte-identical encodings
+    texts = ["the cat sat on the mat", "a cat and a hat", "", "zq zq yy"]
+    df = _docs(spark, texts)
+    model = train_bpe(df, vocab_size=30)
+    full = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(df, model, head_words=1_000_000).collect()
+    }
+    split = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(df, model, head_words=1).collect()
+    }
+    assert full == split
+    ids_full = {
+        r["doc_id"]: r["piece_ids"]
+        for r in bpe_encode_ids(df, model, head_words=2).collect()
+    }
+    ids_ref = {
+        r["doc_id"]: r["piece_ids"]
+        for r in bpe_encode_ids(df, model).collect()
+    }
+    assert ids_full == ids_ref
 
 
 def test_model_save_load_roundtrip(spark, tmp_path):
