@@ -84,6 +84,7 @@ def curate(
     ngram_n: int | None = None,
     strict: bool = False,
     redact: bool = False,
+    expectations: list | None = None,
     materialize_stages: bool = True,
 ) -> DataFrame:
     """The full curation flow; returns the surviving rows of ``docs``
@@ -123,6 +124,14 @@ def curate(
     the LAST stage — after dedup/decontamination, so redaction (which
     collapses distinct emails to one token) cannot create or mask
     near-duplicate relationships the earlier stages decide on.
+    ``expectations`` (optional, a list of :mod:`operators.validate`
+    rules) is the BETWEEN-STAGE data gate: right after the quality
+    stage the whole rule list runs through
+    :func:`operators.validate.assert_valid` — one aggregate scan for
+    every scalar rule, one unioned job for referential rules — and a
+    violating corpus raises ``ValueError`` naming each failed rule and
+    its count instead of flowing bad rows into the expensive dedup
+    stages (the DEPLOYMENT §5 gate discipline).
 
     ``materialize_stages`` (default True) cuts lineage at every stage
     boundary through the pluggable ``materialize`` seam — the same
@@ -153,9 +162,16 @@ def curate(
         boilerplate_min_docs=boilerplate_min_docs,
         excise_boilerplate=excise_boilerplate, excise_lines=excise_lines,
         ngram_n=ngram_n, strict=strict, redact=redact,
+        expectations=expectations,
     ):
         if materialize_stages:
-            nxt = materialize(stage(kept))
+            out = stage(kept)
+            if out is kept:
+                # pass-through gate (e.g. expectations_gate): nothing
+                # new to checkpoint, and re-materializing an already
+                # materialized frame would copy a corpus for nothing
+                continue
+            nxt = materialize(out)
             # every materializer is EAGER, so once `nxt` exists the
             # superseded stage's blocks are dead weight — release them
             # now (strategy-aware: localCheckpoint blocks live on the
@@ -177,7 +193,7 @@ def _curation_stages(
     max_dup_token_frac, max_top_bigram_frac, jaccard_threshold,
     decontam_threshold, max_boilerplate_frac, boilerplate_span_tokens,
     boilerplate_min_docs, excise_boilerplate, excise_lines, ngram_n,
-    strict, redact,
+    strict, redact, expectations=None,
 ):
     """The ordered ``(name, DataFrame → DataFrame)`` stage list behind
     :func:`curate` — one source of truth for the pipeline order, shared
@@ -199,6 +215,22 @@ def _curation_stages(
 
     stages = [
         ("quality_gate", quality_gate),
+    ]
+    if expectations:
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+            assert_valid,
+        )
+
+        def expectations_gate(df):
+            # the gate is EAGER by nature (assert_valid collects the
+            # report), so a violating corpus raises here mid-flow even
+            # under materialize_stages=False; on pass the frame flows
+            # through untouched
+            assert_valid(df, expectations)
+            return df
+
+        stages.append(("expectations_gate", expectations_gate))
+    stages += [
         ("repetition_gate", repetition_gate),
         ("exact_dedup", lambda df: exact_dedup_by_hash(df, text_col, id_col)),
         (
@@ -318,7 +350,13 @@ def curate_with_stats(
     for name, stage in _curation_stages(
         doc_columns=docs.columns, id_col=id_col, text_col=text_col, **sig
     ):
-        nxt = materialize(stage(kept))
+        out = stage(kept)
+        if out is kept:
+            # pass-through gate (e.g. expectations_gate): survivors
+            # unchanged — record the previous count without a new job
+            stats[name] = list(stats.values())[-1]
+            continue
+        nxt = materialize(out)
         # superseded stage: same eager-release discipline as curate().
         # The `is not docs` guard matters under persist_disk, where
         # materialize(docs) returns docs itself — releasing it would

@@ -7,8 +7,8 @@ membership, uniqueness, custom predicates — in ONE aggregate pass over
 the frame (violation counters are `sum(when(...))` expressions and
 `count_distinct` twins folded into a single `agg`), and only
 referential-integrity rules (which inherently need the other table)
-add an anti-join each, with the reference side deduplicated first so
-it broadcasts when bounded.
+add anti-joins — all of them unioned into ONE further job, each
+reference side deduplicated first so it broadcasts when bounded.
 
 Null semantics, chosen to keep rules composable (the Deequ
 convention): value rules (`in_range` / `matches` / `in_set`) PASS null
@@ -71,11 +71,14 @@ def in_range(col: str, lo=None, hi=None) -> Rule:
 
 
 def matches(col: str, pattern: str) -> Rule:
-    """Full-value regex compliance (``rlike``). Null values pass."""
+    """Full-value regex compliance. ``rlike`` alone is a SUBSTRING
+    match ('[0-9]+' would pass 'abc123'), so the pattern is anchored
+    internally as ``^(?:pattern)$`` — already-anchored patterns stay
+    equivalent. Null values pass."""
     return Rule(
         f"matches({col})",
         "row",
-        F.coalesce(F.col(col).rlike(pattern), F.lit(True)),
+        F.coalesce(F.col(col).rlike(f"^(?:{pattern})$"), F.lit(True)),
     )
 
 
@@ -126,8 +129,15 @@ def _scalar_report_frame(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for i, r in enumerate(rules):
         if r.kind == "row":
             aggs.append(
-                F.sum(
-                    F.when(~F.coalesce(r.predicate, F.lit(False)), 1).otherwise(0)
+                # outer coalesce: sum over ZERO rows is NULL, and an
+                # empty append batch at a gate must report 0, not crash
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            ~F.coalesce(r.predicate, F.lit(False)), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"_v{i}")
             )
         elif r.kind == "unique":
@@ -140,41 +150,102 @@ def _scalar_report_frame(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def _fk_violations_frame(df: DataFrame, rule: Rule) -> DataFrame:
+    """The rows of ``df`` whose non-null ``rule.col`` is absent from the
+    reference — the anti-join every foreign-key check shares (counted
+    by :func:`validate`, returned whole by :func:`failed_keys`)."""
+    ref_keys = rule.ref.select(
+        F.col(rule.ref_col).alias(rule.col)
+    ).distinct()
+    return df.where(F.col(rule.col).isNotNull()).join(
+        ref_keys, rule.col, "left_anti"
+    )
+
+
+def _fk_report_frame(df: DataFrame, rules: list[Rule]) -> DataFrame | None:
+    """ALL foreign-key rules' violation counts as one unioned frame
+    ``(_i rule-index, _v count)`` — a single action covers every
+    referential rule instead of serializing one ``count()`` job each.
+    ``None`` when no foreign-key rule is present. Exposed so the
+    one-job claim is plan-assertable (``tests/test_validate.py``)."""
+    branches = [
+        _fk_violations_frame(df, r).agg(
+            F.lit(i).alias("_i"), F.count(F.lit(1)).alias("_v")
+        )
+        for i, r in enumerate(rules)
+        if r.kind == "foreign_key"
+    ]
+    if not branches:
+        return None
+    merged = branches[0]
+    for b in branches[1:]:
+        merged = merged.unionByName(b)
+    return merged
+
+
 def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Run every rule and return the report frame ``(rule, kind,
     violations, n_rows, ok)`` — all row + unique rules in ONE scan of
-    ``df``, plus one anti-join per foreign-key rule. The report is
-    driver-assembled (its size is the rule count) so gating code can
-    ``collect()`` it for free."""
+    ``df``, and all foreign-key rules in ONE more job (their per-rule
+    anti-join counts union into a single action, so N referential rules
+    don't serialize N jobs). The report is driver-assembled (its size
+    is the rule count) so gating code can ``collect()`` it for free."""
     spark = df.sparkSession
     row = _scalar_report_frame(df, rules).first()
     n = int(row["_n"])
+    merged = _fk_report_frame(df, rules)
+    fk_counts: dict[int, int] = (
+        {int(x["_i"]): int(x["_v"]) for x in merged.collect()}
+        if merged is not None
+        else {}
+    )
     records = []
     for i, r in enumerate(rules):
-        if r.kind == "foreign_key":
-            v = (
-                df.select(F.col(r.col).alias("_k"))
-                .where(F.col("_k").isNotNull())
-                .join(
-                    r.ref.select(F.col(r.ref_col).alias("_k")).distinct(),
-                    "_k",
-                    "left_anti",
-                )
-                .count()
-            )
-        else:
-            v = int(row[f"_v{i}"])
+        v = fk_counts[i] if r.kind == "foreign_key" else int(row[f"_v{i}"])
         records.append((r.name, r.kind, v, n, v == 0))
     return spark.createDataFrame(
         records, "rule string, kind string, violations long, n_rows long, ok boolean"
     )
 
 
+def failed_keys(df: DataFrame, rule: Rule) -> DataFrame:
+    """Quarantine for SET-level rules — the keyed chase
+    :func:`failed_rows` (row rules only) can't do:
+
+    - ``unique``: ALL rows of every duplicated key, with the family
+      size in ``_n_dupes`` (the investigator wants the whole family;
+      note :func:`validate` counts only rows-beyond-first, so its
+      ``violations`` ≤ this frame's row count). One shuffle on the key
+      (window count).
+    - ``foreign_key``: the rows whose non-null key misses the
+      reference — the same anti-join :func:`validate` counts, returned
+      whole (reference side deduplicated, broadcasts when bounded).
+
+    Both add a ``_violations`` array naming the rule, matching the
+    :func:`failed_rows` quarantine schema convention."""
+    from pyspark.sql.window import Window
+
+    tag = F.array(F.lit(rule.name)).alias("_violations")
+    if rule.kind == "unique":
+        w = Window.partitionBy(*[F.col(c) for c in rule.cols])
+        return (
+            df.withColumn("_n_dupes", F.count(F.lit(1)).over(w))
+            .where(F.col("_n_dupes") > 1)
+            .withColumn("_violations", tag)
+        )
+    if rule.kind == "foreign_key":
+        return _fk_violations_frame(df, rule).withColumn("_violations", tag)
+    raise ValueError(
+        f"failed_keys handles unique/foreign_key rules, not {rule.kind!r}"
+        " (row rules quarantine via failed_rows)"
+    )
+
+
 def failed_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Rows violating any ROW-kind rule, with the violated rule names
     in a ``_violations`` array — the quarantine side of the gate
-    (unique / foreign-key rules are set-level, not row-attributable in
-    one pass; use :func:`validate` + a keyed join to chase those).
+    (unique / foreign-key rules are set-level; chase their violators
+    with :func:`failed_keys`).
     Pure projection + filter: pushes down, streams, never shuffles."""
     row_rules = [r for r in rules if r.kind == "row"]
     if not row_rules:

@@ -187,3 +187,40 @@ def test_curate_excise_lines_stage(spark):
     assert got[2] == "beta document body holding different tokens"
     assert got[3] == rows[2][1]
     assert stats["excise_lines"] == 3
+
+
+def test_curate_expectations_gate(spark):
+    """expectations= wires assert_valid in as the between-stage gate:
+    a violating corpus raises mid-flow with rule attribution; a clean
+    corpus flows through unchanged (and the stats entry records the
+    pass-through)."""
+    import pytest
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import validate as V
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate,
+        curate_with_stats,
+    )
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "a different useful document with enough distinct tokens here"),
+        (1, "a duplicated id sneaks into the corpus breaking uniqueness"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # unique(doc_id) is violated -> the gate names the rule and count
+    with pytest.raises(ValueError, match=r"unique\(doc_id\)=1"):
+        curate(df, expectations=[V.unique("doc_id"), V.not_null("text")])
+    # laziness doesn't defer the gate: assert_valid collects its report
+    # the moment the stage list is driven, materialized or not
+    with pytest.raises(ValueError, match=r"unique\(doc_id\)"):
+        curate(
+            df,
+            expectations=[V.unique("doc_id")],
+            materialize_stages=False,
+        )
+    clean = df.where("doc_id < 3 and text not like 'a duplicated%'")
+    out, stats = curate_with_stats(
+        clean, expectations=[V.unique("doc_id"), V.not_null("text")]
+    )
+    assert stats["expectations_gate"] == stats["quality_gate"]
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
     assert_valid,
+    failed_keys,
     failed_rows,
     foreign_key,
     in_range,
@@ -111,3 +112,71 @@ def test_rule_factories_validate_inputs():
         in_range("x")
     with pytest.raises(ValueError):
         unique()
+
+
+def test_empty_frame_reports_zero_violations(spark):
+    # an empty append batch at a pipeline gate must report 0 violations,
+    # not crash on the NULL a zero-row sum yields
+    ref = spark.createDataFrame([("en",)], "code string")
+    empty = spark.createDataFrame([], "id long, lang string, score int")
+    rules = [
+        not_null("lang"),
+        in_range("score", 0, 100),
+        unique("id"),
+        foreign_key("lang", ref, "code"),
+    ]
+    rep = validate(empty, rules).collect()
+    assert all(r["violations"] == 0 and r["ok"] for r in rep)
+    assert all(r["n_rows"] == 0 for r in rep)
+    assert_valid(empty, rules)  # the gate passes an empty batch
+
+
+def test_matches_is_full_value(spark):
+    # rlike alone is substring match; the rule must anchor internally
+    df = spark.createDataFrame(
+        [("123",), ("abc123",), (None,)], "v string"
+    )
+    rep = validate(df, [matches("v", "[0-9]+")]).collect()[0]
+    assert rep["violations"] == 1  # 'abc123' fails; '123' and NULL pass
+
+
+def test_fk_rules_count_in_one_action(spark, frame):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        _fk_report_frame,
+    )
+
+    ref = spark.createDataFrame([("en",), ("de",)], "code string")
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    rules = [
+        foreign_key("lang", ref, "code"),
+        foreign_key("id", ids, "k"),
+    ]
+    rep = {r["rule"]: r["violations"] for r in validate(frame, rules).collect()}
+    assert rep["foreign_key(lang->code)"] == 1  # "xx"
+    assert rep["foreign_key(id->k)"] == 1  # id=5
+    # the one-action claim: BOTH anti-joins live under ONE unioned plan
+    merged = _fk_report_frame(frame, rules)
+    opt = merged._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Join LeftAnti") == 2
+    assert "Union" in opt
+    assert _fk_report_frame(frame, [not_null("lang")]) is None
+
+
+def test_failed_keys_unique_returns_whole_family(spark, frame):
+    rows = failed_keys(frame, unique("id")).collect()
+    assert {r["id"] for r in rows} == {3}
+    assert len(rows) == 2  # BOTH members of the duplicated key
+    assert all(r["_n_dupes"] == 2 for r in rows)
+    assert all(r["_violations"] == ["unique(id)"] for r in rows)
+
+
+def test_failed_keys_foreign_key_returns_missing_rows(spark, frame):
+    ref = spark.createDataFrame([("en",), ("de",)], "code string")
+    rows = failed_keys(frame, foreign_key("lang", ref, "code")).collect()
+    assert [r["id"] for r in rows] == [5]  # lang="xx"; NULL lang passes
+    assert rows[0]["_violations"] == ["foreign_key(lang->code)"]
+
+
+def test_failed_keys_rejects_row_rules(frame):
+    with pytest.raises(ValueError):
+        failed_keys(frame, not_null("lang"))
