@@ -87,10 +87,14 @@ def compact_small_files(
     tmp → live). On HDFS/local each rename is atomic but the pair is
     not: a reader can observe a missing directory for the instant
     between them, and on object stores rename itself is a copy. That
-    is the documented limit of raw-parquet layout management — a
-    production 100 TB deployment puts a transactional table format
-    (Delta/Iceberg — an atomic metadata swap) over these same
-    mechanics; the operator keeps the engine dependency-free.
+    is the documented limit of IN-PLACE raw-parquet layout management —
+    :func:`compact_table` closes the window entirely with the repo's
+    marker-last generation protocol (readers resolve through
+    :func:`read_table`), and a production 100 TB deployment can put a
+    transactional table format (Delta/Iceberg — an atomic metadata
+    swap) over the same mechanics; both keep the engine
+    dependency-free. Use this in-place variant only when readers must
+    keep scanning the bare ``path``.
     ``verify=True`` counts the rewrite before the swap (one extra
     metadata-only pass over the tmp dir's footers) and aborts on any
     mismatch, leaving the live dir untouched.
@@ -185,8 +189,15 @@ def zorder_key(buckets: list[Column], bits: int) -> Column:
     (bit ``j`` of column ``c`` lands at position ``j*k + c``) — the
     Z-order curve: nearby (b0, b1, …) tuples get nearby keys, so
     clustering on the key keeps every interleaved column's footer spans
-    narrow at once. Pure bit arithmetic, whole-stage-codegen friendly."""
+    narrow at once. Pure bit arithmetic, whole-stage-codegen friendly.
+    ``bits * len(buckets)`` must stay under 64: past that, bits would
+    land in the long's sign bit and silently break key ordering."""
     k = len(buckets)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder_key: bits*columns = {bits}*{k} = {bits * k} > 63 "
+            "overflows the long's sign bit; lower bits or drop columns"
+        )
     terms = [
         F.shiftleft(F.shiftright(b.cast("long"), j).bitwiseAND(F.lit(1)), j * k + c)
         for c, b in enumerate(buckets)
@@ -198,6 +209,27 @@ def zorder_key(buckets: list[Column], bits: int) -> Column:
     return out
 
 
+#: how many leading UTF-8 bytes of a string column feed its Z-order
+#: bucket key: 7 bytes keep the unsigned value inside a long
+_STR_PREFIX_BYTES = 7
+
+
+def _string_order_key(col: Column) -> Column:
+    """Order-preserving numeric key for a STRING column: the first 7
+    UTF-8 bytes, right-padded (in hex, so variable lengths compare
+    correctly) and read as one unsigned number — fits a long, and
+    preserves Spark's binary string ordering, which matches parquet's
+    UNSIGNED byte-wise string stats order, so footer min/max on the
+    original string column stay meaningful after clustering. Strings
+    sharing a 7-byte prefix collapse into one bucket; for
+    low-prefix-entropy domains (URLs all starting ``https://``) strip
+    the common prefix first or the buckets degenerate."""
+    hexed = F.hex(F.substring(F.encode(col, "UTF-8"), 1, _STR_PREFIX_BYTES))
+    return F.conv(
+        F.rpad(hexed, 2 * _STR_PREFIX_BYTES, "0"), 16, 10
+    ).cast("long")
+
+
 def with_zorder(
     df: DataFrame,
     cols: list[str],
@@ -205,25 +237,203 @@ def with_zorder(
     key_col: str = "_zkey",
     relative_error: float = 0.001,
 ) -> DataFrame:
-    """Attach a Z-order key over numeric ``cols``: per-column
-    equal-frequency bucketing (``2**bits`` buckets from
-    ``approxQuantile`` — skew-proof where equal-width ``width_bucket``
-    is not) + bit interleave. The quantile fetch is one bounded
-    driver-side parameter collect (≤ ``2**bits`` doubles per column —
-    the centroids/prefix-totals pattern); bucketing + interleave are
-    pure projections. Write the result with
-    ``write_clustered(out, path, [key_col])`` and a filter on ANY of
-    ``cols`` skips — the single-column cluster only serves its leading
-    column. Non-numeric columns: hash or dictionary-encode to a number
-    first (Z-order needs an ordered domain to bucket)."""
+    """Attach a Z-order key over ``cols``: per-column equal-frequency
+    bucketing (``2**bits`` buckets from ``approxQuantile`` — skew-proof
+    where equal-width ``width_bucket`` is not) + bit interleave. The
+    quantile fetch is one bounded driver-side parameter collect (≤
+    ``2**bits`` doubles per column — the centroids/prefix-totals
+    pattern); bucketing + interleave are pure projections. Write the
+    result with ``write_clustered(out, path, [key_col])`` and a filter
+    on ANY of ``cols`` skips — the single-column cluster only serves
+    its leading column.
+
+    String columns are dictionary-free dictionary-encoded through
+    :func:`_string_order_key` (order-preserving 7-byte prefix → long),
+    so their footer stats stay narrow too; the prefix caveat is on
+    that helper. Other non-numeric types (timestamps work via their
+    numeric cast) raise rather than silently mis-bucket."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"with_zorder: bits*columns = {bits}*{len(cols)} ="
+            f" {bits * len(cols)} > 63 overflows the long key;"
+            " lower bits or drop columns"
+        )
     m = (1 << bits) - 1
     qs = [i / (m + 1) for i in range(1, m + 1)]
+    types = dict(df.dtypes)
+    keyed = df
+    key_exprs: list[tuple[str, Column]] = []
+    for i, c in enumerate(cols):
+        if types.get(c) == "string":
+            kc = f"__zstr{i}"
+            keyed = keyed.withColumn(kc, _string_order_key(F.col(c)))
+            key_exprs.append((kc, F.col(kc)))
+        else:
+            key_exprs.append((c, F.col(c)))
     buckets = []
-    for c in cols:
+    for name, expr in key_exprs:
         # bounded parameter fetch: <=2**bits cut points per column
-        bounds = sorted(set(df.stat.approxQuantile(c, qs, relative_error)))
-        buckets.append(_bucket_of(F.col(c), bounds))
-    return df.withColumn(key_col, zorder_key(buckets, bits))
+        bounds = sorted(set(keyed.stat.approxQuantile(name, qs, relative_error)))
+        buckets.append(_bucket_of(expr, bounds))
+    out = keyed.withColumn(key_col, zorder_key(buckets, bits))
+    return out.drop(*[n for n, _ in key_exprs if n.startswith("__zstr")])
+
+
+def _resolve_table_generation(spark: SparkSession, root: str) -> str | None:
+    """``root/_CURRENT`` marker → committed generation dir, tolerating
+    the HDFS/local mid-write window (empty read) and a vanished
+    generation (stale marker) — the same resolver shape as
+    ``similarity.ensure_ivf_index``."""
+    marker = f"{root}/_CURRENT"
+    if not fsutil.exists(spark, marker):
+        return None
+    name = fsutil.read_text(spark, marker).strip()
+    if name and fsutil.exists(spark, f"{root}/{name}/_COMPLETE"):
+        return f"{root}/{name}"
+    return None
+
+
+def current_table_path(spark: SparkSession, root: str) -> str:
+    """The committed generation's DATA path under a generational table
+    root — what every reader scans. Raises if no generation has ever
+    committed (or the marker names a vanished one)."""
+    gen = _resolve_table_generation(spark, root)
+    if gen is None:
+        raise ValueError(f"no committed table generation under {root!r}")
+    return f"{gen}/data"
+
+
+def read_table(spark: SparkSession, root: str) -> DataFrame:
+    """Read the committed generation of a generational table."""
+    return spark.read.parquet(current_table_path(spark, root))
+
+
+def write_table(
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write ``df`` as a NEW generation of the table at ``root`` and
+    commit it MARKER-LAST: the generation dir
+    ``root/gen-<id>/{data,_COMPLETE}`` goes fully to disk first, then
+    the one-object ``root/_CURRENT`` marker write names it — no rename
+    anywhere, so the protocol is identical on file:/hdfs:/s3a: (S3 has
+    no atomic rename; a single small PUT is the commit point).
+    Concurrent writers never touch the same files (each writes its own
+    generation); whichever marker write lands last wins, and every
+    reader resolves the marker to a COMPLETE generation either way.
+    Returns the generation name. Losing/old generations are
+    unreferenced — sweep them with :func:`gc_table_generations`."""
+    import uuid
+
+    spark = df.sparkSession
+    name = f"gen-{uuid.uuid4().hex[:12]}"
+    base = f"{root}/{name}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{base}/data")
+    fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    try:
+        fsutil.write_text(spark, f"{root}/_CURRENT", name)  # commit point
+    except Exception:  # noqa: BLE001 - lost the marker race; our
+        pass  # generation is complete either way, a winner exists
+    return name
+
+
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    partition_by: list[str] | None = None,
+    shuffle: bool = False,
+    verify: bool = True,
+) -> dict:
+    """:func:`compact_small_files` without the rename window: rewrite
+    the CURRENT generation of the table at ``root`` into
+    ~``target_file_bytes`` files as a NEW generation and commit it
+    marker-last (:func:`write_table`). Readers resolving through
+    :func:`read_table` never observe a missing or half-swapped
+    directory — they see the old generation until the single marker
+    write lands, then the new one; a concurrent compactor writes its
+    own generation and the last marker wins (both are complete). This
+    is the at-rest answer to the documented swap window of the in-place
+    variant; superseded generations stay on disk until
+    :func:`gc_table_generations` (size its age threshold past reader
+    lifetimes — same TOCTOU note as ``ensure_ivf_index``).
+
+    Returns before/after :func:`file_stats` plus the new generation
+    name. ``verify=True`` recounts the rewrite before committing and
+    deletes the attempt on mismatch, leaving the marker untouched."""
+    cur = current_table_path(spark, root)
+    before = file_stats(spark, cur, target_file_bytes)
+    if before["n_files"] == 0:
+        raise ValueError(f"compact_table: no data files under {cur!r}")
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(cur)
+    if partition_by:
+        out = df.repartition(n_out, *partition_by)
+    else:
+        out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+
+    import uuid
+
+    name = f"gen-{uuid.uuid4().hex[:12]}"
+    base = f"{root}/{name}"
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{base}/data")
+    if verify:
+        n0 = df.count()
+        n1 = spark.read.parquet(f"{base}/data").count()
+        if n0 != n1:
+            fsutil.delete(spark, base)
+            raise RuntimeError(
+                f"compact_table: rewrite row count {n1} != source {n0};"
+                f" marker untouched, {cur!r} still current"
+            )
+    fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    try:
+        fsutil.write_text(spark, f"{root}/_CURRENT", name)  # commit point
+    except Exception:  # noqa: BLE001 - lost the marker race
+        pass
+    return {
+        "before": before,
+        "after": file_stats(
+            spark, current_table_path(spark, root), target_file_bytes
+        ),
+        "generation": name,
+    }
+
+
+def gc_table_generations(
+    spark: SparkSession, root: str, max_age_ms: int, now_ms: int | None = None
+) -> list[str]:
+    """Sweep superseded ``gen-*`` dirs under a generational table root:
+    delete every generation older than ``max_age_ms`` that is not the
+    one the ``_CURRENT`` marker names. The marker's generation is
+    protected unconditionally; the age threshold protects both
+    in-flight writers that haven't reached their marker write and
+    long-lived readers still lazily scanning a just-superseded
+    generation (size it past the longest reader lifetime / rewrite
+    cadence — the ``ensure_ivf_index`` sizing note applies verbatim).
+    Returns the deleted generation names; ``now_ms`` injectable for
+    tests."""
+    import time
+
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    protected = ""
+    if fsutil.exists(spark, f"{root}/_CURRENT"):
+        protected = fsutil.read_text(spark, f"{root}/_CURRENT").strip()
+    deleted: list[str] = []
+    for name, stamp in fsutil.list_dir(spark, root):
+        if not name.startswith("gen-") or name == protected:
+            continue
+        if now - stamp > max_age_ms:
+            fsutil.delete(spark, f"{root}/{name}")
+            deleted.append(name)
+    return sorted(deleted)
 
 
 def decoded_scan_rows(df: DataFrame) -> int:

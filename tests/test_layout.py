@@ -165,3 +165,155 @@ def test_with_zorder_bucketing_is_equal_frequency(spark):
     out = with_zorder(df, ["skew", "u"], bits=4)
     n_keys = out.select("_zkey").distinct().count()
     assert n_keys > 16  # >2**bits ⇒ both columns contribute spread
+
+
+def test_zorder_bits_overflow_guard(spark):
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([F.col("a")] * 8, bits=8)  # 64 bits -> sign bit
+    df = spark.range(10).select(*[(F.col("id") % 3).alias(f"c{i}") for i in range(8)])
+    with pytest.raises(ValueError, match="63"):
+        with_zorder(df, [f"c{i}" for i in range(8)], bits=8)
+    # 7 columns x 8 bits = 56 stays legal
+    assert "_zkey" in with_zorder(df, [f"c{i}" for i in range(7)], bits=8).columns
+
+
+def test_string_order_key_preserves_binary_order(spark):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _string_order_key,
+    )
+
+    vals = ["", "a", "ab", "abc", "b", "ba", "zzzzzzzz", "zzzzzzzzz", "Z"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", _string_order_key(F.col("s")).alias("k")).collect()
+    k = {r["s"]: r["k"] for r in rows}
+    # sorting by the key must agree with Spark's binary string order
+    # wherever the 7-byte prefixes differ (shared-prefix ties collapse)
+    by_key = sorted(vals, key=lambda v: (k[v], v))
+    assert by_key == sorted(vals)
+    # shared 7-byte prefix collapses to the same key (documented)
+    assert k["zzzzzzzz"] == k["zzzzzzzzz"]
+
+
+def test_zorder_on_string_column_skips(spark, tmp_path_factory):
+    # string + numeric z-order: a selective filter on the STRING column
+    # must decode far fewer rows than the arrival-order layout
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") * 37 % 1000).alias("a"),
+        F.concat(
+            F.lpad((F.col("id") * 61 % 500).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("name"),
+    )
+    arrival = str(tmp_path_factory.mktemp("layout") / "arrival")
+    zpath = str(tmp_path_factory.mktemp("layout") / "zstr")
+    base.repartition(8).write.parquet(arrival)
+    zdf = with_zorder(spark.read.parquet(arrival), ["a", "name"], bits=5)
+    assert "__zstr1" not in zdf.columns  # helper column dropped
+    write_clustered(zdf, zpath, ["_zkey"], n_files=16)
+
+    pred = (F.col("name") >= "0100") & (F.col("name") < "0130")
+    on_arrival = decoded_scan_rows(spark.read.parquet(arrival).filter(pred))
+    on_z = decoded_scan_rows(spark.read.parquet(zpath).filter(pred))
+    assert on_arrival == n  # every arrival-order file spans the domain
+    assert on_z < 0.6 * n
+    want = sorted(r["id"] for r in base.filter(pred).select("id").collect())
+    got = sorted(
+        r["id"]
+        for r in spark.read.parquet(zpath).filter(pred).select("id").collect()
+    )
+    assert got == want
+
+
+def test_write_read_compact_table_generations(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        compact_table,
+        current_table_path,
+        gc_table_generations,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="no committed"):
+        current_table_path(spark, root)
+    df = _corpus(spark, n=20_000)
+    gen0 = write_table(df.repartition(32), root)
+    assert read_table(spark, root).count() == 20_000
+    assert fsutil.read_text(spark, f"{root}/_CURRENT").strip() == gen0
+
+    rep = compact_table(spark, root, target_file_bytes=1 << 30)
+    assert rep["before"]["n_files"] == 32
+    assert rep["after"]["n_files"] == 1
+    assert rep["generation"] != gen0
+    out = read_table(spark, root)
+    assert out.count() == 20_000
+    # checksum-preserving: same ids both generations
+    assert out.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+    # the superseded generation is still on disk until GC; the winner
+    # is protected unconditionally, age regardless
+    assert fsutil.exists(spark, f"{root}/{gen0}")
+    deleted = gc_table_generations(spark, root, max_age_ms=0, now_ms=2**62)
+    assert deleted == sorted([gen0])
+    assert read_table(spark, root).count() == 20_000
+
+
+def test_compact_table_two_writer_race(spark, tmp_path):
+    """Two compactors race on one table root (barrier: both resolve the
+    same current generation before either commits). Marker-last means
+    BOTH rewrites land complete, the last marker wins, and a reader
+    resolves a full table at every point."""
+    import threading
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        compact_table,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_race")
+    write_table(_corpus(spark, n=10_000).repartition(16), root)
+    barrier = threading.Barrier(2)
+    results, errors = [], []
+
+    def compactor():
+        try:
+            barrier.wait(timeout=60)
+            results.append(compact_table(spark, root, target_file_bytes=1 << 30))
+        except Exception as e:  # noqa: BLE001 - surface in main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=compactor) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    assert len(results) == 2
+    # whichever marker landed last, the table reads complete
+    assert read_table(spark, root).count() == 10_000
+    # and both attempt generations are complete on disk
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    for rep in results:
+        assert fsutil.exists(spark, f"{root}/{rep['generation']}/_COMPLETE")
+
+
+def test_table_marker_tolerates_staleness(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        current_table_path,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_stale")
+    # marker naming a vanished generation -> no committed generation
+    fsutil.write_text(spark, f"{root}/_CURRENT", "gen-deadbeef0000")
+    with pytest.raises(ValueError, match="no committed"):
+        current_table_path(spark, root)
+    # a real write repairs it
+    write_table(_corpus(spark, n=100), root)
+    assert current_table_path(spark, root).endswith("/data")
