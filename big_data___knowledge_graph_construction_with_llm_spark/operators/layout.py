@@ -221,13 +221,26 @@ def _string_order_key(col: Column) -> Column:
     preserves Spark's binary string ordering, which matches parquet's
     UNSIGNED byte-wise string stats order, so footer min/max on the
     original string column stay meaningful after clustering. Strings
-    sharing a 7-byte prefix collapse into one bucket; for
-    low-prefix-entropy domains (URLs all starting ``https://``) strip
-    the common prefix first or the buckets degenerate."""
+    sharing a 7-byte prefix collapse into one bucket —
+    :func:`with_zorder` strips the column-wide common prefix first
+    (URLs all starting ``https://``, zero-padded ids) so the 7 bytes
+    land where the entropy is."""
     hexed = F.hex(F.substring(F.encode(col, "UTF-8"), 1, _STR_PREFIX_BYTES))
     return F.conv(
         F.rpad(hexed, 2 * _STR_PREFIX_BYTES, "0"), 16, 10
     ).cast("long")
+
+
+def _common_prefix_len(a: str, b: str, cap: int = 256) -> int:
+    """Length of the common prefix of two strings (capped). Because
+    binary string order sorts by leading characters, the common prefix
+    of a column's MIN and MAX is the common prefix of every value —
+    one cheap agg discovers the stretch carrying no entropy."""
+    n = min(len(a), len(b), cap)
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
 
 
 def with_zorder(
@@ -247,10 +260,13 @@ def with_zorder(
     on ANY of ``cols`` skips — the single-column cluster only serves
     its leading column.
 
-    String columns are dictionary-free dictionary-encoded through
-    :func:`_string_order_key` (order-preserving 7-byte prefix → long),
-    so their footer stats stay narrow too; the prefix caveat is on
-    that helper. Other non-numeric types (timestamps work via their
+    String columns encode order-preservingly through
+    :func:`_string_order_key` — the column-wide common prefix (found
+    from one min/max agg; zero-padded ids, URL schemes) is stripped
+    first so the 7 key bytes land on the entropy — keeping their
+    footer stats narrow too. Values sharing 7 bytes PAST the common
+    prefix still collapse into one bucket (the documented residual
+    limit). Other non-numeric types (timestamps work via their
     numeric cast) raise rather than silently mis-bucket."""
     if bits * len(cols) > 63:
         raise ValueError(
@@ -266,7 +282,13 @@ def with_zorder(
     for i, c in enumerate(cols):
         if types.get(c) == "string":
             kc = f"__zstr{i}"
-            keyed = keyed.withColumn(kc, _string_order_key(F.col(c)))
+            # one bounded agg finds the entropy-free common prefix
+            mn, mx = df.agg(F.min(c), F.max(c)).first()
+            strip = _common_prefix_len(mn or "", mx or "")
+            expr = F.col(c)
+            if strip:
+                expr = expr.substr(F.lit(strip + 1), F.length(expr))
+            keyed = keyed.withColumn(kc, _string_order_key(expr))
             key_exprs.append((kc, F.col(kc)))
         else:
             key_exprs.append((c, F.col(c)))

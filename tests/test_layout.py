@@ -317,3 +317,28 @@ def test_table_marker_tolerates_staleness(spark, tmp_path):
     # a real write repairs it
     write_table(_corpus(spark, n=100), root)
     assert current_table_path(spark, root).endswith("/data")
+
+
+def test_zorder_string_strips_common_prefix(spark, tmp_path_factory):
+    # zero-padded ids: all values share a long constant prefix, so the
+    # naive 7-byte key would collapse to ONE bucket — the common-prefix
+    # strip must put the key bytes on the entropy
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _common_prefix_len,
+    )
+
+    assert _common_prefix_len("item-00000100", "item-00001999") == 9
+    assert _common_prefix_len("", "anything") == 0
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id"),
+        F.format_string("item-%08d", F.col("id") % 2000).alias("name"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    zpath = str(tmp_path_factory.mktemp("layout") / "zpad")
+    zdf = with_zorder(base, ["name"], bits=6)
+    assert zdf.select("_zkey").distinct().count() > 16  # real spread
+    write_clustered(zdf, zpath, ["_zkey"], n_files=16)
+    pred = (F.col("name") >= "item-00000100") & (F.col("name") < "item-00000150")
+    decoded = decoded_scan_rows(spark.read.parquet(zpath).filter(pred))
+    assert decoded < 0.3 * n
