@@ -303,6 +303,121 @@ def _curation_stages(
     return stages
 
 
+def curate_resumable(
+    docs: DataFrame,
+    root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    force: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """:func:`curate` that SURVIVES losing the cluster mid-run: every
+    stage's output commits as a marker-last table generation under
+    ``root/<NN>_<stage>`` (``operators.layout.write_table`` — one
+    ``_CURRENT`` marker write is the commit point, S3-safe), and a
+    re-run resumes from the LAST committed stage instead of recomputing
+    the flow. At 100 TB a six-stage pipeline measured in hours WILL be
+    interrupted — preemptible capacity, quota, a bad node — and
+    re-paying the finished stages is the difference between an
+    incident and a retry. Plain :func:`curate` remains the single-run
+    fast path (localCheckpoint materialization, no durable writes).
+
+    Mechanics: the keyword surface is fingerprinted into
+    ``root/_PARAMS`` (DataFrame-valued arguments — ``benchmark``,
+    ``expectations`` rules — are fingerprinted by NAME-PRESENCE only;
+    changing their contents between runs is on the caller); resuming
+    with different parameters raises, ``force=True`` recomputes every
+    stage (fresh generations; superseded ones sweep via
+    :func:`gc_curate_checkpoints`). Pass-through stages (the
+    expectations gate) re-run only when they sit after the resume
+    point — their effect is a raise, not data. Returns the final
+    stage's committed table, read from disk, so the result is stable
+    against re-execution."""
+    import hashlib
+    import inspect
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _resolve_table_generation,
+        read_table,
+        write_table,
+    )
+
+    spark = docs.sparkSession
+    sig = {
+        name: p.default
+        for name, p in inspect.signature(curate).parameters.items()
+        if name not in ("docs", "id_col", "text_col", "materialize_stages")
+    }
+    unknown = set(kwargs) - set(sig)
+    if unknown:
+        raise TypeError(f"unknown curate arguments: {sorted(unknown)}")
+    sig.update(kwargs)
+    fp_src = {
+        k: (f"<set:{k}>" if k in ("benchmark", "expectations") and v is not None else repr(v))
+        for k, v in sorted(sig.items())
+    }
+    fp_src["id_col"], fp_src["text_col"] = id_col, text_col
+    fingerprint = hashlib.sha256(
+        json.dumps(fp_src, sort_keys=True).encode()
+    ).hexdigest()
+    params_path = f"{root}/_PARAMS"
+    if fsutil.exists(spark, params_path) and not force:
+        prev = fsutil.read_text(spark, params_path).strip()
+        if prev and prev != fingerprint:
+            raise ValueError(
+                "curate_resumable: checkpoint root holds a run with "
+                "different parameters; pass force=True to restart"
+            )
+    fsutil.write_text(spark, params_path, fingerprint)
+
+    stages = _curation_stages(
+        doc_columns=docs.columns, id_col=id_col, text_col=text_col, **sig
+    )
+    roots = [f"{root}/{i:02d}_{name}" for i, (name, _) in enumerate(stages)]
+    # resume point: the LAST committed stage (not the first gap —
+    # later stages can only have committed from this same config)
+    last_done = -1
+    if not force:
+        for i, sroot in enumerate(roots):
+            if _resolve_table_generation(spark, sroot) is not None:
+                last_done = i
+    kept = read_table(spark, roots[last_done]) if last_done >= 0 else docs
+    for i in range(last_done + 1, len(stages)):
+        _name, stage = stages[i]
+        out = stage(kept)
+        if out is kept:
+            continue  # pass-through gate: its effect is the raise
+        write_table(out, roots[i])
+        kept = read_table(spark, roots[i])
+    return kept
+
+
+def gc_curate_checkpoints(
+    spark, root: str, max_age_ms: int, now_ms: int | None = None
+) -> dict[str, list[str]]:
+    """Sweep superseded generations under every stage dir of a
+    :func:`curate_resumable` root (each stage keeps its committed
+    winner unconditionally — ``layout.gc_table_generations``
+    semantics, including the reader-lifetime sizing note)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        gc_table_generations,
+    )
+
+    out: dict[str, list[str]] = {}
+    for name, _mtime in fsutil.list_dir(spark, root):
+        if name.startswith("_"):
+            continue
+        deleted = gc_table_generations(
+            spark, f"{root}/{name}", max_age_ms, now_ms=now_ms
+        )
+        if deleted:
+            out[name] = deleted
+    return out
+
+
 def curate_with_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

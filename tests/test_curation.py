@@ -224,3 +224,71 @@ def test_curate_expectations_gate(spark):
     )
     assert stats["expectations_gate"] == stats["quality_gate"]
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_curate_resumable_resumes_after_interruption(spark, tmp_path):
+    """A failing expectations gate interrupts the run AFTER stage 0
+    committed (the realistic mid-pipeline crash); the re-run must
+    resume from the committed stage — same generation, no recompute —
+    and the final output must match plain curate()."""
+    import pytest
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import validate as V
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate,
+        curate_resumable,
+        gc_curate_checkpoints,
+    )
+
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine ten"),   # exact dup
+        (3, "a different useful document with enough distinct tokens here ok"),
+        (4, "x"),                                                   # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "ckpt")
+
+    # run 1: the gate rejects (scores below 100 is impossible) -> the
+    # pipeline dies after quality_gate committed its table
+    bad_rule = V.satisfies("impossible", F.lit(False))
+    with pytest.raises(ValueError, match="impossible"):
+        curate_resumable(df, root, expectations=[bad_rule], min_tokens=5)
+    gen_q = fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
+
+    # run 2: same-shaped config (expectations fingerprinted by
+    # presence), now-passing rule -> resumes from the committed stage
+    ok_rule = V.not_null("text")
+    out = curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in curate(df, min_tokens=5).collect()
+    )
+    assert got == want
+    # stage 0 was NOT recomputed: its committed generation is unchanged
+    assert (
+        fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
+        == gen_q
+    )
+
+    # run 3: full resume — every stage committed, nothing recomputes,
+    # same rows come straight off the final stage's table
+    again = curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
+    assert sorted(tuple(r) for r in again.collect()) == got
+
+    # parameter drift is refused; force restarts with fresh generations
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_resumable(df, root, expectations=[ok_rule], min_tokens=6)
+    forced = curate_resumable(
+        df, root, expectations=[ok_rule], min_tokens=5, force=True
+    )
+    assert sorted(tuple(r) for r in forced.collect()) == got
+    assert (
+        fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
+        != gen_q
+    )
+    # the superseded generations sweep; every winner survives
+    swept = gc_curate_checkpoints(spark, root, max_age_ms=0, now_ms=2**62)
+    assert "00_quality_gate" in swept
+    still = curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
+    assert sorted(tuple(r) for r in still.collect()) == got
