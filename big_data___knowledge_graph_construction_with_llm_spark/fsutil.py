@@ -22,6 +22,23 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _raw_fs(spark: SparkSession, path: str):
+    """Like :func:`_fs` but unwrapping a ChecksumFileSystem (the local
+    filesystem) to its raw form. Small single-object files written by
+    CONCURRENT committers (commit markers: last write wins) must not
+    go through the checksum wrapper — two same-path writers interleave
+    the data file and the ``.crc`` sidecar into a PERMANENT mismatch
+    (observed in the two-writer compaction race), whereas raw same-
+    length offset-0 writes settle to one writer's bytes. HDFS/S3A are
+    not ChecksumFileSystems and pass through unchanged (their single-
+    object writes are already lease-protected / atomic PUTs)."""
+    fs, p = _fs(spark, path)
+    try:
+        return fs.getRawFileSystem(), p
+    except Exception:  # not a ChecksumFileSystem wrapper
+        return fs, p
+
+
 def exists(spark: SparkSession, path: str) -> bool:
     fs, p = _fs(spark, path)
     return bool(fs.exists(p))
@@ -33,9 +50,12 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
     One object write: on S3 this is a single atomic PUT (visible all or
     nothing); on HDFS/local the file appears at create and fills at
     close, so readers that can observe a mid-write file must tolerate a
-    short/empty read (see ``read_text`` callers).
+    short/empty read (see ``read_text`` callers). Local writes go
+    through the RAW filesystem (no ``.crc`` sidecar) so concurrent
+    same-path committers cannot interleave data and sidecar into a
+    permanent checksum mismatch — see :func:`_raw_fs`.
     """
-    fs, p = _fs(spark, path)
+    fs, p = _raw_fs(spark, path)
     out = fs.create(p, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
@@ -48,9 +68,12 @@ def read_text(spark: SparkSession, path: str) -> str:
 
     Goes through commons-io on the JVM side: py4j passes ``byte[]``
     arguments one-way, so a read-into-buffer loop from Python would see
-    none of the bytes the JVM wrote into the buffer.
+    none of the bytes the JVM wrote into the buffer. Reads RAW (no
+    checksum verification locally) to mirror :func:`write_text` —
+    these are small commit/parameter files whose protocols carry their
+    own validity checks.
     """
-    fs, p = _fs(spark, path)
+    fs, p = _raw_fs(spark, path)
     stream = fs.open(p)
     try:
         return spark._jvm.org.apache.commons.io.IOUtils.toString(
@@ -58,6 +81,20 @@ def read_text(spark: SparkSession, path: str) -> str:
         )
     finally:
         stream.close()
+
+
+def try_read_text(spark: SparkSession, path: str) -> str | None:
+    """:func:`read_text`, tolerating the mid-write artifacts a
+    CONCURRENT single-object committer can produce — file absent, a
+    short/empty read, a torn read, or the local ChecksumFileSystem's
+    crc-sidecar mismatch (observed in the two-writer compaction race:
+    the reader catches the marker between data and .crc rewrite) —
+    by returning ``None`` instead of raising. For marker/commit-
+    protocol readers that carry their own retry/rebuild semantics."""
+    try:
+        return read_text(spark, path)
+    except Exception:  # noqa: BLE001 - any read failure here means
+        return None  # "not observable yet"; the caller retries/rebuilds
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:

@@ -364,7 +364,7 @@ def curate_resumable(
     ).hexdigest()
     params_path = f"{root}/_PARAMS"
     if fsutil.exists(spark, params_path) and not force:
-        prev = fsutil.read_text(spark, params_path).strip()
+        prev = (fsutil.try_read_text(spark, params_path) or "").strip()
         if prev and prev != fingerprint:
             raise ValueError(
                 "curate_resumable: checkpoint root holds a run with "

@@ -301,17 +301,29 @@ def with_zorder(
     return out.drop(*[n for n, _ in key_exprs if n.startswith("__zstr")])
 
 
-def _resolve_table_generation(spark: SparkSession, root: str) -> str | None:
-    """``root/_CURRENT`` marker → committed generation dir, tolerating
-    the HDFS/local mid-write window (empty read) and a vanished
-    generation (stale marker) — the same resolver shape as
-    ``similarity.ensure_ivf_index``."""
+def _resolve_table_generation(
+    spark: SparkSession, root: str, retries: int = 5, wait_s: float = 0.2
+) -> str | None:
+    """``root/_CURRENT`` marker → committed generation dir — the same
+    resolver shape as ``similarity.ensure_ivf_index``, plus a bounded
+    retry: on HDFS/local a marker file EXISTS from create but fills at
+    close, so a reader overlapping a committer's marker write can
+    observe an empty (or torn) read. A marker that exists but resolves
+    nowhere is therefore most often a commit in flight — transient by
+    construction — and only after ``retries`` short waits is it called
+    genuinely stale (names a vanished generation) and ``None``
+    returned."""
+    import time
+
     marker = f"{root}/_CURRENT"
-    if not fsutil.exists(spark, marker):
-        return None
-    name = fsutil.read_text(spark, marker).strip()
-    if name and fsutil.exists(spark, f"{root}/{name}/_COMPLETE"):
-        return f"{root}/{name}"
+    for attempt in range(retries):
+        if not fsutil.exists(spark, marker):
+            return None
+        name = (fsutil.try_read_text(spark, marker) or "").strip()
+        if name and fsutil.exists(spark, f"{root}/{name}/_COMPLETE"):
+            return f"{root}/{name}"
+        if attempt + 1 < retries:
+            time.sleep(wait_s)
     return None
 
 
@@ -420,11 +432,12 @@ def compact_table(
         fsutil.write_text(spark, f"{root}/_CURRENT", name)  # commit point
     except Exception:  # noqa: BLE001 - lost the marker race
         pass
+    # "after" is THIS rewrite's generation, not a re-resolve of the
+    # marker: a concurrent compactor may have flipped it (last marker
+    # wins), and this report is about what this rewrite produced
     return {
         "before": before,
-        "after": file_stats(
-            spark, current_table_path(spark, root), target_file_bytes
-        ),
+        "after": file_stats(spark, f"{base}/data", target_file_bytes),
         "generation": name,
     }
 
@@ -447,7 +460,11 @@ def gc_table_generations(
     now = int(time.time() * 1000) if now_ms is None else now_ms
     protected = ""
     if fsutil.exists(spark, f"{root}/_CURRENT"):
-        protected = fsutil.read_text(spark, f"{root}/_CURRENT").strip()
+        text = fsutil.try_read_text(spark, f"{root}/_CURRENT")
+        if text is None or not text.strip():
+            return []  # marker mid-write: a commit is in flight and
+            # nothing would be protected — sweep on the next cadence
+        protected = text.strip()
     deleted: list[str] = []
     for name, stamp in fsutil.list_dir(spark, root):
         if not name.startswith("gen-") or name == protected:

@@ -286,7 +286,9 @@ def ensure_ivf_index(
         window (empty read) and a vanished attempt (stale marker)."""
         if not fsutil.exists(spark, marker):
             return None
-        name = fsutil.read_text(spark, marker).strip()
+        # tolerant read: a concurrent committer's marker write can be
+        # observed empty, torn, or crc-mismatched (local FS sidecar)
+        name = (fsutil.try_read_text(spark, marker) or "").strip()
         if name and fsutil.exists(spark, f"{path}/{name}/_COMPLETE"):
             return f"{path}/{name}"
         return None
@@ -349,7 +351,11 @@ def gc_ivf_attempts(
     now = int(time.time() * 1000) if now_ms is None else now_ms
     protected = ""
     if fsutil.exists(spark, f"{path}/_DONE"):
-        protected = fsutil.read_text(spark, f"{path}/_DONE").strip()
+        text = fsutil.try_read_text(spark, f"{path}/_DONE")
+        if text is None or not text.strip():
+            return []  # marker mid-write: a commit is in flight and
+            # nothing would be protected — sweep on the next cadence
+        protected = text.strip()
     deleted: list[str] = []
     for name, stamp in fsutil.list_dir(spark, path):
         if not name.startswith("attempt-") or name == protected:

@@ -342,3 +342,27 @@ def test_zorder_string_strips_common_prefix(spark, tmp_path_factory):
     pred = (F.col("name") >= "item-00000100") & (F.col("name") < "item-00000150")
     decoded = decoded_scan_rows(spark.read.parquet(zpath).filter(pred))
     assert decoded < 0.3 * n
+
+
+def test_try_read_text_tolerates_mid_write_artifacts(spark, tmp_path):
+    # absent file, unreadable path, and a good read. Marker files write
+    # RAW (no .crc sidecar) so two same-path committers can never
+    # interleave data and sidecar into a permanent checksum mismatch —
+    # the failure mode the two-writer race originally exposed
+    import os
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    p = str(tmp_path / "m" / "_CURRENT")
+    assert fsutil.try_read_text(spark, p) is None
+    fsutil.write_text(spark, p, "gen-abc")
+    assert fsutil.try_read_text(spark, p) == "gen-abc"
+    assert not os.path.exists(str(tmp_path / "m" / "._CURRENT.crc"))
+    # an unreadable path (a directory) -> raw read raises, tolerant None
+    d = str(tmp_path / "adir")
+    os.makedirs(d)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fsutil.read_text(spark, d)
+    assert fsutil.try_read_text(spark, d) is None
