@@ -442,6 +442,39 @@ def compact_table(
     }
 
 
+def maybe_compact_table(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    min_small_files: int = 16,
+    min_small_fraction: float = 0.5,
+    **compact_kwargs,
+) -> dict:
+    """The maintenance-loop form of :func:`compact_table`: census the
+    CURRENT generation (:func:`file_stats` — one recursive LIST, no
+    data bytes) and rewrite only when fragmentation crosses the
+    thresholds (at least ``min_small_files`` undersized files AND they
+    are at least ``min_small_fraction`` of all files). A scheduler can
+    call this unconditionally on every table after every pipeline run —
+    the no-op path costs one listing, so 'should we compact?' never
+    needs a human. Returns ``{"compacted": False, "stats": census}``
+    on skip, else :func:`compact_table`'s report plus
+    ``"compacted": True``."""
+    census = file_stats(
+        spark, current_table_path(spark, root), target_file_bytes
+    )
+    small = census["n_small_files"]
+    if small < min_small_files or small < min_small_fraction * max(
+        census["n_files"], 1
+    ):
+        return {"compacted": False, "stats": census}
+    rep = compact_table(
+        spark, root, target_file_bytes=target_file_bytes, **compact_kwargs
+    )
+    rep["compacted"] = True
+    return rep
+
+
 def gc_table_generations(
     spark: SparkSession, root: str, max_age_ms: int, now_ms: int | None = None
 ) -> list[str]:

@@ -366,3 +366,27 @@ def test_try_read_text_tolerates_mid_write_artifacts(spark, tmp_path):
     with _pytest.raises(Exception):
         fsutil.read_text(spark, d)
     assert fsutil.try_read_text(spark, d) is None
+
+
+def test_maybe_compact_table_thresholds(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        maybe_compact_table,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_maint")
+    write_table(_corpus(spark, n=5_000).repartition(4), root)
+    # 4 small files < min_small_files=16 -> no-op, one listing
+    rep = maybe_compact_table(spark, root, target_file_bytes=1 << 30)
+    assert rep["compacted"] is False and rep["stats"]["n_files"] == 4
+    # fragment past the threshold -> compacts
+    write_table(read_table(spark, root).repartition(32), root)
+    rep = maybe_compact_table(spark, root, target_file_bytes=1 << 30)
+    assert rep["compacted"] is True
+    assert rep["before"]["n_files"] == 32 and rep["after"]["n_files"] == 1
+    assert read_table(spark, root).count() == 5_000
+    # and the freshly compacted table is a no-op again
+    assert maybe_compact_table(spark, root, target_file_bytes=1 << 30)[
+        "compacted"
+    ] is False
