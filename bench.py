@@ -335,14 +335,17 @@ def main() -> None:
     # the full-cap 1x/10x tiers live in BENCH_SCALE.json.
     bpe_block: dict = {}
     validation: dict = {}
-    try:
-        bpe_block = _bs.bpe_experiment(spark, sf_dir, max_words=30_000)
-    except Exception as exc:
-        print(f"bench: bpe experiment failed: {exc!r}", file=sys.stderr)
+    # validation first: its one-scan wall is the claim being priced,
+    # and running it after the BPE block's heap churn inflated it
+    # (9.3s in-bench vs 5.4s in a cold session)
     try:
         validation = _bs.validation_experiment(spark, sf_dir)
     except Exception as exc:
         print(f"bench: validation experiment failed: {exc!r}", file=sys.stderr)
+    try:
+        bpe_block = _bs.bpe_experiment(spark, sf_dir, max_words=30_000)
+    except Exception as exc:
+        print(f"bench: bpe experiment failed: {exc!r}", file=sys.stderr)
 
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
