@@ -380,6 +380,7 @@ def compact_table(
     root: str,
     target_file_bytes: int = 128 << 20,
     partition_by: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
     shuffle: bool = False,
     verify: bool = True,
 ) -> dict:
@@ -396,16 +397,31 @@ def compact_table(
     :func:`gc_table_generations` (size its age threshold past reader
     lifetimes — same TOCTOU note as ``ensure_ivf_index``).
 
+    ``cluster_cols`` makes the rewrite a RE-CLUSTERING maintenance
+    pass (the table-format ``OPTIMIZE ... ZORDER BY`` shape): the new
+    generation is range-partitioned and sorted on those columns
+    (:func:`write_clustered` mechanics), so footer stats tighten and
+    selective scans skip again after appends eroded the layout —
+    pre-compute a Z-order key with :func:`with_zorder` and pass it
+    here for multi-column filter sets. Mutually exclusive with
+    ``partition_by``.
+
     Returns before/after :func:`file_stats` plus the new generation
     name. ``verify=True`` recounts the rewrite before committing and
     deletes the attempt on mismatch, leaving the marker untouched."""
+    if partition_by and cluster_cols:
+        raise ValueError("compact_table: partition_by and cluster_cols are exclusive")
     cur = current_table_path(spark, root)
     before = file_stats(spark, cur, target_file_bytes)
     if before["n_files"] == 0:
         raise ValueError(f"compact_table: no data files under {cur!r}")
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df = spark.read.parquet(cur)
-    if partition_by:
+    if cluster_cols:
+        out = df.repartitionByRange(
+            n_out, *[F.col(c) for c in cluster_cols]
+        ).sortWithinPartitions(*cluster_cols)
+    elif partition_by:
         out = df.repartition(n_out, *partition_by)
     else:
         out = df.repartition(n_out) if shuffle else df.coalesce(n_out)

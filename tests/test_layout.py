@@ -390,3 +390,75 @@ def test_maybe_compact_table_thresholds(spark, tmp_path):
     assert maybe_compact_table(spark, root, target_file_bytes=1 << 30)[
         "compacted"
     ] is False
+
+
+def test_compact_table_recluster_restores_skipping(spark, tmp_path):
+    """cluster_cols= turns the generational rewrite into re-clustering
+    maintenance: after arrival-order appends erode the layout, one
+    compact_table pass restores row-group skipping on the filter
+    column (the OPTIMIZE-ZORDER shape on raw parquet)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        compact_table,
+        current_table_path,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_recluster")
+    write_table(_corpus(spark, n=100_000).repartition(16), root)  # arrival order
+    pred = (F.col("a") >= 100) & (F.col("a") < 150)
+    n = 100_000
+    eroded = decoded_scan_rows(read_table(spark, root).filter(pred))
+    assert eroded == n  # every file spans the full domain
+    with pytest.raises(ValueError, match="exclusive"):
+        compact_table(spark, root, partition_by=["a"], cluster_cols=["a"])
+    rep = compact_table(
+        spark, root, target_file_bytes=1 << 18, cluster_cols=["a"]
+    )
+    assert rep["generation"].startswith("gen-")
+    restored = decoded_scan_rows(read_table(spark, root).filter(pred))
+    assert restored < 0.3 * n
+    assert read_table(spark, root).count() == n
+    assert clustering_stats(
+        current_table_path(spark, root), "a"
+    )["overlap_fraction"] < 0.3
+
+
+def test_string_order_key_property_unicode(spark):
+    """Hypothesis sweep: wherever two strings differ inside their
+    first 7 UTF-8 bytes, the numeric key orders them exactly as
+    Spark's binary string comparison does (which is what parquet's
+    unsigned footer stats use) — including multi-byte code points
+    split mid-sequence by the 7-byte cut."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _string_order_key,
+    )
+
+    # one Spark round-trip per example would be minutes; compute the
+    # key's DEFINITION in python and check it against a single batch
+    # evaluated through Spark at the end
+    def py_key(s: str) -> int:
+        b = s.encode("utf-8")[:7]
+        return int.from_bytes(b + bytes(7 - len(b)), "big")
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=12), st.text(max_size=12))
+    def check(a, b):
+        ka, kb = py_key(a), py_key(b)
+        ba, bb = a.encode("utf-8"), b.encode("utf-8")
+        if ba[:7] != bb[:7]:
+            assert (ka < kb) == (ba < bb)
+        else:
+            assert ka == kb
+
+    check()
+
+    # the Spark expression agrees with the python twin on a mixed batch
+    vals = ["", "a", "ß", "日本語テキスト", "zzzzzzzzz", "item-0001", "\x00x", "🙂🙂🙂"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select("s", _string_order_key(F.col("s")).alias("k")).collect()
+    for r in rows:
+        assert r["k"] == py_key(r["s"]), r["s"]
