@@ -337,9 +337,42 @@ def current_table_path(spark: SparkSession, root: str) -> str:
     return f"{gen}/data"
 
 
-def read_table(spark: SparkSession, root: str) -> DataFrame:
-    """Read the committed generation of a generational table."""
+def read_table(
+    spark: SparkSession, root: str, generation: str | None = None
+) -> DataFrame:
+    """Read a generational table: the marker-committed generation by
+    default, or a PINNED one by name (``generation=``) — time travel
+    over generations that haven't been GC'd, e.g. to diff a compaction
+    or re-clustering rewrite against its predecessor, or to keep a
+    long-running reader on the snapshot it started with (the TOCTOU
+    note on :func:`gc_table_generations` applies: pin only what the
+    sweep's age threshold protects)."""
+    if generation is not None:
+        base = f"{root}/{generation}"
+        if not fsutil.exists(spark, f"{base}/_COMPLETE"):
+            raise ValueError(
+                f"generation {generation!r} under {root!r} is absent or"
+                " incomplete (GC'd, in-flight, or never committed)"
+            )
+        return spark.read.parquet(f"{base}/data")
     return spark.read.parquet(current_table_path(spark, root))
+
+
+def list_table_generations(spark: SparkSession, root: str) -> list[dict]:
+    """Census of a table root's COMPLETE generations, newest first:
+    ``{generation, mtime_ms, current}`` per entry — what time travel
+    (:func:`read_table` ``generation=``) can still read, and what
+    :func:`gc_table_generations` would consider. One directory
+    listing; no data bytes."""
+    current = _resolve_table_generation(spark, root, retries=1)
+    cur_name = current.rsplit("/", 1)[-1] if current else None
+    out = [
+        {"generation": name, "mtime_ms": mtime, "current": name == cur_name}
+        for name, mtime in fsutil.list_dir(spark, root)
+        if name.startswith("gen-")
+        and fsutil.exists(spark, f"{root}/{name}/_COMPLETE")
+    ]
+    return sorted(out, key=lambda g: (-g["mtime_ms"], g["generation"]))
 
 
 def write_table(

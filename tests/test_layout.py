@@ -462,3 +462,28 @@ def test_string_order_key_property_unicode(spark):
     rows = df.select("s", _string_order_key(F.col("s")).alias("k")).collect()
     for r in rows:
         assert r["k"] == py_key(r["s"]), r["s"]
+
+
+def test_read_table_time_travel(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        compact_table,
+        list_table_generations,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_tt")
+    gen0 = write_table(_corpus(spark, n=1_000).repartition(8), root)
+    rep = compact_table(spark, root, target_file_bytes=1 << 30)
+    gens = list_table_generations(spark, root)
+    assert {g["generation"] for g in gens} == {gen0, rep["generation"]}
+    assert sum(g["current"] for g in gens) == 1
+    assert next(g for g in gens if g["current"])["generation"] == rep["generation"]
+    # pinned read of the superseded generation still works pre-GC,
+    # and both generations carry identical rows
+    old = read_table(spark, root, generation=gen0)
+    new = read_table(spark, root)
+    assert old.count() == new.count() == 1_000
+    assert old.agg(F.sum("id")).first()[0] == new.agg(F.sum("id")).first()[0]
+    with pytest.raises(ValueError, match="absent or incomplete"):
+        read_table(spark, root, generation="gen-000000000000")
