@@ -255,9 +255,12 @@ def _encode_frame(
     tail's occurrences (the small remainder, and by construction never
     a hot key: every tail word is rarer than the head's least-frequent
     member) take one plain shuffle join with no hint, leaving AQE free
-    to pick the strategy from actual stats. One extra groupBy(word)
-    over the exploded tokens buys the split; its shuffle is the same
-    shape the old distinct() already paid."""
+    to pick the strategy from actual stats. The head word list is
+    fetched to the driver at plan-construction time (an eager bounded
+    parameter fetch, ≤ ``head_words`` strings — the same bound the
+    broadcast commits to, and the ``ivf_centroids`` pattern), so the
+    corpus-sized word-count aggregation runs exactly once; its shuffle
+    is the same shape the old distinct() already paid."""
     import pandas as pd
 
     encode = _make_word_encoder(
@@ -286,38 +289,43 @@ def _encode_frame(
         ).alias("pos", "word"),
     )
     # occurrence-mass head: top-K by count (deterministic tiebreak on
-    # the word; TakeOrdered — no global sort materializes)
-    counts = (
+    # the word; TakeOrdered — no global sort materializes). The head
+    # word list is COLLECTED — a bounded parameter fetch, ≤ head_words
+    # strings, i.e. exactly the broadcast bound this operator already
+    # commits to — so the corpus-sized word-count shuffle executes
+    # exactly ONCE: every later consumer sees a LocalRelation with no
+    # corpus lineage (lazy branch-sharing would otherwise re-run the
+    # aggregation per branch — measured: zero ReusedExchange, 4 copies)
+    head_rows = (
         toks.where(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("_wc"))
-    )
-    head = (
-        counts.orderBy(F.col("_wc").desc(), "word")
+        .orderBy(F.col("_wc").desc(), "word")
         .limit(head_words)
         .select("word")
+        .collect()
     )
-    head_map = head.mapInPandas(encode_batch, map_schema)
-    # tail words come off the SAME counts aggregate (its exchange is
-    # canonically equal across branches, so execution reuses one
-    # shuffle), anti-joined against the bounded head
-    tail_map = (
-        counts.join(F.broadcast(head), "word", "left_anti")
-        .select("word")
-        .mapInPandas(encode_batch, map_schema)
+    head_local = df.sparkSession.createDataFrame(
+        pd.DataFrame({"word": [r["word"] for r in head_rows]}),
+        "word string",
     )
+    head_map = head_local.mapInPandas(encode_batch, map_schema)
     first = toks.join(F.broadcast(head_map), "word", "left")
     # a null out_field means either a tail word or the null row an
     # empty document keeps through posexplode_outer — only real words
-    # go to the tail join. The two branches re-probe the same broadcast
-    # (one ReusedExchange at execution); only the tail branch — by
-    # Zipf a sliver of occurrences, and never a hot key — shuffles.
+    # go to the tail join; only the tail branch — by Zipf a sliver of
+    # occurrences, and never a hot key (every tail word is rarer than
+    # the head's least-frequent member) — shuffles. The tail's own
+    # distinct() is over those rare occurrences, not the corpus.
     covered = first.where(
         F.col(out_field).isNotNull() | F.col("word").isNull()
     )
     tail_toks = first.where(
         F.col(out_field).isNull() & F.col("word").isNotNull()
     ).drop(out_field)
+    tail_map = tail_toks.select("word").distinct().mapInPandas(
+        encode_batch, map_schema
+    )
     joined = covered.unionByName(
         tail_toks.join(tail_map, "word", "left")
     )
