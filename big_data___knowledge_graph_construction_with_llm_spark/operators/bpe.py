@@ -138,8 +138,17 @@ def train_bpe(
     that bounded table with incremental pair-count maintenance (each
     merge re-counts only the words that contain the merged pair, via a
     pair→words index), so training cost scales with the word table,
-    not the corpus. Ties rank lexicographically — bit-identical models
-    across runs."""
+    not the corpus. Best-pair selection is a LAZY-DELETION HEAP, not a
+    per-merge scan of the whole pair-count map: at production vocab
+    sizes (32k–100k merges over a ~1M-word table with millions of live
+    pairs) an O(|pairs|) argmax per merge is the driver bottleneck —
+    the heap makes selection O(log |pairs|) amortized, with stale
+    entries (counts changed since push) re-pushed at their current
+    count on pop. Ties rank lexicographically — bit-identical models
+    across runs (the heap orders by exactly the old scan's
+    ``(-count, pair)`` key)."""
+    import heapq
+
     freq_rows = word_frequencies(df, text_col, min_count, max_words).collect()
     words: dict[tuple[str, ...], int] = {}
     for r in freq_rows:
@@ -160,10 +169,20 @@ def train_bpe(
         for p in zip(syms, syms[1:]):
             index.setdefault(p, set()).add(syms)
 
+    heap = [(-c, p) for p, c in pc.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
-    while len(alphabet) + len(merges) < vocab_size and pc:
-        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pc[best] < 1:
+    while len(alphabet) + len(merges) < vocab_size and heap:
+        neg, best = heapq.heappop(heap)
+        cur = pc.get(best)
+        if cur is None:
+            continue  # pair vanished since push — stale entry
+        if -neg != cur:
+            # count changed since push: re-enter at the CURRENT count
+            # (decrements never push, so this is the one re-entry point)
+            heapq.heappush(heap, (-cur, best))
+            continue
+        if cur < 1:
             break
         merges.append(best)
         for old in list(index.get(best, ())):
@@ -182,8 +201,10 @@ def train_bpe(
                     if not s:
                         index.pop(p, None)
             for p in zip(new, new[1:]):
-                pc[p] = pc.get(p, 0) + freq
+                c = pc.get(p, 0) + freq
+                pc[p] = c
                 index.setdefault(p, set()).add(new)
+                heapq.heappush(heap, (-c, p))  # increments push eagerly
         pc.pop(best, None)
         index.pop(best, None)
     return BpeModel(alphabet=alphabet, merges=tuple(merges))
@@ -239,6 +260,7 @@ def _encode_frame(
     text_col: str,
     emit_ids: bool,
     head_words: int = 1_000_000,
+    head_vocab: list[str] | None = None,
 ) -> DataFrame:
     """Shared encode pipeline. Python runs ONCE PER DISTINCT WORD (an
     Arrow ``mapInPandas`` over distinct words; merge ranks — and for
@@ -260,7 +282,11 @@ def _encode_frame(
     parameter fetch, ≤ ``head_words`` strings — the same bound the
     broadcast commits to, and the ``ivf_centroids`` pattern), so the
     corpus-sized word-count aggregation runs exactly once; its shuffle
-    is the same shape the old distinct() already paid."""
+    is the same shape the old distinct() already paid. Callers that
+    only BUILD plans (dry planning, pipeline composition) skip the
+    eager job by passing ``head_vocab`` — a precomputed head word
+    list, e.g. ``word_frequencies(df).select("word")`` collected once
+    and reused across encode calls."""
     import pandas as pd
 
     encode = _make_word_encoder(
@@ -296,18 +322,21 @@ def _encode_frame(
     # exactly ONCE: every later consumer sees a LocalRelation with no
     # corpus lineage (lazy branch-sharing would otherwise re-run the
     # aggregation per branch — measured: zero ReusedExchange, 4 copies)
-    head_rows = (
-        toks.where(F.col("word").isNotNull())
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("_wc"))
-        .orderBy(F.col("_wc").desc(), "word")
-        .limit(head_words)
-        .select("word")
-        .collect()
-    )
+    if head_vocab is not None:
+        head_list = list(head_vocab)
+    else:
+        head_list = [
+            r["word"]
+            for r in toks.where(F.col("word").isNotNull())
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("_wc"))
+            .orderBy(F.col("_wc").desc(), "word")
+            .limit(head_words)
+            .select("word")
+            .collect()
+        ]
     head_local = df.sparkSession.createDataFrame(
-        pd.DataFrame({"word": [r["word"] for r in head_rows]}),
-        "word string",
+        pd.DataFrame({"word": head_list}), "word string"
     )
     head_map = head_local.mapInPandas(encode_batch, map_schema)
     first = toks.join(F.broadcast(head_map), "word", "left")
@@ -359,6 +388,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     head_words: int = 1_000_000,
+    head_vocab: list[str] | None = None,
 ) -> DataFrame:
     """Encode documents to BPE pieces: ``(id, pieces array<string>,
     n_pieces)`` with word order preserved. Empty/blank documents keep
@@ -370,9 +400,17 @@ def bpe_encode(
     is invariant to ``head_words`` — it only moves the
     broadcast/shuffle boundary.
 
+    EAGER AT PLAN CONSTRUCTION: unless ``head_vocab`` is given, this
+    call runs one full-corpus word-count job immediately (a bounded
+    ≤ ``head_words``-string driver fetch — the broadcast bound) and
+    embeds the head list in the plan, so merely composing the plan
+    pays the job once. Pass ``head_vocab`` (a precomputed head word
+    list) to defer/amortize it across calls.
+
     Precondition (as ``encode_documents``): ``id_col`` unique."""
     return _encode_frame(
-        df, model, id_col, text_col, emit_ids=False, head_words=head_words
+        df, model, id_col, text_col, emit_ids=False,
+        head_words=head_words, head_vocab=head_vocab,
     )
 
 
@@ -382,13 +420,16 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     head_words: int = 1_000_000,
+    head_vocab: list[str] | None = None,
 ) -> DataFrame:
     """Piece-id encoding ``(id, piece_ids array<int>, n_pieces)``
     against the model's deterministic piece numbering — the
     train-ready output (feed to ``sampling.pack_sequences``). Every
     emitted piece is in the vocabulary by construction (encoding only
     applies model merges over alphabet characters); genuinely unseen
-    characters map to -1. ``head_words``: see :func:`bpe_encode`."""
+    characters map to -1. ``head_words`` / the plan-construction-time
+    eager word-count job / ``head_vocab``: see :func:`bpe_encode`."""
     return _encode_frame(
-        df, model, id_col, text_col, emit_ids=True, head_words=head_words
+        df, model, id_col, text_col, emit_ids=True,
+        head_words=head_words, head_vocab=head_vocab,
     )

@@ -323,10 +323,16 @@ def curate_resumable(
     fast path (localCheckpoint materialization, no durable writes).
 
     Mechanics: the keyword surface is fingerprinted into
-    ``root/_PARAMS`` (DataFrame-valued arguments — ``benchmark``,
-    ``expectations`` rules — are fingerprinted by NAME-PRESENCE only;
-    changing their contents between runs is on the caller); resuming
-    with different parameters raises, ``force=True`` recomputes every
+    ``root/_PARAMS``. Content-bearing non-scalar arguments get a CHEAP
+    CONTENT SIGNATURE, not name-presence: ``benchmark`` by its
+    analyzed-plan ``semanticHash`` + schema (falling back to
+    schema + count — swapping the decontamination benchmark between
+    runs must NOT silently resume against stages decontaminated on the
+    old one), ``expectations`` by the ordered rule names. The
+    signature is deliberately cheap, so it cannot see a benchmark
+    whose FILES were rewritten in place under an identical plan —
+    rewrite-in-place callers pass ``force=True``. Resuming with
+    different parameters raises; ``force=True`` recomputes every
     stage (fresh generations; superseded ones sweep via
     :func:`gc_curate_checkpoints`). Pass-through stages (the
     expectations gate) re-run only when they sit after the resume
@@ -354,10 +360,23 @@ def curate_resumable(
     if unknown:
         raise TypeError(f"unknown curate arguments: {sorted(unknown)}")
     sig.update(kwargs)
-    fp_src = {
-        k: (f"<set:{k}>" if k in ("benchmark", "expectations") and v is not None else repr(v))
-        for k, v in sorted(sig.items())
-    }
+
+    def _content_sig(k, v):
+        if v is None:
+            return repr(v)
+        if k == "expectations":
+            # rule identity = the ordered rule names (each factory bakes
+            # its parameters into the name)
+            return "rules:" + ";".join(r.name for r in v)
+        if k == "benchmark":
+            try:  # plan identity: stable across sessions for same source
+                h = v._jdf.queryExecution().analyzed().semanticHash()
+                return f"df:{v.schema.simpleString()}:sh{int(h)}"
+            except Exception:  # noqa: BLE001 - fallback: schema + count
+                return f"df:{v.schema.simpleString()}:n{v.count()}"
+        return repr(v)
+
+    fp_src = {k: _content_sig(k, v) for k, v in sorted(sig.items())}
     fp_src["id_col"], fp_src["text_col"] = id_col, text_col
     fingerprint = hashlib.sha256(
         json.dumps(fp_src, sort_keys=True).encode()

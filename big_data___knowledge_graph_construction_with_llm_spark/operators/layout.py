@@ -277,14 +277,26 @@ def with_zorder(
     m = (1 << bits) - 1
     qs = [i / (m + 1) for i in range(1, m + 1)]
     types = dict(df.dtypes)
+    # ONE bounded agg finds every string column's entropy-free common
+    # prefix (min/max pairs for all of them in a single scan — N string
+    # columns must not cost N full-table aggregates)
+    str_cols = [c for c in cols if types.get(c) == "string"]
+    strips: dict[str, int] = {}
+    if str_cols:
+        row = df.agg(
+            *[F.min(c).alias(f"_mn_{c}") for c in str_cols],
+            *[F.max(c).alias(f"_mx_{c}") for c in str_cols],
+        ).first()
+        strips = {
+            c: _common_prefix_len(row[f"_mn_{c}"] or "", row[f"_mx_{c}"] or "")
+            for c in str_cols
+        }
     keyed = df
     key_exprs: list[tuple[str, Column]] = []
     for i, c in enumerate(cols):
         if types.get(c) == "string":
             kc = f"__zstr{i}"
-            # one bounded agg finds the entropy-free common prefix
-            mn, mx = df.agg(F.min(c), F.max(c)).first()
-            strip = _common_prefix_len(mn or "", mx or "")
+            strip = strips[c]
             expr = F.col(c)
             if strip:
                 expr = expr.substr(F.lit(strip + 1), F.length(expr))
@@ -337,8 +349,192 @@ def current_table_path(spark: SparkSession, root: str) -> str:
     return f"{gen}/data"
 
 
-def read_table(
+#: dtypes whose min/max are recorded in the generation manifest —
+#: orderable atomics whose bounds survive a JSON round-trip with the
+#: SAME ordering Spark's comparisons use (ISO strings for temporals
+#: compare lexicographically = chronologically)
+_MANIFEST_STAT_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "string", "date", "timestamp", "boolean",
+)
+
+
+def _json_bound(v, side: str):
+    """A manifest-safe JSON value for a min/max bound, CONSERVATIVE
+    under the round-trip: exact types (int/str/bool) pass through;
+    temporals become ISO strings (lexicographic order = their order);
+    Decimal/float bounds are floats WIDENED one ULP outward
+    (``nextafter`` toward -inf for a min, +inf for a max) so a lossy
+    nearest-rounding can never narrow a file's span and prune a file
+    that held a matching row. ``None`` for unrepresentable types —
+    the column simply gets no stats entry."""
+    import datetime as _dt
+    import decimal
+    import math
+
+    if v is None or isinstance(v, bool) or isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return v
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return math.nextafter(f, -math.inf if side == "min" else math.inf)
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _write_manifest(
+    spark: SparkSession,
+    data_path: str,
+    manifest_path: str,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Build and write a generation's ``_MANIFEST``: one JSON object
+    ``{version, columns, files: [{file, rows, stats: {col: [min,
+    max]}}]}`` with file paths RELATIVE to the data dir (hive
+    partition dirs included, so the manifest survives a root move).
+    One aggregate pass grouped by ``input_file_name()`` — the stats
+    columns decode once at write time so every later selective read
+    can skip whole files driver-side. Returns the manifest dict."""
+    import json
+
+    df = spark.read.parquet(data_path)
+    types = dict(df.dtypes)
+    cols = (
+        list(stats_cols)
+        if stats_cols is not None
+        else [
+            c
+            for c in df.columns
+            if types[c].startswith(_MANIFEST_STAT_PREFIXES)
+        ]
+    )
+    missing = [c for c in cols if c not in types]
+    if missing:
+        raise ValueError(f"manifest stats_cols absent from data: {missing}")
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
+    rows = (
+        df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
+    )
+    files = []
+    for r in rows:
+        full = r["_file"]
+        anchor = full.find("/data/")
+        rel = full[anchor + len("/data/"):] if anchor >= 0 else full
+        stats = {}
+        for i, c in enumerate(cols):
+            mn = _json_bound(r[f"_mn{i}"], "min")
+            mx = _json_bound(r[f"_mx{i}"], "max")
+            if mn is not None and mx is not None:
+                stats[c] = [mn, mx]
+        files.append({"file": rel, "rows": int(r["_rows"]), "stats": stats})
+    manifest = {
+        "version": 1,
+        "columns": cols,
+        "files": sorted(files, key=lambda f: f["file"]),
+    }
+    fsutil.write_text(spark, manifest_path, json.dumps(manifest))
+    return manifest
+
+
+def read_manifest(
     spark: SparkSession, root: str, generation: str | None = None
+) -> dict | None:
+    """The committed (or pinned) generation's ``_MANIFEST`` dict, or
+    ``None`` when that generation predates manifests (written with
+    ``manifest=False`` or by an older writer) — callers fall back to
+    the bare-directory read."""
+    import json
+
+    gen = (
+        f"{root}/{generation}"
+        if generation is not None
+        else _resolve_table_generation(spark, root)
+    )
+    if gen is None:
+        raise ValueError(f"no committed table generation under {root!r}")
+    text = fsutil.try_read_text(spark, f"{gen}/_MANIFEST")
+    return json.loads(text) if text else None
+
+
+#: predicate operators :func:`prune_manifest_files` understands
+_PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=")
+
+
+def prune_manifest_files(manifest: dict, where) -> list[str]:
+    """The manifest files that MAY contain rows matching ``where`` —
+    a list of ``(col, op, value)`` conjuncts (or one such tuple).
+    Driver-side and conservative: a file is kept unless its recorded
+    ``[min, max]`` span PROVABLY excludes the predicate (missing
+    stats, unknown column, or a cross-type comparison ⇒ kept). Null
+    rows never match these predicates, so a min/max computed over
+    non-null values prunes safely even when the file holds nulls."""
+    preds = [where] if isinstance(where, tuple) else list(where)
+    for col, op, _v in preds:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"unsupported prune op {op!r} on {col!r};"
+                f" supported: {_PRUNE_OPS}"
+            )
+
+    def may_match(stats: dict, col: str, op: str, val) -> bool:
+        span = stats.get(col)
+        if span is None:
+            return True
+        # widen the query value in the direction that KEEPS more files,
+        # mirroring the write-side widening (both are conservative)
+        lo = _json_bound(val, "min")
+        hi = _json_bound(val, "max")
+        if lo is None or hi is None:
+            return True
+        mn, mx = span
+        try:
+            if op in ("==", "="):
+                return mn <= hi and lo <= mx
+            if op == "<":
+                return mn < hi
+            if op == "<=":
+                return mn <= hi
+            if op == ">":
+                return mx > lo
+            return mx >= lo  # ">="
+        except TypeError:  # cross-type comparison: can't prove exclusion
+            return True
+
+    return [
+        f["file"]
+        for f in manifest["files"]
+        if all(may_match(f["stats"], c, op, v) for c, op, v in preds)
+    ]
+
+
+def _where_column(where) -> Column:
+    """The residual Spark filter equivalent to a ``where`` spec — the
+    pruned read still applies it exactly (the manifest only decides
+    which FILES open; rows inside a kept file still filter)."""
+    preds = [where] if isinstance(where, tuple) else list(where)
+    ops = {
+        "==": lambda c, v: c == v,
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    out = F.lit(True)
+    for col, op, val in preds:
+        out = out & ops[op](F.col(col), F.lit(val))
+    return out
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    generation: str | None = None,
+    where=None,
 ) -> DataFrame:
     """Read a generational table: the marker-committed generation by
     default, or a PINNED one by name (``generation=``) — time travel
@@ -346,7 +542,17 @@ def read_table(
     or re-clustering rewrite against its predecessor, or to keep a
     long-running reader on the snapshot it started with (the TOCTOU
     note on :func:`gc_table_generations` applies: pin only what the
-    sweep's age threshold protects)."""
+    sweep's age threshold protects).
+
+    ``where`` — ``(col, op, value)`` or a list of such conjuncts (ops:
+    ``== = < <= > >=``) — turns the read MANIFEST-PRUNED: the file
+    list comes from the generation's ``_MANIFEST`` (one small JSON
+    read), files whose min/max provably exclude the predicate are
+    never opened (no LIST, no footer read — at 100 TB that metadata
+    is the first wall a selective query hits), and the survivors
+    still carry the exact residual filter so results are identical
+    to ``read_table(...).filter(...)``. Generations without a
+    manifest fall back to the full read + filter."""
     if generation is not None:
         base = f"{root}/{generation}"
         if not fsutil.exists(spark, f"{base}/_COMPLETE"):
@@ -354,8 +560,27 @@ def read_table(
                 f"generation {generation!r} under {root!r} is absent or"
                 " incomplete (GC'd, in-flight, or never committed)"
             )
-        return spark.read.parquet(f"{base}/data")
-    return spark.read.parquet(current_table_path(spark, root))
+    else:
+        gen = _resolve_table_generation(spark, root)
+        if gen is None:
+            raise ValueError(f"no committed table generation under {root!r}")
+        base = gen
+    data = f"{base}/data"
+    if where is None:
+        return spark.read.parquet(data)
+    cond = _where_column(where)
+    manifest = read_manifest(
+        spark, root, generation=base.rsplit("/", 1)[-1]
+    )
+    if manifest is None:  # pre-manifest generation: full read + filter
+        return spark.read.parquet(data).filter(cond)
+    kept = prune_manifest_files(manifest, where)
+    if not kept:
+        # no file can match: an empty frame with the table's schema
+        # (schema from ONE footer via the normal reader, zero data rows)
+        return spark.read.parquet(data).filter(F.lit(False))
+    reader = spark.read.option("basePath", data)
+    return reader.parquet(*[f"{data}/{f}" for f in kept]).filter(cond)
 
 
 def list_table_generations(spark: SparkSession, root: str) -> list[dict]:
@@ -379,18 +604,30 @@ def write_table(
     df: DataFrame,
     root: str,
     partition_by: list[str] | None = None,
+    manifest: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Write ``df`` as a NEW generation of the table at ``root`` and
     commit it MARKER-LAST: the generation dir
-    ``root/gen-<id>/{data,_COMPLETE}`` goes fully to disk first, then
-    the one-object ``root/_CURRENT`` marker write names it — no rename
-    anywhere, so the protocol is identical on file:/hdfs:/s3a: (S3 has
-    no atomic rename; a single small PUT is the commit point).
-    Concurrent writers never touch the same files (each writes its own
-    generation); whichever marker write lands last wins, and every
-    reader resolves the marker to a COMPLETE generation either way.
-    Returns the generation name. Losing/old generations are
-    unreferenced — sweep them with :func:`gc_table_generations`."""
+    ``root/gen-<id>/{data,_MANIFEST,_COMPLETE}`` goes fully to disk
+    first, then the one-object ``root/_CURRENT`` marker write names it
+    — no rename anywhere, so the protocol is identical on
+    file:/hdfs:/s3a: (S3 has no atomic rename; a single small PUT is
+    the commit point). Concurrent writers never touch the same files
+    (each writes its own generation); whichever marker write lands
+    last wins, and every reader resolves the marker to a COMPLETE
+    generation either way. Returns the generation name. Losing/old
+    generations are unreferenced — sweep them with
+    :func:`gc_table_generations`.
+
+    ``manifest=True`` (default) writes a per-generation ``_MANIFEST``
+    (file → row count + per-column min/max, one JSON object) before
+    ``_COMPLETE``, which :func:`read_table` ``where=`` prunes against
+    so a selective scan never LISTs or footer-reads the excluded files
+    — at 100 TB the metadata wall, not the data bytes, is what a bare
+    directory read pays first. Costs one extra aggregate pass over the
+    just-written generation (stats columns only; cap them with
+    ``stats_cols`` — default: every atomic-typed column)."""
     import uuid
 
     spark = df.sparkSession
@@ -400,12 +637,29 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/data")
+    if manifest:
+        _write_manifest(spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    _commit_marker(spark, root, name)
+    return name
+
+
+def _commit_marker(spark: SparkSession, root: str, name: str) -> None:
+    """The one-object ``_CURRENT`` commit write, with the ONLY
+    swallowable failure distinguished from a genuine I/O error: a
+    marker-write exception is tolerable iff a concurrent committer's
+    COMPLETE generation is demonstrably current (last-marker-wins —
+    our generation is complete and unreferenced, the table is fine).
+    On permissions / disk-full / S3-throttle with NO winner, swallowing
+    would return success while nothing committed — a first-ever write
+    would leave the root unreadable with no error at write time — so
+    the failure re-raises. The re-resolve's bounded retry also gives a
+    concurrent winner mid-marker-write time to become observable."""
     try:
         fsutil.write_text(spark, f"{root}/_CURRENT", name)  # commit point
-    except Exception:  # noqa: BLE001 - lost the marker race; our
-        pass  # generation is complete either way, a winner exists
-    return name
+    except Exception:
+        if _resolve_table_generation(spark, root) is None:
+            raise  # genuine I/O failure: nothing is committed
 
 
 def compact_table(
@@ -416,6 +670,8 @@ def compact_table(
     cluster_cols: list[str] | None = None,
     shuffle: bool = False,
     verify: bool = True,
+    manifest: bool = True,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """:func:`compact_small_files` without the rename window: rewrite
     the CURRENT generation of the table at ``root`` into
@@ -467,9 +723,20 @@ def compact_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/data")
+    man = None
+    if manifest:
+        # the manifest's row totals double as the verify recount, so
+        # manifest+verify together still cost ONE pass over the rewrite
+        man = _write_manifest(
+            spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols
+        )
     if verify:
         n0 = df.count()
-        n1 = spark.read.parquet(f"{base}/data").count()
+        n1 = (
+            sum(f["rows"] for f in man["files"])
+            if man is not None
+            else spark.read.parquet(f"{base}/data").count()
+        )
         if n0 != n1:
             fsutil.delete(spark, base)
             raise RuntimeError(
@@ -477,10 +744,7 @@ def compact_table(
                 f" marker untouched, {cur!r} still current"
             )
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
-    try:
-        fsutil.write_text(spark, f"{root}/_CURRENT", name)  # commit point
-    except Exception:  # noqa: BLE001 - lost the marker race
-        pass
+    _commit_marker(spark, root, name)
     # "after" is THIS rewrite's generation, not a re-resolve of the
     # marker: a concurrent compactor may have flipped it (last marker
     # wins), and this report is about what this rewrite produced

@@ -282,16 +282,7 @@ def ensure_ivf_index(
     marker = f"{path}/_DONE"
 
     def _resolve() -> str | None:
-        """Marker → attempt dir, tolerating the HDFS/local mid-write
-        window (empty read) and a vanished attempt (stale marker)."""
-        if not fsutil.exists(spark, marker):
-            return None
-        # tolerant read: a concurrent committer's marker write can be
-        # observed empty, torn, or crc-mismatched (local FS sidecar)
-        name = (fsutil.try_read_text(spark, marker) or "").strip()
-        if name and fsutil.exists(spark, f"{path}/{name}/_COMPLETE"):
-            return f"{path}/{name}"
-        return None
+        return _resolve_ivf_attempt(spark, path)
 
     attempt_dir = _resolve()
     if attempt_dir is None:
@@ -319,10 +310,134 @@ def ensure_ivf_index(
         # fallback our complete-but-unreferenced attempt would otherwise
         # be eligible for reaping before we read it.
         gc_ivf_attempts(spark, path, gc_max_age_ms)
-    return (
-        spark.read.parquet(f"{attempt_dir}/index"),
-        spark.read.parquet(f"{attempt_dir}/centroids"),
-    )
+    return _read_attempt_chain(spark, path, attempt_dir)
+
+
+def _resolve_ivf_attempt(spark, path: str) -> str | None:
+    """``path/_DONE`` marker → winning attempt dir, tolerating the
+    HDFS/local mid-write window (empty read), a torn/crc-mismatched
+    concurrent marker write, and a vanished attempt (stale marker)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    marker = f"{path}/_DONE"
+    if not fsutil.exists(spark, marker):
+        return None
+    name = (fsutil.try_read_text(spark, marker) or "").strip()
+    if name and fsutil.exists(spark, f"{path}/{name}/_COMPLETE"):
+        return f"{path}/{name}"
+    return None
+
+
+def _ivf_parent_chain(spark, path: str, attempt_dir: str) -> list[str]:
+    """The attempt dir plus its transitive ``_PARENT`` ancestors
+    (append lineage), newest first. A broken link (parent GC'd despite
+    the chain protection, or never completed) raises rather than
+    silently serving a partial index."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    chain = [attempt_dir]
+    seen = {attempt_dir.rsplit("/", 1)[-1]}
+    cur = attempt_dir
+    while fsutil.exists(spark, f"{cur}/_PARENT"):
+        parent = (fsutil.try_read_text(spark, f"{cur}/_PARENT") or "").strip()
+        if not parent or parent in seen:
+            raise ValueError(
+                f"corrupt _PARENT chain under {path!r} at {cur!r}"
+            )
+        pdir = f"{path}/{parent}"
+        if not fsutil.exists(spark, f"{pdir}/_COMPLETE"):
+            raise ValueError(
+                f"index parent {parent!r} under {path!r} is missing or"
+                " incomplete — the append chain is broken (GC'd?)"
+            )
+        chain.append(pdir)
+        seen.add(parent)
+        cur = pdir
+    return chain
+
+
+def _read_attempt_chain(spark, path: str, attempt_dir: str):
+    """(index, centroids) for an attempt INCLUDING its append lineage:
+    the index is the union of every chain member's ``index`` dir (each
+    a cluster-partitioned parquet table — a probe filter prunes
+    partitions in every branch), the centroids are the head attempt's
+    (appends copy them forward unchanged)."""
+    from functools import reduce
+
+    chain = _ivf_parent_chain(spark, path, attempt_dir)
+    parts = [spark.read.parquet(f"{d}/index") for d in chain]
+    index = reduce(lambda a, b: a.unionByName(b), parts)
+    return index, spark.read.parquet(f"{attempt_dir}/centroids")
+
+
+def read_ivf_index(spark, path: str):
+    """Read the committed at-rest IVF index (build + appended batches)
+    as ``(index, centroids)`` without triggering a build — the
+    read-only counterpart of :func:`ensure_ivf_index`."""
+    attempt_dir = _resolve_ivf_attempt(spark, path)
+    if attempt_dir is None:
+        raise ValueError(f"no committed IVF index under {path!r}")
+    return _read_attempt_chain(spark, path, attempt_dir)
+
+
+def append_ivf_index(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Extend the committed at-rest IVF index with a NEW embedding
+    batch WITHOUT re-running k-means and WITHOUT rewriting the
+    existing index data — the steady-state form (the dedup analog is
+    ``incremental_dedup_sink``): the batch is assigned to the EXISTING
+    centroids (map-only ``nearest_cluster`` projection, zero shuffle)
+    and committed as a new attempt generation containing ONLY the
+    batch, linked to the current winner via a ``_PARENT`` file; the
+    centroids are copied forward unchanged (k rows). Readers resolve
+    the marker and union the parent chain — probe filters prune
+    cluster partitions in every chain member, so query cost stays
+    ~n_probe/k of the TOTAL corpus.
+
+    Same marker-last commit as :func:`ensure_ivf_index` (attempt fully
+    on disk including ``_PARENT`` before ``_COMPLETE``, the one-object
+    ``_DONE`` write last); a marker-write failure is swallowed only
+    when a concurrent winner demonstrably exists, else it re-raises
+    (nothing would be committed). :func:`gc_ivf_attempts` protects the
+    winner AND its transitive parents, so the chain never loses a
+    link; periodically REBUILD (full :func:`ensure_ivf_index` at a
+    fresh path, or after deleting the marker) to re-train centroids —
+    appended data drifts the true clustering, and the measured
+    recall-vs-rebuild delta (bench ``ivf_append`` block) is the
+    rebuild-cadence signal. Returns the (index, centroids) read back
+    from disk, chain included."""
+    import uuid
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    cur = _resolve_ivf_attempt(spark, path)
+    if cur is None:
+        raise ValueError(
+            f"no committed IVF index under {path!r};"
+            " build one with ensure_ivf_index first"
+        )
+    cur_name = cur.rsplit("/", 1)[-1]
+    cents_df = spark.read.parquet(f"{cur}/centroids")
+    name = f"attempt-{uuid.uuid4().hex[:12]}"
+    base = f"{path}/{name}"
+    ivf_index(new_vectors, cents_df, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{base}/index")
+    cents_df.write.mode("overwrite").parquet(f"{base}/centroids")
+    fsutil.write_text(spark, f"{base}/_PARENT", cur_name)
+    fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    try:
+        fsutil.write_text(spark, f"{path}/_DONE", name)  # commit point
+    except Exception:  # noqa: BLE001 - swallowable iff a winner exists
+        if _resolve_ivf_attempt(spark, path) is None:
+            raise
+    winner = _resolve_ivf_attempt(spark, path) or base
+    return _read_attempt_chain(spark, path, winner)
 
 
 def gc_ivf_attempts(
@@ -330,35 +445,45 @@ def gc_ivf_attempts(
 ) -> list[str]:
     """Garbage-collect LOSING attempt dirs under an ``ensure_ivf_index``
     path: delete every ``attempt-*`` older than ``max_age_ms`` that is
-    not the attempt named by ``path/_DONE``. The marker's attempt is
-    protected unconditionally (age never matters — readers resolve it),
-    the marker file itself is never touched, and the age threshold
-    protects in-flight builds that haven't reached their marker write
-    yet (a losing-but-complete attempt is safe to delete at ANY age —
-    no reader ever resolves to it — but age is the only signal that
-    distinguishes a loser from a build still in progress, AND from a
-    just-superseded previous winner that a long-lived reader may still
-    be lazily scanning: size ``max_age_ms`` past the longest reader
-    lifetime / rebuild cadence, per the sizing note on
-    :func:`ensure_ivf_index`). Returns the deleted attempt names.
-    ``now_ms`` is injectable for tests; defaults to the current clock.
-    Companion to the commit protocol documented on
-    :func:`ensure_ivf_index` and in DEPLOYMENT.md."""
+    not the attempt named by ``path/_DONE`` NOR one of its transitive
+    ``_PARENT`` ancestors (:func:`append_ivf_index` lineage — deleting
+    a chain link would amputate the appended index's older data). The
+    winner chain is protected unconditionally (age never matters —
+    readers resolve and union it), the marker file itself is never
+    touched, and the age threshold protects in-flight builds that
+    haven't reached their marker write yet (a losing-but-complete
+    attempt is safe to delete at ANY age — no reader ever resolves to
+    it — but age is the only signal that distinguishes a loser from a
+    build still in progress, AND from a just-superseded previous
+    winner that a long-lived reader may still be lazily scanning: size
+    ``max_age_ms`` past the longest reader lifetime / rebuild cadence,
+    per the sizing note on :func:`ensure_ivf_index`). Returns the
+    deleted attempt names. ``now_ms`` is injectable for tests;
+    defaults to the current clock. Companion to the commit protocol
+    documented on :func:`ensure_ivf_index` and in DEPLOYMENT.md."""
     import time
 
     from big_data___knowledge_graph_construction_with_llm_spark import fsutil
 
     now = int(time.time() * 1000) if now_ms is None else now_ms
-    protected = ""
+    protected: set[str] = set()
     if fsutil.exists(spark, f"{path}/_DONE"):
         text = fsutil.try_read_text(spark, f"{path}/_DONE")
         if text is None or not text.strip():
             return []  # marker mid-write: a commit is in flight and
             # nothing would be protected — sweep on the next cadence
-        protected = text.strip()
+        winner = text.strip()
+        protected.add(winner)
+        try:
+            protected.update(
+                d.rsplit("/", 1)[-1]
+                for d in _ivf_parent_chain(spark, path, f"{path}/{winner}")
+            )
+        except ValueError:
+            return []  # chain unreadable mid-append: skip this sweep
     deleted: list[str] = []
     for name, stamp in fsutil.list_dir(spark, path):
-        if not name.startswith("attempt-") or name == protected:
+        if not name.startswith("attempt-") or name in protected:
             continue
         if now - stamp > max_age_ms:
             fsutil.delete(spark, f"{path}/{name}")

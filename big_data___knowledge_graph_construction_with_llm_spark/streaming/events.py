@@ -135,6 +135,15 @@ def write_foreach_batch(
     )
 
 
+def _store_landing(store_path: str) -> str:
+    """The append area of a fingerprint store: micro-batches land here
+    as ``(lineage, batch_id)`` partitions; :func:`compact_fingerprint_store`
+    periodically absorbs them into a marker-committed generation under
+    the same root (``store_path/gen-*`` + ``_CURRENT``), closing the
+    small-files growth an append-forever stream sink otherwise has."""
+    return f"{store_path}/landing"
+
+
 def bootstrap_fingerprint_store(
     corpus: DataFrame,
     store_path: str,
@@ -145,12 +154,13 @@ def bootstrap_fingerprint_store(
     """Seed an ``incremental_dedup_sink`` store from an existing
     (already deduplicated) corpus — the batch full-pass → streaming
     handoff. Writes ``content_fingerprints`` under the reserved
-    ``lineage="bootstrap"`` partition, which no stream lineage ever
-    prunes or overwrites, so the stream dedups against the whole
-    bootstrapped corpus from its very first batch. ``normalize`` picks
-    the store's fingerprint identity (fuzzy-exact vs byte-exact — see
-    ``content_fingerprints``); every ``incremental_dedup_sink`` serving
-    this store must pass the same value."""
+    ``lineage="bootstrap"`` partition of the store's LANDING area,
+    which no stream lineage ever prunes or overwrites, so the stream
+    dedups against the whole bootstrapped corpus from its very first
+    batch. ``normalize`` picks the store's fingerprint identity
+    (fuzzy-exact vs byte-exact — see ``content_fingerprints``); every
+    ``incremental_dedup_sink`` serving this store must pass the same
+    value."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
         content_fingerprints,
     )
@@ -162,7 +172,7 @@ def bootstrap_fingerprint_store(
         .write.partitionBy("lineage", "batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
-        .parquet(store_path)
+        .parquet(_store_landing(store_path))
     )
 
 
@@ -173,6 +183,8 @@ def incremental_dedup_sink(
     emit: Callable[[DataFrame, int], None],
     lineage: str,
     normalize: bool = False,
+    expectations: list | None = None,
+    quarantine_path: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` body that makes exact dedup STREAMING against a
     durable store: each micro-batch is deduped against the at-rest
@@ -216,15 +228,42 @@ def incremental_dedup_sink(
     byte-exact) and must match what :func:`bootstrap_fingerprint_store`
     and every other lineage of this store use — it is part of the
     store's definition, not a per-stream knob.
+
+    STORE LAYOUT: new fingerprints land as ``(lineage, batch_id)``
+    partitions under ``store_path/landing``;
+    :func:`compact_fingerprint_store` periodically absorbs landed
+    batches into a marker-committed generation (``store_path/gen-*``
+    + ``_CURRENT`` — ``operators.layout`` protocol), so the store
+    never accumulates one file per micro-batch forever. Every store
+    read here unions the committed generation (if any), the landing
+    area, and — for stores written by pre-generational versions —
+    legacy flat partitions at the root, each under the same replay
+    prune (lineage/batch_id are physical columns in all three).
+
+    ``expectations`` (optional, :mod:`operators.validate` rules) is
+    the per-micro-batch data gate: the one-scan :func:`validate`
+    report runs BEFORE dedup, and a violating batch is ROUTED WHOLE to
+    ``quarantine_path`` (required with expectations; written as its
+    own ``(lineage, batch_id)`` partition with the violated rule names
+    in ``_violations``, dynamic-overwrite so replays stay idempotent)
+    instead of raising — a query-killing raise would take the whole
+    stream down for one bad batch; the quarantine keeps the stream
+    live and the bad batch inspectable/replayable. Quarantined batches
+    are NOT emitted and leave no store fingerprints, so a re-ingest
+    of the fixed data dedups normally.
     """
     if lineage == "bootstrap":
         raise ValueError(
             'lineage "bootstrap" is reserved for bootstrap_fingerprint_store; '
             "pick a different lineage name for the stream"
         )
+    if expectations and quarantine_path is None:
+        raise ValueError(
+            "expectations= needs quarantine_path= (violating batches are"
+            " routed, not raised — a raise would kill the stream)"
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        from big_data___knowledge_graph_construction_with_llm_spark import fsutil
         from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
             content_fingerprints,
             incremental_dedup,
@@ -236,21 +275,46 @@ def incremental_dedup_sink(
         # it so each micro-batch is read from the source exactly once
         batch = batch.persist()
         try:
-            empty_fps = content_fingerprints(batch.limit(0), text_col, id_col)
-            if fsutil.exists(spark, store_path):
-                store_schema = (
-                    empty_fps.withColumn("lineage", F.lit(""))
-                    .withColumn("batch_id", F.lit(0).cast("long"))
-                    .schema
+            if expectations:
+                from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+                    validate,
                 )
-                fps = spark.read.schema(store_schema).parquet(store_path).filter(
-                    ~(
-                        (F.col("lineage") == F.lit(lineage))
-                        & (F.col("batch_id") >= F.lit(batch_id))
+
+                bad = [
+                    r
+                    for r in validate(batch, expectations).collect()
+                    if not r["ok"]
+                ]
+                if bad:
+                    (
+                        batch.withColumn(
+                            "_violations",
+                            F.array(*[F.lit(r["rule"]) for r in bad]),
+                        )
+                        .withColumn("lineage", F.lit(lineage))
+                        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+                        .write.partitionBy("lineage", "batch_id")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .mode("overwrite")
+                        .parquet(quarantine_path)
                     )
-                )
-            else:
-                fps = empty_fps
+                    return
+            empty_fps = content_fingerprints(batch.limit(0), text_col, id_col)
+            store_schema = (
+                empty_fps.withColumn("lineage", F.lit(""))
+                .withColumn("batch_id", F.lit(0).cast("long"))
+                .schema
+            )
+            replay_prune = ~(
+                (F.col("lineage") == F.lit(lineage))
+                & (F.col("batch_id") >= F.lit(batch_id))
+            )
+            fps = empty_fps.withColumn("lineage", F.lit("")).withColumn(
+                "batch_id", F.lit(0).cast("long")
+            )
+            for frame in _store_read_frames(spark, store_path, store_schema):
+                fps = fps.unionByName(frame.filter(replay_prune))
+            fps = fps.drop("lineage", "batch_id")
             _, new_fps = incremental_dedup(
                 batch, fps, text_col, id_col, normalize=normalize
             )
@@ -265,12 +329,155 @@ def incremental_dedup_sink(
                 .write.partitionBy("lineage", "batch_id")
                 .option("partitionOverwriteMode", "dynamic")
                 .mode("overwrite")
-                .parquet(store_path)
+                .parquet(_store_landing(store_path))
             )
         finally:
             batch.unpersist()
 
     return _sink
+
+
+def _legacy_partition_dirs(spark, store_path: str) -> list[str]:
+    """Flat ``lineage=*/batch_id=*`` partition dirs at the store ROOT —
+    the layout pre-generational writers used. Enumerated explicitly
+    (never a recursive read of the root, which also holds ``gen-*`` and
+    ``landing`` dirs that would wreck partition discovery)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    out: list[str] = []
+    for lin, _ in fsutil.list_dir(spark, store_path):
+        if lin.startswith("lineage="):
+            out += [
+                f"{lin}/{b}"
+                for b, _ in fsutil.list_dir(spark, f"{store_path}/{lin}")
+                if b.startswith("batch_id=")
+            ]
+    return out
+
+
+def _store_read_frames(spark, store_path: str, store_schema) -> list:
+    """The schema-pinned frames a fingerprint-store read unions: the
+    committed generation's data (if a ``_CURRENT`` marker resolves, with
+    lineage/batch_id as physical columns), the landing area (partition
+    columns), and legacy pre-generational flat partitions at the root
+    (enumerated explicitly, read under ``basePath``)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _resolve_table_generation,
+    )
+
+    out = []
+    gen = _resolve_table_generation(spark, store_path, retries=1)
+    if gen is not None:
+        out.append(spark.read.schema(store_schema).parquet(f"{gen}/data"))
+    landing = _store_landing(store_path)
+    if fsutil.exists(spark, landing):
+        out.append(spark.read.schema(store_schema).parquet(landing))
+    legacy = _legacy_partition_dirs(spark, store_path)
+    if legacy:
+        out.append(
+            spark.read.schema(store_schema)
+            .option("basePath", store_path)
+            .parquet(*[f"{store_path}/{p}" for p in legacy])
+        )
+    return out
+
+
+def compact_fingerprint_store(
+    spark,
+    store_path: str,
+    min_batches: int = 8,
+    target_file_bytes: int = 64 << 20,
+) -> dict:
+    """Absorb landed micro-batch partitions (plus any legacy flat
+    partitions and the previously committed generation) into ONE new
+    marker-committed generation of the fingerprint store — the
+    maintenance pass that keeps a forever-running ingest stream from
+    drowning its own store in per-batch small files. Safe to run WHILE
+    the stream runs:
+
+    - the absorbed set is SNAPSHOTTED first (the landing partitions
+      listed at entry); batches landing after the snapshot are
+      untouched and remain readable via the landing leg;
+    - the new generation commits marker-last (``layout.write_table``
+      mechanics — lineage/batch_id become physical columns, so replay
+      pruning keeps working against compacted history);
+    - absorbed landing partitions are deleted only AFTER the marker
+      lands; a reader in the swap window sees a fingerprint twice
+      (generation + not-yet-deleted landing), which dedup semantics
+      tolerate by construction (presence is what matters);
+    - a checkpoint REPLAY of an absorbed batch re-runs against the
+      pruned read (the generation rows prune by the same columns) and
+      recomputes the identical survivor set, then lands its partition
+      again — duplicate fingerprints, same answers; the next
+      compaction folds them back in.
+
+    ``min_batches`` gates the rewrite (census-only skip below it —
+    the scheduler can call this unconditionally). Returns the report:
+    absorbed batch count, landing files before / generation files
+    after, and the generation name, or ``{"compacted": False, ...}``."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _resolve_table_generation,
+        write_table,
+    )
+
+    landing = _store_landing(store_path)
+    absorbed = _legacy_partition_dirs(spark, landing)  # snapshot, now
+    legacy = _legacy_partition_dirs(spark, store_path)
+    if len(absorbed) + len(legacy) < min_batches:
+        return {
+            "compacted": False,
+            "landing_batches": len(absorbed),
+            "legacy_batches": len(legacy),
+        }
+    gen = _resolve_table_generation(spark, store_path)
+    parts = []
+    if gen is not None:
+        parts.append(spark.read.parquet(f"{gen}/data"))
+    if absorbed:
+        parts.append(
+            spark.read.option("basePath", landing).parquet(
+                *[f"{landing}/{p}" for p in absorbed]
+            )
+        )
+    if legacy:
+        parts.append(
+            spark.read.option("basePath", store_path).parquet(
+                *[f"{store_path}/{p}" for p in legacy]
+            )
+        )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    census = fsutil.list_files(spark, landing) + (
+        fsutil.list_files(spark, f"{gen}/data") if gen else []
+    )
+    for p in legacy:
+        census += fsutil.list_files(spark, f"{store_path}/{p}")
+    files_before = len(census)
+    total_bytes = sum(sz for _, sz in census)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    name = write_table(merged.repartition(n_out), store_path, manifest=False)
+    # marker landed: the absorbed partitions are now redundant copies
+    # (parent lineage= dirs sweep too once their last batch is absorbed,
+    # so a migrated legacy store stops reading its root leg entirely)
+    for root, parts in ((landing, absorbed), (store_path, legacy)):
+        parents = set()
+        for p in parts:
+            fsutil.delete(spark, f"{root}/{p}")
+            parents.add(p.split("/", 1)[0])
+        for parent in parents:
+            if not fsutil.list_dir(spark, f"{root}/{parent}"):
+                fsutil.delete(spark, f"{root}/{parent}")
+    new_data = f"{store_path}/{name}/data"
+    return {
+        "compacted": True,
+        "generation": name,
+        "absorbed_batches": len(absorbed) + len(legacy),
+        "files_before": files_before,
+        "files_after": len(fsutil.list_files(spark, new_data)),
+    }
 
 
 def curate_stream(

@@ -222,3 +222,62 @@ def test_bpe_feeds_sequence_packing(spark):
     rows = packed.collect()
     assert len(rows) == 20
     assert len({r["seq_id"] for r in rows}) > 1  # really split into bins
+
+
+def test_heap_trainer_matches_naive_reference(spark):
+    """The lazy-deletion-heap trainer must pick the EXACT merge
+    sequence a from-scratch recount + full argmax picks (same
+    (-count, pair) order, ties lexicographic) — the incremental
+    index + heap are an optimization, never a semantics change."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.bpe import (
+        _merge_word,
+        _pair_counts,
+    )
+
+    texts = [
+        f"alpha{i % 7} beta{i % 4} gamma shared{i % 3} alpha{i % 7}"
+        for i in range(150)
+    ]
+    df = _docs(spark, texts)
+    model = train_bpe(df, vocab_size=80)
+
+    # naive reference: recount every pair from scratch per merge
+    rows = word_frequencies(df).collect()
+    words = {}
+    for r in rows:
+        k = tuple(r["word"]) + (END,)
+        words[k] = words.get(k, 0) + int(r["count"])
+    alphabet = tuple(sorted({s for syms in words for s in syms}))
+    ref = []
+    while len(alphabet) + len(ref) < 80:
+        pc = _pair_counts(words)
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pc[best] < 1:
+            break
+        ref.append(best)
+        new_words = {}
+        for syms, freq in words.items():
+            ns = _merge_word(syms, best)
+            new_words[ns] = new_words.get(ns, 0) + freq
+        words = new_words
+    assert model.merges == tuple(ref)
+
+
+def test_encode_with_precomputed_head_vocab_matches_default(spark):
+    """head_vocab= skips the plan-construction-time word-count job and
+    must not change results — it only fixes the broadcast side."""
+    texts = ["the quick brown fox", "the lazy dog", "quick quick the"]
+    df = _docs(spark, texts)
+    model = train_bpe(df, vocab_size=40)
+    want = {
+        r["doc_id"]: r["pieces"] for r in bpe_encode(df, model).collect()
+    }
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(
+            df, model, head_vocab=["the", "quick"]
+        ).collect()
+    }
+    assert got == want

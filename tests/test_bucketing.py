@@ -445,3 +445,81 @@ def test_decontaminate_rejects_negative_id_with_null_text(spark):
     bench = spark.createDataFrame([("fine doc",)], "text string")
     with pytest.raises(ValueError, match="non-negative corpus ids"):
         decontaminate(docs, bench, "doc_id", "text", max_bucket=100)
+
+
+def test_append_ivf_index_extends_without_retraining(spark, tmp_path):
+    """Incremental index maintenance: a new embedding batch is assigned
+    to the EXISTING centroids and committed as a _PARENT-linked attempt
+    — no k-means re-run, no rewrite of prior index data. Readers union
+    the chain; assignment must equal what a from-the-same-centroids
+    full build would give; GC must protect the whole chain."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        append_ivf_index,
+        ensure_ivf_index,
+        gc_ivf_attempts,
+        ivf_index,
+        read_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    base = emb.filter(F.col("vec_id") % 10 < 8)
+    b1 = emb.filter(F.col("vec_id") % 10 == 8)
+    b2 = emb.filter(F.col("vec_id") % 10 == 9)
+    n_base, n1, n2 = base.count(), b1.count(), b2.count()
+    path = str(tmp_path / "ivf_app")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed IVF index"):
+        append_ivf_index(spark, b1, path)
+
+    idx0, cents0 = ensure_ivf_index(spark, base, path, k=4, iterations=1)
+    gen0 = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    idx1, cents1 = append_ivf_index(spark, b1, path)
+    assert idx1.count() == n_base + n1
+    # centroids unchanged (copied forward, not re-trained)
+    c0 = {(r["cluster"], tuple(r["centroid"])) for r in cents0.collect()}
+    c1 = {(r["cluster"], tuple(r["centroid"])) for r in cents1.collect()}
+    assert c0 == c1
+    # the appended attempt links to the superseded winner
+    gen1 = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    assert gen1 != gen0
+    assert fsutil.read_text(spark, f"{path}/{gen1}/_PARENT").strip() == gen0
+
+    # append ≡ rebuild assignment: the batch's clusters match a direct
+    # map-only assignment against the same centroids
+    want = {
+        r["vec_id"]: r["cluster"] for r in ivf_index(b1, cents0).collect()
+    }
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in idx1.join(
+            b1.select("vec_id"), "vec_id", "left_semi"
+        ).collect()
+    }
+    assert got == want
+
+    # second append: three-link chain, read-only resolver sees it all
+    append_ivf_index(spark, b2, path)
+    idx2, cents2 = read_ivf_index(spark, path)
+    assert idx2.count() == n_base + n1 + n2
+
+    # probe-all equals brute force over the FULL (appended) corpus
+    q = [
+        float(x)
+        for x in load(spark, SF_DIR, "embeddings")
+        .filter("vec_id = 0")
+        .head()["embedding"]
+    ]
+    got_ids = [r["vec_id"] for r in knn_ivf(idx2, cents2, q, 5, n_probe=4).collect()]
+    want_ids = [r["vec_id"] for r in knn_brute_force(emb, q, 5).collect()]
+    assert got_ids == want_ids
+
+    # GC at zero age protects the whole parent chain; an unrelated
+    # stale loser is swept
+    fsutil.write_text(spark, f"{path}/attempt-stale0000000/_COMPLETE", "")
+    deleted = gc_ivf_attempts(spark, path, max_age_ms=0, now_ms=2**62)
+    assert deleted == ["attempt-stale0000000"]
+    idx3, _ = read_ivf_index(spark, path)
+    assert idx3.count() == n_base + n1 + n2

@@ -249,16 +249,17 @@ def test_curate_resumable_resumes_after_interruption(spark, tmp_path):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     root = str(tmp_path / "ckpt")
 
-    # run 1: the gate rejects (scores below 100 is impossible) -> the
+    # run 1: the gate rejects (the predicate is impossible) -> the
     # pipeline dies after quality_gate committed its table
-    bad_rule = V.satisfies("impossible", F.lit(False))
-    with pytest.raises(ValueError, match="impossible"):
+    bad_rule = V.satisfies("text_present", F.lit(False))
+    with pytest.raises(ValueError, match="text_present"):
         curate_resumable(df, root, expectations=[bad_rule], min_tokens=5)
     gen_q = fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
 
-    # run 2: same-shaped config (expectations fingerprinted by
-    # presence), now-passing rule -> resumes from the committed stage
-    ok_rule = V.not_null("text")
+    # run 2: same-NAMED rule with the predicate fixed (expectations are
+    # fingerprinted by their ordered rule names; predicate content is
+    # not hashed) -> resumes from the committed stage
+    ok_rule = V.satisfies("text_present", F.col("text").isNotNull())
     out = curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(
@@ -279,6 +280,12 @@ def test_curate_resumable_resumes_after_interruption(spark, tmp_path):
     # parameter drift is refused; force restarts with fresh generations
     with pytest.raises(ValueError, match="different parameters"):
         curate_resumable(df, root, expectations=[ok_rule], min_tokens=6)
+    # a CHANGED rule list (different names) is drift too — the content
+    # signature catches what name-presence used to wave through
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_resumable(
+            df, root, expectations=[V.not_null("text")], min_tokens=5
+        )
     forced = curate_resumable(
         df, root, expectations=[ok_rule], min_tokens=5, force=True
     )
@@ -292,3 +299,28 @@ def test_curate_resumable_resumes_after_interruption(spark, tmp_path):
     assert "00_quality_gate" in swept
     still = curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
     assert sorted(tuple(r) for r in still.collect()) == got
+
+
+def test_curate_resumable_refuses_swapped_benchmark(spark, tmp_path):
+    """Swapping the decontamination benchmark between runs must refuse
+    resume (content signature: analyzed-plan identity), not silently
+    reuse stages decontaminated against the OLD benchmark — the
+    silent-wrong-data trap the name-presence fingerprint had."""
+    import pytest
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate_resumable,
+    )
+
+    rows = [
+        (i, f"document number {i} with enough distinct tokens to pass gates")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "ckpt_bench")
+    bench_a = df.filter("doc_id = 0").select("doc_id", "text")
+    bench_b = df.filter("doc_id = 1").select("doc_id", "text")
+    curate_resumable(df, root, benchmark=bench_a, min_tokens=3)
+    # identical benchmark plan -> clean resume off the committed tables
+    curate_resumable(df, root, benchmark=bench_a, min_tokens=3)
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_resumable(df, root, benchmark=bench_b, min_tokens=3)

@@ -487,3 +487,160 @@ def test_read_table_time_travel(spark, tmp_path):
     assert old.agg(F.sum("id")).first()[0] == new.agg(F.sum("id")).first()[0]
     with pytest.raises(ValueError, match="absent or incomplete"):
         read_table(spark, root, generation="gen-000000000000")
+
+
+def test_manifest_prunes_files_and_matches_full_read(spark, tmp_path):
+    """write_table writes a per-generation _MANIFEST; read_table(where=)
+    opens ONLY the files whose min/max may match and still returns
+    exactly read_table().filter(...) — the file-level skipping layer
+    above parquet's row-group pruning."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        prune_manifest_files,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_manifest")
+    df = _corpus(spark, n=50_000)
+    # range-clustered on `a` so file spans are disjoint and prunable
+    write_table(
+        df.repartitionByRange(8, F.col("a")).sortWithinPartitions("a"), root
+    )
+    man = read_manifest(spark, root)
+    assert man is not None and len(man["files"]) == 8
+    assert sum(f["rows"] for f in man["files"]) == 50_000
+    assert all("a" in f["stats"] and "payload" in f["stats"] for f in man["files"])
+
+    where = [("a", ">=", 100), ("a", "<", 120)]
+    kept = prune_manifest_files(man, where)
+    assert 0 < len(kept) < 8  # provably-excluded files dropped
+    pruned = read_table(spark, root, where=where)
+    full = read_table(spark, root).filter((F.col("a") >= 100) & (F.col("a") < 120))
+    assert pruned.count() == full.count() > 0
+    assert (
+        pruned.agg(F.sum("id")).first()[0] == full.agg(F.sum("id")).first()[0]
+    )
+    # the pruned plan reads only the kept files
+    files_in_plan = pruned.select("id").inputFiles()
+    assert len(files_in_plan) == len(kept)
+
+    # string predicate prunes through the same manifest
+    kept_s = prune_manifest_files(man, ("payload", "<", "1"))
+    got = read_table(spark, root, where=("payload", "<", "1")).count()
+    want = read_table(spark, root).filter(F.col("payload") < "1").count()
+    assert got == want > 0 and len(kept_s) <= 8
+
+    # a predicate beyond the domain keeps zero files; the read stays
+    # schema-correct and empty
+    none = read_table(spark, root, where=("a", ">", 10_000))
+    assert none.count() == 0
+    assert none.columns == read_table(spark, root).columns
+
+
+def test_manifest_fallback_and_compact_table_manifest(spark, tmp_path):
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        compact_table,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_nomani")
+    df = _corpus(spark, n=10_000)
+    write_table(df.repartition(4), root, manifest=False)
+    assert read_manifest(spark, root) is None
+    # pre-manifest generation: where= falls back to full read + filter
+    got = read_table(spark, root, where=("a", "==", 7)).count()
+    assert got == df.filter(F.col("a") == 7).count() > 0
+
+    # a compaction rewrite (re-clustered) carries a fresh manifest and
+    # its verify recount rides the manifest's row totals (one pass)
+    rep = compact_table(
+        spark, root, target_file_bytes=1 << 16, cluster_cols=["a"]
+    )
+    man = read_manifest(spark, root)
+    assert man is not None
+    assert sum(f["rows"] for f in man["files"]) == 10_000
+    assert len(man["files"]) == rep["after"]["n_files"]
+    pinned = read_table(
+        spark, root, generation=rep["generation"], where=("a", "<", 10)
+    )
+    assert pinned.count() == df.filter(F.col("a") < 10).count()
+
+
+def test_prune_manifest_files_op_semantics():
+    """Driver-side pruning truth table: every op keeps exactly the
+    files whose span may contain a match; unknown columns, missing
+    stats and cross-type comparisons conservatively keep."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        prune_manifest_files,
+    )
+
+    man = {
+        "version": 1,
+        "columns": ["x", "s"],
+        "files": [
+            {"file": "f0", "rows": 10, "stats": {"x": [0, 9], "s": ["a", "m"]}},
+            {"file": "f1", "rows": 10, "stats": {"x": [10, 19], "s": ["n", "z"]}},
+            {"file": "f2", "rows": 10, "stats": {}},  # no stats: always kept
+        ],
+    }
+    assert prune_manifest_files(man, ("x", "==", 5)) == ["f0", "f2"]
+    assert prune_manifest_files(man, ("x", ">=", 10)) == ["f1", "f2"]
+    assert prune_manifest_files(man, ("x", ">", 9)) == ["f1", "f2"]
+    assert prune_manifest_files(man, ("x", "<=", 9)) == ["f0", "f2"]
+    assert prune_manifest_files(man, ("x", "<", 10)) == ["f0", "f2"]
+    # boundary: x < 0 excludes f0 (min 0 is not < 0)
+    assert prune_manifest_files(man, ("x", "<", 0)) == ["f2"]
+    # conjunction intersects
+    assert prune_manifest_files(man, [("x", ">=", 5), ("s", "<", "c")]) == [
+        "f0",
+        "f2",
+    ]
+    # unknown column / cross-type: keep everything
+    assert len(prune_manifest_files(man, ("y", "==", 1))) == 3
+    assert len(prune_manifest_files(man, ("s", ">", 5))) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported prune op"):
+        prune_manifest_files(man, ("x", "!=", 1))
+
+
+def test_commit_marker_failure_semantics(spark, tmp_path, monkeypatch):
+    """A marker-write failure is swallowed ONLY when a concurrent
+    winner demonstrably exists; on a first-ever write (no winner) it
+    re-raises instead of returning success over an unreadable table."""
+    import pytest as _pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_table,
+        write_table,
+    )
+
+    df = _corpus(spark, n=100)
+    real_write = fsutil.write_text
+
+    def failing_marker_write(sp, path, content):
+        if path.endswith("/_CURRENT"):
+            raise OSError("injected: marker write failed")
+        return real_write(sp, path, content)
+
+    # first-ever write, no winner anywhere -> the failure surfaces
+    root1 = str(tmp_path / "tbl_fail_fresh")
+    monkeypatch.setattr(fsutil, "write_text", failing_marker_write)
+    with _pytest.raises(OSError, match="injected"):
+        write_table(df, root1, manifest=False)
+    monkeypatch.setattr(fsutil, "write_text", real_write)
+
+    # a committed winner exists -> the same failure is a lost race and
+    # is swallowed; readers keep resolving the winner
+    root2 = str(tmp_path / "tbl_fail_raced")
+    gen0 = write_table(df, root2, manifest=False)
+    monkeypatch.setattr(fsutil, "write_text", failing_marker_write)
+    gen1 = write_table(df, root2, manifest=False)
+    monkeypatch.setattr(fsutil, "write_text", real_write)
+    assert gen1 != gen0
+    assert fsutil.read_text(spark, f"{root2}/_CURRENT").strip() == gen0
+    assert read_table(spark, root2).count() == 100

@@ -868,3 +868,197 @@ def test_running_totals_tws_plan_and_gated_parity(spark, tmp_path):
     assert run(running_totals, "totals_v1") == run(
         running_totals_tws, "totals_v2", provider=ROCKSDB_PROVIDER
     )
+
+
+def test_compact_fingerprint_store_e2e(spark, tmp_path):
+    """Stream N micro-batches -> the landing census shows one partition
+    per batch -> compaction absorbs them into ONE marker-committed
+    generation (file count collapses) -> the sink keeps deduping
+    correctly against the COMPACTED history, and a checkpoint replay of
+    an absorbed batch stays idempotent (prunes compacted rows by the
+    same lineage/batch_id columns)."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        bootstrap_fingerprint_store,
+        compact_fingerprint_store,
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-store-c")
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    corpus = spark.createDataFrame([(100, "omega")], "doc_id long, text string")
+    bootstrap_fingerprint_store(corpus, store, "text", "doc_id")
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="s")
+    batches = {
+        0: [(1, "alpha"), (2, "beta")],
+        1: [(3, "gamma"), (4, "alpha")],      # 4 dup of batch 0
+        2: [(5, "delta"), (6, "omega")],      # 6 dup of bootstrap
+        3: [(7, "epsilon")],
+    }
+    for b, rows in batches.items():
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), b)
+    assert emitted == {0: [1, 2], 1: [3], 2: [5], 3: [7]}
+
+    files_before = len(fsutil.list_files(spark, store))
+    # below the gate: census-only skip
+    skip = compact_fingerprint_store(spark, store, min_batches=50)
+    assert skip["compacted"] is False and skip["landing_batches"] == 5
+    rep = compact_fingerprint_store(spark, store, min_batches=2)
+    assert rep["compacted"] is True
+    assert rep["absorbed_batches"] == 5  # 4 stream batches + bootstrap
+    assert rep["files_after"] < rep["files_before"] == files_before
+    # absorbed landing partitions are gone; the generation is committed
+    assert fsutil.exists(spark, f"{store}/_CURRENT")
+    assert len(fsutil.list_files(spark, f"{store}/landing")) == 0
+
+    # dedup continues against the compacted store: history all honored
+    sink(
+        spark.createDataFrame(
+            [(8, "alpha"), (9, "omega"), (10, "zeta")],
+            "doc_id long, text string",
+        ),
+        4,
+    )
+    assert emitted[4] == [10]
+
+    # replay an ABSORBED batch: compacted rows of (s, >=1) prune from
+    # the read, so the survivor set recomputes identically
+    sink(spark.createDataFrame(batches[1], "doc_id long, text string"), 1)
+    assert emitted[1] == [3, 3]
+
+    # a second compaction folds the replayed partition + new batch back
+    # into the next generation, and dedup still holds afterwards
+    rep2 = compact_fingerprint_store(spark, store, min_batches=1)
+    assert rep2["compacted"] is True
+    sink(
+        spark.createDataFrame(
+            [(11, "zeta"), (12, "eta")], "doc_id long, text string"
+        ),
+        5,
+    )
+    assert emitted[5] == [12]
+
+
+def test_compact_fingerprint_store_migrates_legacy_flat_layout(spark, tmp_path):
+    """A store written by the pre-generational sink (flat lineage=*
+    partitions at the ROOT) keeps deduping unchanged, and compaction
+    absorbs the legacy partitions into the first generation."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        content_fingerprints,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        compact_fingerprint_store,
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-legacy")
+    legacy = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    (  # the OLD writer's layout: partitions directly under the root
+        content_fingerprints(legacy, "text", "doc_id")
+        .withColumn("lineage", F.lit("old"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+        .write.partitionBy("lineage", "batch_id")
+        .parquet(store)
+    )
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="new")
+    sink(
+        spark.createDataFrame(
+            [(3, "alpha"), (4, "gamma")], "doc_id long, text string"
+        ),
+        0,
+    )
+    assert emitted[0] == [4]  # 3 dup of legacy history
+    rep = compact_fingerprint_store(spark, store, min_batches=1)
+    assert rep["compacted"] is True and rep["absorbed_batches"] == 2
+    assert _legacy_free(spark, store)
+    sink(
+        spark.createDataFrame(
+            [(5, "beta"), (6, "delta")], "doc_id long, text string"
+        ),
+        1,
+    )
+    assert emitted[1] == [6]  # legacy history survived the migration
+
+
+def _legacy_free(spark, store: str) -> bool:
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    return not any(
+        n.startswith("lineage=") for n, _ in fsutil.list_dir(spark, store)
+    )
+
+
+def test_incremental_dedup_sink_expectations_quarantine(spark, tmp_path):
+    """The per-micro-batch expectations gate: a violating batch routes
+    WHOLE to the quarantine path (with the violated rule names), is not
+    emitted, and leaves no fingerprints — the stream stays alive and a
+    later fixed batch dedups as if the bad one never happened. Replay
+    of the quarantined batch overwrites its partition (idempotent)."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import validate as V
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-gated")
+    quarantine = str(tmp_path / "fp-quarantine")
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    with pytest.raises(ValueError, match="quarantine_path"):
+        incremental_dedup_sink(
+            store, "text", "doc_id", emit, lineage="g",
+            expectations=[V.not_null("text")],
+        )
+    rules = [V.not_null("text"), V.in_range("doc_id", 0, None)]
+    sink = incremental_dedup_sink(
+        store, "text", "doc_id", emit, lineage="g",
+        expectations=rules, quarantine_path=quarantine,
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        ),
+        0,
+    )
+    bad = spark.createDataFrame(
+        [(3, None), (-4, "gamma")], "doc_id long, text string"
+    )
+    sink(bad, 1)
+    assert 1 not in emitted  # not emitted ...
+    q = spark.read.parquet(quarantine)
+    assert sorted(r["doc_id"] for r in q.collect()) == [-4, 3]
+    viol = {v for r in q.select("_violations").collect() for v in r[0]}
+    assert viol == {"not_null(text)", "in_range(doc_id,0,None)"}
+    # ... and no fingerprints: "gamma" is NOT remembered as seen
+    sink(
+        spark.createDataFrame(
+            [(5, "gamma"), (6, "alpha")], "doc_id long, text string"
+        ),
+        2,
+    )
+    assert emitted[2] == [5]  # 6 dups batch 0; 5 passes (bad batch left no trace)
+    # replay of the quarantined batch: partition overwritten, not doubled
+    sink(bad, 1)
+    assert spark.read.parquet(quarantine).count() == 2
