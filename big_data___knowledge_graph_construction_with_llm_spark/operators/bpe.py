@@ -94,13 +94,21 @@ class BpeModel:
         self.vocab_df(spark).repartition(1).write.mode("overwrite").parquet(path)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "BpeModel":
-        rows = spark.read.parquet(path).orderBy("piece_id").collect()
+    def from_vocab_df(cls, vocab: DataFrame) -> "BpeModel":
+        """Rebuild the model from a :meth:`vocab_df` frame however it
+        was stored (plain parquet, a generational table, an in-memory
+        frame) — the inverse that lets the vocab table be the model's
+        ONE durable representation."""
+        rows = vocab.orderBy("piece_id").collect()
         alphabet = tuple(r["piece"] for r in rows if r["left"] is None)
         merges = tuple(
             (r["left"], r["right"]) for r in rows if r["left"] is not None
         )
         return cls(alphabet=alphabet, merges=merges)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "BpeModel":
+        return cls.from_vocab_df(spark.read.parquet(path))
 
 
 def _pair_counts(words: dict[tuple[str, ...], int]) -> Counter:

@@ -339,15 +339,11 @@ def curate_resumable(
     point — their effect is a raise, not data. Returns the final
     stage's committed table, read from disk, so the result is stable
     against re-execution."""
-    import hashlib
     import inspect
-    import json
 
-    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
-    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
-        _resolve_table_generation,
-        read_table,
-        write_table,
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.flow import (
+        params_fingerprint,
+        resumable_flow,
     )
 
     spark = docs.sparkSession
@@ -378,39 +374,24 @@ def curate_resumable(
 
     fp_src = {k: _content_sig(k, v) for k, v in sorted(sig.items())}
     fp_src["id_col"], fp_src["text_col"] = id_col, text_col
-    fingerprint = hashlib.sha256(
-        json.dumps(fp_src, sort_keys=True).encode()
-    ).hexdigest()
-    params_path = f"{root}/_PARAMS"
-    if fsutil.exists(spark, params_path) and not force:
-        prev = (fsutil.try_read_text(spark, params_path) or "").strip()
-        if prev and prev != fingerprint:
-            raise ValueError(
-                "curate_resumable: checkpoint root holds a run with "
-                "different parameters; pass force=True to restart"
-            )
-    fsutil.write_text(spark, params_path, fingerprint)
-
     stages = _curation_stages(
         doc_columns=docs.columns, id_col=id_col, text_col=text_col, **sig
     )
-    roots = [f"{root}/{i:02d}_{name}" for i, (name, _) in enumerate(stages)]
-    # resume point: the LAST committed stage (not the first gap —
-    # later stages can only have committed from this same config)
-    last_done = -1
-    if not force:
-        for i, sroot in enumerate(roots):
-            if _resolve_table_generation(spark, sroot) is not None:
-                last_done = i
-    kept = read_table(spark, roots[last_done]) if last_done >= 0 else docs
-    for i in range(last_done + 1, len(stages)):
-        _name, stage = stages[i]
-        out = stage(kept)
-        if out is kept:
-            continue  # pass-through gate: its effect is the raise
-        write_table(out, roots[i])
-        kept = read_table(spark, roots[i])
-    return kept
+    try:
+        # the commit/resume/fingerprint mechanics are operators.flow's
+        # ONE implementation (this function contributes the stage list
+        # and the content signatures)
+        return resumable_flow(
+            spark, stages, root, params_fingerprint(fp_src),
+            initial=docs, force=force,
+        )
+    except ValueError as e:
+        if "different parameters" in str(e):
+            raise ValueError(
+                "curate_resumable: checkpoint root holds a run with "
+                "different parameters; pass force=True to restart"
+            ) from None
+        raise
 
 
 def gc_curate_checkpoints(
@@ -419,22 +400,14 @@ def gc_curate_checkpoints(
     """Sweep superseded generations under every stage dir of a
     :func:`curate_resumable` root (each stage keeps its committed
     winner unconditionally — ``layout.gc_table_generations``
-    semantics, including the reader-lifetime sizing note)."""
-    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
-    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
-        gc_table_generations,
+    semantics, including the reader-lifetime sizing note). Alias of
+    ``operators.flow.gc_flow_checkpoints`` — one janitor for every
+    resumable flow."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.flow import (
+        gc_flow_checkpoints,
     )
 
-    out: dict[str, list[str]] = {}
-    for name, _mtime in fsutil.list_dir(spark, root):
-        if name.startswith("_"):
-            continue
-        deleted = gc_table_generations(
-            spark, f"{root}/{name}", max_age_ms, now_ms=now_ms
-        )
-        if deleted:
-            out[name] = deleted
-    return out
+    return gc_flow_checkpoints(spark, root, max_age_ms, now_ms=now_ms)
 
 
 def curate_with_stats(

@@ -281,3 +281,81 @@ def test_encode_with_precomputed_head_vocab_matches_default(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_encode_pack_resumable_kill_and_resume(spark, tmp_path):
+    """The composed BPE train -> encode -> pack flow resumes from the
+    last committed stage after an interruption: stage 0 (tokenizer
+    vocab — the expensive stage) is verified UNCHANGED across the
+    resume, the resumed result matches an uninterrupted run, and
+    parameter drift refuses to resume without force."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import sampling
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.flow import (
+        encode_pack_resumable,
+        gc_flow_checkpoints,
+    )
+
+    texts = [f"alpha beta{i % 5} gamma{i % 3} delta" for i in range(40)]
+    df = _docs(spark, texts)
+    root = str(tmp_path / "ep")
+
+    # uninterrupted reference run at a sibling root
+    want = {
+        (r["doc_id"], tuple(r["piece_ids"]), r["seq_id"])
+        for r in encode_pack_resumable(
+            df, str(tmp_path / "ref"), vocab_size=40, budget=64
+        ).collect()
+    }
+
+    # interrupted run: stage 2 (pack) dies mid-flight
+    real_pack = sampling.pack_sequences
+
+    def exploding_pack(*a, **k):
+        raise RuntimeError("injected: cluster lost")
+
+    sampling.pack_sequences = exploding_pack
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            encode_pack_resumable(df, root, vocab_size=40, budget=64)
+    finally:
+        sampling.pack_sequences = real_pack
+    # stages 0+1 committed, stage 2 absent
+    gen_vocab = fsutil.read_text(spark, f"{root}/00_bpe_vocab/_CURRENT").strip()
+    assert fsutil.exists(spark, f"{root}/01_encode/_CURRENT")
+    assert not fsutil.exists(spark, f"{root}/02_pack/_CURRENT")
+
+    # resume: finishes from the committed encode; the tokenizer stage's
+    # generation is untouched (not re-trained)
+    got = {
+        (r["doc_id"], tuple(r["piece_ids"]), r["seq_id"])
+        for r in encode_pack_resumable(
+            df, root, vocab_size=40, budget=64
+        ).collect()
+    }
+    assert got == want
+    assert (
+        fsutil.read_text(spark, f"{root}/00_bpe_vocab/_CURRENT").strip()
+        == gen_vocab
+    )
+
+    # parameter drift refuses; force restarts with fresh generations
+    with pytest.raises(ValueError, match="different parameters"):
+        encode_pack_resumable(df, root, vocab_size=40, budget=32)
+    forced = encode_pack_resumable(
+        df, root, vocab_size=40, budget=64, force=True
+    )
+    assert {
+        (r["doc_id"], tuple(r["piece_ids"]), r["seq_id"])
+        for r in forced.collect()
+    } == want
+    # superseded generations sweep; winners survive
+    swept = gc_flow_checkpoints(spark, root, max_age_ms=0, now_ms=2**62)
+    assert "00_bpe_vocab" in swept
+    again = encode_pack_resumable(df, root, vocab_size=40, budget=64)
+    assert {
+        (r["doc_id"], tuple(r["piece_ids"]), r["seq_id"])
+        for r in again.collect()
+    } == want
