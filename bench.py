@@ -53,6 +53,37 @@ def best_of(run1: dict[str, float], run2: dict[str, float]) -> dict[str, float]:
     return _agg_passes([run1, run2], min)
 
 
+#: pinned wall (seconds) of the calibration probe on THIS host in a
+#: quiet window (2026-08-15, local[32], median of 5 warm runs at 1B
+#: rows). The probe's PLAN must never change round-over-round — it is
+#: the fixed ruler that converts "this round's host was 2x loaded"
+#: into a normalized, comparable headline. Do not retune the constant
+#: when the host is merely busy; only re-pin if the hardware changes.
+CALIBRATION_BASELINE_S = 0.95
+
+
+def calibration_probe(spark) -> float:
+    """One fixed, data-independent reference job (1B-row range ->
+    projection -> 1000-key partial-aggregated groupBy through the noop
+    sink): pure CPU + shuffle machinery, no file I/O, so its wall moves
+    with host load and nothing else. Run once per bench pass; the
+    headline divides by it (see CALIBRATION_BASELINE_S). DO NOT CHANGE
+    THE PLAN — comparability across rounds is the entire point."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(1_000_000_000)
+        .select((F.col("id") * 2 + 1).alias("v"))
+        .groupBy((F.col("v") % 1000).alias("k"))
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # sf from the dir name, e.g. .../sf0.1 -> 0.1
@@ -109,7 +140,11 @@ def main() -> None:
     # and the headline also carries the min and the per-pass spread so
     # round-over-round deltas can be judged against the noise envelope.
     # All raw passes are preserved in BENCH_DETAIL.json.
+    calibration: list[float] = []
+    calibration_probe(spark)  # warm the probe's own codegen, untimed
     for pass_i in range(n_passes):
+        # fixed ruler first: what is THIS pass's host-load multiplier?
+        calibration.append(calibration_probe(spark))
         sink: dict[str, float] = {}
         runs.append(sink)
         for name in sorted(queries):
@@ -137,6 +172,15 @@ def main() -> None:
     pass_totals = [
         round(sum(t for t in r.values() if t >= 0), 3) for r in runs
     ]
+    # load-normalized headline: total ÷ (observed ruler / pinned ruler).
+    # A 2x-loaded window doubles both the suite and the probe, so the
+    # normalized number stays comparable round-over-round.
+    calibration_wall = _median(calibration) if calibration else -1.0
+    normalized_total = (
+        round(total_median * CALIBRATION_BASELINE_S / calibration_wall, 3)
+        if calibration_wall > 0
+        else -1.0
+    )
 
     # accuracy contract for q_approx_sketches (untimed): the sketches are
     # rows-only in the correctness gate (HLL++/KLL internals are
@@ -251,6 +295,61 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: int8 recall check failed: {exc!r}", file=sys.stderr)
 
+        # incremental-append contract (untimed): build on 80% of the
+        # corpus, append the remaining two 10% batches against the
+        # FROZEN centroids (no k-means re-run), and compare recall@10
+        # with a from-scratch rebuild over the full corpus. The delta
+        # is the drift cost of appending — the number that sizes the
+        # periodic-rebuild cadence at scale.
+        try:
+            import shutil
+            import tempfile
+
+            from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                append_ivf_index,
+            )
+
+            scratch = tempfile.mkdtemp(prefix="ivf_append_bench_")
+            try:
+                base80 = corpus.filter(F.col("vec_id") % 10 < 8)
+                apath = f"{scratch}/appended"
+                ensure_ivf_index(spark, base80, apath, k=8, iterations=2)
+                t0 = time.perf_counter()
+                for m in (8, 9):
+                    idx_a, cents_a = append_ivf_index(
+                        spark, corpus.filter(F.col("vec_id") % 10 == m), apath
+                    )
+                append_wall = round(time.perf_counter() - t0, 2)
+                t0 = time.perf_counter()
+                idx_r, cents_r = ensure_ivf_index(
+                    spark, corpus, f"{scratch}/rebuilt", k=8, iterations=2
+                )
+                rebuild_wall = round(time.perf_counter() - t0, 2)
+                res: dict[str, float] = {}
+                for tag, (ix, cs) in (
+                    ("appended", (idx_a, cents_a)),
+                    ("rebuilt", (idx_r, cents_r)),
+                ):
+                    hits = 0
+                    for q, truth in zip(qvecs, exact):
+                        got = {
+                            r["vec_id"]
+                            for r in knn_ivf(ix, cs, q, 10, n_probe=2).collect()
+                        }
+                        hits += len(got & truth)
+                    res[tag] = round(hits / denom, 3)
+                ivf_recall["append_recall_at_10_nprobe_2"] = res["appended"]
+                ivf_recall["append_rebuild_recall_at_10_nprobe_2"] = res["rebuilt"]
+                ivf_recall["append_recall_delta"] = round(
+                    res["rebuilt"] - res["appended"], 3
+                )
+                ivf_recall["append_2batch_wall_s"] = append_wall
+                ivf_recall["rebuild_wall_s"] = rebuild_wall
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+        except Exception as exc:
+            print(f"bench: ivf append recall check failed: {exc!r}", file=sys.stderr)
+
         try:
             dim = corpus.select(F.size("embedding")).first()[0]
             books = pq_codebooks(corpus, dim, m=16, k=16, iterations=2)
@@ -358,6 +457,9 @@ def main() -> None:
                 "total_median": total_median,
                 "total_min": total_min,
                 "pass_totals": pass_totals,
+                "calibration_passes": calibration,
+                "calibration_baseline_s": CALIBRATION_BASELINE_S,
+                "normalized_total": normalized_total,
                 "shuffle": shuffles,
                 "sketch_accuracy": sketch_accuracy,
                 "ivf_recall": ivf_recall,
@@ -388,6 +490,13 @@ def main() -> None:
                 "total_min": total_min,
                 # per-pass totals = the noise envelope a delta must clear
                 "pass_totals": pass_totals,
+                # fixed-probe load ruler + the normalized total (divide
+                # the raw median by observed/pinned probe wall); quote
+                # normalized_total for round-over-round comparisons
+                "calibration_wall_s": round(calibration_wall, 3),
+                "calibration_baseline_s": CALIBRATION_BASELINE_S,
+                "calibration_passes": calibration,
+                "normalized_total": normalized_total,
                 "queries": med,
                 "sf": sf,
             }

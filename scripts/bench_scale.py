@@ -435,6 +435,43 @@ def layout_experiment(spark, sf_dir: str) -> dict:
             "files_after": rep2["after"]["n_files"],
             "wall_s": round(time.perf_counter() - t0, 2),
         }
+
+        # manifest file-level pruning: the metadata layer ABOVE parquet
+        # row-group skipping — the same ~2%-selective filter against a
+        # range-clustered GENERATIONAL table must open ~1 of 64 files
+        # (no LIST, no footer read for the rest), with identical rows.
+        # files_opened is read off the executed plan's inputFiles; the
+        # prune itself is one small-JSON driver read.
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+            prune_manifest_files,
+            read_manifest,
+            read_table,
+        )
+
+        mroot = f"{scratch}/table_manifest"
+        write_table(
+            li.repartitionByRange(64, F.col("l_partkey")).sortWithinPartitions(
+                "l_partkey"
+            ),
+            mroot,
+            stats_cols=["l_partkey", "l_suppkey"],
+        )
+        where = [("l_partkey", ">=", lo_p), ("l_partkey", "<", hi_p)]
+        t0 = time.perf_counter()
+        man = read_manifest(spark, mroot)
+        kept = prune_manifest_files(man, where)
+        prune_ms = round((time.perf_counter() - t0) * 1000, 1)
+        pruned_read = read_table(spark, mroot, where=where)
+        full_read = read_table(spark, mroot).filter(pred_part)
+        res["manifest"] = {
+            "files_total": len(man["files"]),
+            "files_opened": len(pruned_read.select("l_orderkey").inputFiles()),
+            "files_kept_by_prune": len(kept),
+            "prune_ms": prune_ms,
+            "decoded_pruned": decoded_scan_rows(pruned_read),
+            "decoded_full": decoded_scan_rows(full_read),
+            "rows_match": pruned_read.count() == full_read.count(),
+        }
         return res
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -532,9 +569,11 @@ def bpe_experiment(
         .agg(F.sum("c"))
         .first()[0]
     )
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     t0 = time.perf_counter()
     model = train_bpe(docs, vocab_size=vocab_size, max_words=max_words)
     train_s = round(time.perf_counter() - t0, 2)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
     mc = MetricsCollector(spark)
     mc.start()
     t0 = time.perf_counter()
@@ -553,6 +592,11 @@ def bpe_experiment(
         "vocab_size": len(model.pieces),
         "n_merges": len(model.merges),
         "train_s": train_s,
+        # maxrss is a process high-water mark: before/after brackets the
+        # train's driver footprint only when this tier runs first or is
+        # the biggest so far; report both so the bound is readable
+        "driver_maxrss_mb_before_train": rss0,
+        "driver_maxrss_mb_after_train": rss1,
         "encode_s": encode_s,
         "encode_shuffle_read_mb": round(rec["shuffle_read_bytes"] / (1 << 20), 2),
         "docs_per_s": round(agg["n"] / max(encode_s, 1e-9)),
@@ -669,7 +713,13 @@ def main() -> None:
     # the frequency-split encode's distinct-word bound on the axis
     # that actually grows — head broadcast fixed at 100k words, tail
     # shuffle carrying only its own occurrences
+    # vocab32k FIRST: maxrss is a high-water mark, so the production-
+    # merge-count tier must run before anything bigger pollutes it
     bpe = {
+        "vocab32k": bpe_experiment(
+            spark, base_dir, vocab_size=32_000, copies=1,
+            max_words=1_000_000,
+        ),
         "x1": bpe_experiment(spark, base_dir, copies=1),
         "x10": bpe_experiment(spark, base_dir, copies=10),
     }

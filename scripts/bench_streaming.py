@@ -288,6 +288,55 @@ def main() -> None:
         print(f"incremental_dedup_sink {tier}: {t[tier]}", file=sys.stderr)
     topo["incremental_dedup_sink"] = t
 
+    # ---- store compaction: the landed 100x store's per-batch landing
+    # partitions absorb into ONE marker-committed generation while the
+    # ingest path stays valid. read-wall = one probe micro-batch
+    # through the SAME sink (store read + anti-join dominates) before
+    # vs after; the file census is the small-files story itself. ----
+    if "docs_100x" in doc_tiers:
+        from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+        from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+            compact_fingerprint_store,
+        )
+
+        store = os.path.join(work, "fps-docs_100x")
+        probe = spark.createDataFrame(
+            [
+                (10**12 + i, f"probe document number {i}", "en", "probe", 20, None)
+                for i in range(1_000)
+            ],
+            DOC_SCHEMA,
+        )
+
+        def probe_wall(tag: str) -> float:
+            s = incremental_dedup_sink(
+                store,
+                "text",
+                "doc_id",
+                lambda df, b: df.write.format("noop").mode("overwrite").save(),
+                lineage=f"probe-{tag}",
+            )
+            t0 = time.perf_counter()
+            s(probe, 0)
+            return round(time.perf_counter() - t0, 2)
+
+        wall_before = probe_wall("before")
+        t0 = time.perf_counter()
+        rep = compact_fingerprint_store(spark, store, min_batches=1)
+        compact_wall = round(time.perf_counter() - t0, 2)
+        results["store_compaction"] = {
+            "absorbed_batches": rep["absorbed_batches"],
+            "files_before": rep["files_before"],
+            "files_after": rep["files_after"],
+            "compact_wall_s": compact_wall,
+            "probe_batch_wall_before_s": wall_before,
+            "probe_batch_wall_after_s": probe_wall("after"),
+            "landing_files_left": len(
+                fsutil.list_files(spark, f"{store}/landing")
+            ),
+        }
+        print(f"store_compaction: {results['store_compaction']}", file=sys.stderr)
+
     t = {}
     for tier, src in event_tiers.items():
         stream = _read_stream(spark, src, EVENT_SCHEMA)
