@@ -193,6 +193,11 @@ def train_bpe(
         if cur < 1:
             break
         merges.append(best)
+        # pairs whose count INCREASED this merge step: pushed ONCE at
+        # the end with their final count (a push per touched word per
+        # pair would flood the heap — measured as the 32k-merge
+        # bottleneck); decrements never push (lazy re-push on pop)
+        grew: set[tuple[str, str]] = set()
         for old in list(index.get(best, ())):
             if old not in words:
                 continue
@@ -209,12 +214,16 @@ def train_bpe(
                     if not s:
                         index.pop(p, None)
             for p in zip(new, new[1:]):
-                c = pc.get(p, 0) + freq
-                pc[p] = c
+                pc[p] = pc.get(p, 0) + freq
                 index.setdefault(p, set()).add(new)
-                heapq.heappush(heap, (-c, p))  # increments push eagerly
+                grew.add(p)
         pc.pop(best, None)
         index.pop(best, None)
+        grew.discard(best)
+        for p in grew:
+            c = pc.get(p)
+            if c:
+                heapq.heappush(heap, (-c, p))
     return BpeModel(alphabet=alphabet, merges=tuple(merges))
 
 

@@ -422,7 +422,10 @@ def _write_manifest(
     files = []
     for r in rows:
         full = r["_file"]
-        anchor = full.find("/data/")
+        # LAST occurrence: the table root itself may contain "/data/",
+        # while nothing after the generation's data dir can (hive
+        # partition segments are k=v, never a bare "data")
+        anchor = full.rfind("/data/")
         rel = full[anchor + len("/data/"):] if anchor >= 0 else full
         stats = {}
         for i, c in enumerate(cols):

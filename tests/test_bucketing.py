@@ -504,6 +504,18 @@ def test_append_ivf_index_extends_without_retraining(spark, tmp_path):
     append_ivf_index(spark, b2, path)
     idx2, cents2 = read_ivf_index(spark, path)
     assert idx2.count() == n_base + n1 + n2
+    # partition pruning survives the chain union: a one-cluster probe
+    # filter DECODES only that cluster's rows in every chain member
+    # (inputFiles is relation-level, so the proof is scan-decoded rows)
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        decoded_scan_rows,
+    )
+
+    c0 = idx2.select("cluster").first()[0]
+    pruned = idx2.filter(F.col("cluster") == c0)
+    n_c0 = pruned.count()
+    assert 0 < n_c0 < idx2.count()
+    assert decoded_scan_rows(pruned) == n_c0
 
     # probe-all equals brute force over the FULL (appended) corpus
     q = [
