@@ -298,9 +298,13 @@ def ensure_ivf_index(
         fsutil.write_text(spark, f"{base}/_COMPLETE", "")
         try:
             fsutil.write_text(spark, marker, name)  # the commit point
-        except Exception:  # noqa: BLE001 - lost the marker race (e.g. HDFS
-            pass  # lease conflict with a concurrent committer) — our attempt
-            # is complete either way; resolve the winner below
+        except Exception:  # noqa: BLE001 - swallowable ONLY as a lost
+            # marker race (e.g. HDFS lease conflict with a concurrent
+            # committer, whose complete attempt then resolves); on a
+            # genuine I/O failure with no winner anywhere, nothing is
+            # committed and returning quietly would hide it
+            if _resolve() is None:
+                raise
         attempt_dir = _resolve()
         if attempt_dir is None:  # raced with another builder mid-marker-write
             attempt_dir = base
