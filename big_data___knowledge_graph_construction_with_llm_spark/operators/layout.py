@@ -609,6 +609,7 @@ def write_table(
     partition_by: list[str] | None = None,
     manifest: bool = True,
     stats_cols: list[str] | None = None,
+    extra_files: dict[str, str] | None = None,
 ) -> str:
     """Write ``df`` as a NEW generation of the table at ``root`` and
     commit it MARKER-LAST: the generation dir
@@ -630,7 +631,14 @@ def write_table(
     — at 100 TB the metadata wall, not the data bytes, is what a bare
     directory read pays first. Costs one extra aggregate pass over the
     just-written generation (stats columns only; cap them with
-    ``stats_cols`` — default: every atomic-typed column)."""
+    ``stats_cols`` — default: every atomic-typed column).
+
+    ``extra_files`` (name → content) writes additional small protocol
+    files INSIDE the generation dir, after the manifest and before
+    ``_COMPLETE`` — i.e. covered by the same commit point (used by
+    :func:`absorb_landing` for the ``_ABSORBED`` ledger). Names must
+    not collide with the protocol's own (``_COMPLETE``/``_MANIFEST``)
+    or land under ``data``."""
     import uuid
 
     spark = df.sparkSession
@@ -642,6 +650,10 @@ def write_table(
     writer.parquet(f"{base}/data")
     if manifest:
         _write_manifest(spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols)
+    for fname, content in (extra_files or {}).items():
+        if fname in ("_COMPLETE", "_MANIFEST", "data") or "/" in fname:
+            raise ValueError(f"extra_files name {fname!r} collides with the protocol")
+        fsutil.write_text(spark, f"{base}/{fname}", content)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
     _commit_marker(spark, root, name)
     return name
@@ -903,4 +915,162 @@ def clustering_stats(path: str, column: str) -> dict:
         "n_row_groups": len(spans),
         "spans": spans,
         "overlap_fraction": round(overlaps / max(len(spans) - 1, 1), 4),
+    }
+
+
+# --- streaming ingest → generational tables ----------------------------------
+#
+# The composition that keeps a forever-running ingest healthy: micro-
+# batches LAND as one partition each under root/landing (idempotent
+# under foreachBatch replay), readers see committed generations plus
+# the not-yet-absorbed landing tail with no duplicates in any window,
+# and a scheduler-callable absorb pass folds landed batches into the
+# next marker-committed generation. The fingerprint-store variant
+# (streaming.events.compact_fingerprint_store) tolerates window
+# duplicates because dedup reads presence; general tables cannot, so
+# the generation carries an _ABSORBED ledger (cumulative batch ids,
+# written before _COMPLETE = covered by the commit point) that the
+# combined reader subtracts from the landing view.
+
+#: landing partition column for ingest tables
+_BATCH_COL = "_batch_id"
+
+
+def landing_append(batch: DataFrame, root: str, batch_id: int) -> None:
+    """``foreachBatch`` emit body landing one micro-batch as ONE
+    ``_batch_id=<id>`` partition under ``root/landing`` — dynamic
+    partition overwrite, so an at-least-once replay rewrites its own
+    partition instead of doubling rows. Pair with
+    :func:`read_ingest_table` (readers) and :func:`absorb_landing`
+    (maintenance)."""
+    (
+        batch.withColumn(_BATCH_COL, F.lit(int(batch_id)))
+        .write.partitionBy(_BATCH_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(f"{root}/landing")
+    )
+
+
+def _absorbed_ids(spark: SparkSession, gen_dir: str | None) -> set[int]:
+    import json
+
+    if gen_dir is None:
+        return set()
+    text = fsutil.try_read_text(spark, f"{gen_dir}/_ABSORBED")
+    return set(json.loads(text)) if text else set()
+
+
+def _landing_batch_dirs(spark: SparkSession, root: str) -> dict[int, str]:
+    """batch_id → partition dir name currently present in landing."""
+    out: dict[int, str] = {}
+    for name, _ in fsutil.list_dir(spark, f"{root}/landing"):
+        if name.startswith(f"{_BATCH_COL}="):
+            out[int(name.split("=", 1)[1])] = name
+    return out
+
+
+def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
+    """The LIVE view of an ingest table: the committed generation (if
+    any) UNION the landing partitions it has not absorbed. Duplicate-
+    free in every window by construction — an absorbed batch is listed
+    in the generation's ``_ABSORBED`` ledger the instant the marker
+    commits, so a straggling landing partition (delete pending, or a
+    checkpoint replay re-landing an absorbed batch) is subtracted from
+    the landing leg rather than read twice. Batch-only consumers that
+    want a STABLE snapshot keep using :func:`read_table` (data as of
+    the last absorb). Rows carry the ``_batch_id`` lineage column."""
+    gen = _resolve_table_generation(spark, root)
+    absorbed = _absorbed_ids(spark, gen)
+    pending = {
+        b: d for b, d in _landing_batch_dirs(spark, root).items()
+        if b not in absorbed
+    }
+    landing = f"{root}/landing"
+    parts = []
+    if gen is not None:
+        parts.append(spark.read.parquet(f"{gen}/data"))
+    if pending:
+        parts.append(
+            spark.read.option("basePath", landing).parquet(
+                *[f"{landing}/{d}" for d in sorted(pending.values())]
+            )
+        )
+    if not parts:
+        raise ValueError(f"ingest table {root!r} has no generation and no landing data")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def absorb_landing(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    min_batches: int = 8,
+    manifest: bool = True,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Fold landed micro-batches into the ingest table's NEXT
+    generation: new generation = current generation ∪ the SNAPSHOTTED
+    unabsorbed landing partitions, committed marker-last with a
+    cumulative ``_ABSORBED`` ledger inside the generation (written
+    before ``_COMPLETE``, so the ledger and the data commit together);
+    absorbed partitions delete only after the marker lands. Readers
+    through :func:`read_ingest_table` never see a row twice: before
+    the marker flips they read old generation + full landing, after it
+    the ledger subtracts the absorbed partitions whether or not their
+    deletes have finished — and a later checkpoint REPLAY of an
+    absorbed batch re-lands its partition but stays subtracted
+    forever (its rows already live in the generation).
+
+    ``min_batches`` gates the rewrite (census-only skip below it), so
+    a scheduler calls this unconditionally — the ``maybe_compact_table``
+    shape. Batches landing AFTER the snapshot are untouched and stay
+    readable via the landing leg. Returns the absorb report."""
+    import json
+
+    gen = _resolve_table_generation(spark, root)
+    absorbed = _absorbed_ids(spark, gen)
+    landing = f"{root}/landing"
+    pending = {
+        b: d for b, d in _landing_batch_dirs(spark, root).items()
+        if b not in absorbed
+    }
+    if len(pending) < min_batches:
+        return {"absorbed": False, "pending_batches": len(pending)}
+    parts = []
+    if gen is not None:
+        parts.append(spark.read.parquet(f"{gen}/data"))
+    parts.append(
+        spark.read.option("basePath", landing).parquet(
+            *[f"{landing}/{d}" for d in sorted(pending.values())]
+        )
+    )
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    census = fsutil.list_files(spark, landing) + (
+        fsutil.list_files(spark, f"{gen}/data") if gen else []
+    )
+    n_out = max(
+        1, -(-sum(sz for _, sz in census) // target_file_bytes)
+    )
+    ledger = sorted(absorbed | set(pending))
+    name = write_table(
+        merged.repartition(n_out),
+        root,
+        manifest=manifest,
+        stats_cols=stats_cols,
+        extra_files={"_ABSORBED": json.dumps(ledger)},
+    )
+    for d in pending.values():
+        fsutil.delete(spark, f"{landing}/{d}")
+    return {
+        "absorbed": True,
+        "generation": name,
+        "absorbed_batches": len(pending),
+        "ledger_size": len(ledger),
+        "files_after": len(fsutil.list_files(spark, f"{root}/{name}/data")),
     }

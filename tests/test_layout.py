@@ -644,3 +644,63 @@ def test_commit_marker_failure_semantics(spark, tmp_path, monkeypatch):
     assert gen1 != gen0
     assert fsutil.read_text(spark, f"{root2}/_CURRENT").strip() == gen0
     assert read_table(spark, root2).count() == 100
+
+
+def test_ingest_table_landing_absorb_and_replay(spark, tmp_path):
+    """Streaming ingest → generational table, duplicate-free in every
+    window: micro-batches land as one partition each; the combined
+    reader sees generation + unabsorbed landing; absorb folds a
+    snapshot into the next generation with a cumulative _ABSORBED
+    ledger; a replay that re-lands an ABSORBED batch stays subtracted
+    forever and the next absorb does not re-fold it."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+        read_table,
+    )
+
+    root = str(tmp_path / "ingest")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 3).alias("v")
+        )
+
+    for b in range(4):
+        landing_append(batch(b * 100, b * 100 + 100), root, b)
+    live = read_ingest_table(spark, root)
+    assert live.count() == 400
+    assert set(live.columns) == {"id", "v", "_batch_id"}
+
+    # census gate: below min_batches nothing rewrites
+    skip = absorb_landing(spark, root, min_batches=50)
+    assert skip == {"absorbed": False, "pending_batches": 4}
+
+    rep = absorb_landing(spark, root, min_batches=2)
+    assert rep["absorbed"] is True and rep["absorbed_batches"] == 4
+    assert read_table(spark, root).count() == 400          # stable snapshot
+    assert read_ingest_table(spark, root).count() == 400   # no duplicates
+    assert len(fsutil.list_files(spark, f"{root}/landing")) == 0
+
+    # replay of an ABSORBED batch re-lands its partition; the ledger
+    # subtracts it (rows already live in the generation) — count holds
+    landing_append(batch(100, 200), root, 1)
+    assert read_ingest_table(spark, root).count() == 400
+
+    # a genuinely new batch shows up live before any absorb
+    landing_append(batch(400, 450), root, 4)
+    assert read_ingest_table(spark, root).count() == 450
+    assert read_table(spark, root).count() == 400  # snapshot unchanged
+
+    # second absorb folds ONLY batch 4 (the replayed 1 is in the
+    # ledger); totals stay exact and the ledger accumulates
+    rep2 = absorb_landing(spark, root, min_batches=1)
+    assert rep2["absorbed_batches"] == 1 and rep2["ledger_size"] == 5
+    assert read_table(spark, root).count() == 450
+    assert read_ingest_table(spark, root).count() == 450
+    # value-level integrity across the whole flow
+    got = read_table(spark, root).agg(F.sum("v")).first()[0]
+    want = sum(i * 3 for i in range(400)) + sum(i * 3 for i in range(400, 450))
+    assert got == want
