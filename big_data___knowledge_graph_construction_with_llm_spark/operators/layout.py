@@ -464,7 +464,7 @@ def read_manifest(
 
 
 #: predicate operators :func:`prune_manifest_files` understands
-_PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "in")
 
 
 def prune_manifest_files(manifest: dict, where) -> list[str]:
@@ -487,13 +487,16 @@ def prune_manifest_files(manifest: dict, where) -> list[str]:
         span = stats.get(col)
         if span is None:
             return True
+        mn, mx = span
+        if op == "in":
+            # keep if ANY member may fall inside the span
+            return any(may_match(stats, col, "==", v) for v in val)
         # widen the query value in the direction that KEEPS more files,
         # mirroring the write-side widening (both are conservative)
         lo = _json_bound(val, "min")
         hi = _json_bound(val, "max")
         if lo is None or hi is None:
             return True
-        mn, mx = span
         try:
             if op in ("==", "="):
                 return mn <= hi and lo <= mx
@@ -526,10 +529,12 @@ def _where_column(where) -> Column:
         "<=": lambda c, v: c <= v,
         ">": lambda c, v: c > v,
         ">=": lambda c, v: c >= v,
+        "in": lambda c, v: c.isin(list(v)),
     }
     out = F.lit(True)
     for col, op, val in preds:
-        out = out & ops[op](F.col(col), F.lit(val))
+        v = val if op == "in" else F.lit(val)
+        out = out & ops[op](F.col(col), v)
     return out
 
 
@@ -548,7 +553,8 @@ def read_table(
     sweep's age threshold protects).
 
     ``where`` — ``(col, op, value)`` or a list of such conjuncts (ops:
-    ``== = < <= > >=``) — turns the read MANIFEST-PRUNED: the file
+    ``== = < <= > >= in``; ``in`` takes a value list) — turns the
+    read MANIFEST-PRUNED: the file
     list comes from the generation's ``_MANIFEST`` (one small JSON
     read), files whose min/max provably exclude the predicate are
     never opened (no LIST, no footer read — at 100 TB that metadata

@@ -704,3 +704,55 @@ def test_ingest_table_landing_absorb_and_replay(spark, tmp_path):
     got = read_table(spark, root).agg(F.sum("v")).first()[0]
     want = sum(i * 3 for i in range(400)) + sum(i * 3 for i in range(400, 450))
     assert got == want
+
+
+def test_manifest_partitioned_table_and_in_predicate(spark, tmp_path):
+    """Manifests over a HIVE-PARTITIONED generation: relative paths
+    carry the partition dirs, the pruned read re-derives the partition
+    column via basePath, stats cover partition AND data columns, and
+    the `in` predicate prunes per-member (keep iff any member may hit
+    the span)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        prune_manifest_files,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_part")
+    df = _corpus(spark, n=20_000).withColumn("bucket", F.col("id") % 4)
+    write_table(
+        df.repartition(4, "bucket").sortWithinPartitions("a"),
+        root,
+        partition_by=["bucket"],
+    )
+    man = read_manifest(spark, root)
+    assert man is not None
+    assert all(f["file"].startswith("bucket=") for f in man["files"])
+    assert all("bucket" in f["stats"] and "a" in f["stats"] for f in man["files"])
+
+    # partition-column equality prunes to that partition's files
+    kept = prune_manifest_files(man, ("bucket", "==", 2))
+    assert kept and all(f.startswith("bucket=2/") for f in kept)
+    got = read_table(spark, root, where=("bucket", "==", 2))
+    assert "bucket" in got.columns  # basePath re-derives the partition col
+    assert got.count() == 5_000
+    assert len(got.select("id").inputFiles()) == len(kept)
+
+    # `in` prunes per member and filters exactly
+    kept_in = prune_manifest_files(man, ("bucket", "in", [1, 3]))
+    assert kept_in and all(
+        f.startswith(("bucket=1/", "bucket=3/")) for f in kept_in
+    )
+    got_in = read_table(spark, root, where=("bucket", "in", [1, 3]))
+    assert got_in.count() == 10_000
+    assert sorted(
+        r["bucket"] for r in got_in.select("bucket").distinct().collect()
+    ) == [1, 3]
+
+    # conjunct across partition and data columns composes
+    mixed = read_table(
+        spark, root, where=[("bucket", "==", 0), ("a", "<", 100)]
+    )
+    want = df.filter((F.col("bucket") == 0) & (F.col("a") < 100)).count()
+    assert mixed.count() == want > 0
