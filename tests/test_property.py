@@ -1107,3 +1107,65 @@ def test_hashed_jaccard_equals_text_jaccard(spark, docs):
         ).collect()
     }
     assert from_fps == from_text
+
+
+def test_prune_manifest_soundness_property():
+    """Pruning soundness, property-checked in pure python: for random
+    integer files and random conjunct predicates, every file that
+    CONTAINS a matching row must survive pruning (completeness of the
+    kept set; how aggressively non-matching files drop is an
+    efficiency property, not correctness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        prune_manifest_files,
+    )
+
+    ops = ["==", "<", "<=", ">", ">="]
+    vals = st.integers(min_value=-20, max_value=20)
+    file_strat = st.lists(vals, min_size=1, max_size=8)
+    pred_strat = st.lists(
+        st.tuples(st.sampled_from(["x", "y"]), st.sampled_from(ops), vals),
+        min_size=1,
+        max_size=3,
+    )
+
+    def matches(row, preds):
+        import operator as op
+
+        table = {
+            "==": op.eq, "<": op.lt, "<=": op.le, ">": op.gt, ">=": op.ge,
+        }
+        return all(table[o](row[c], v) for c, o, v in preds)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(file_strat, file_strat), min_size=1, max_size=6), pred_strat)
+    def check(files, preds):
+        manifest = {
+            "version": 1,
+            "columns": ["x", "y"],
+            "files": [
+                {
+                    "file": f"f{i}",
+                    "rows": len(xs),
+                    "stats": {
+                        "x": [min(xs), max(xs)],
+                        "y": [min(ys), max(ys)],
+                    },
+                }
+                # pair x/y values positionally; unequal lengths cycle
+                for i, (xs, ys) in enumerate(files)
+            ],
+        }
+        kept = set(prune_manifest_files(manifest, preds))
+        for i, (xs, ys) in enumerate(files):
+            n = max(len(xs), len(ys))
+            rows = [
+                {"x": xs[j % len(xs)], "y": ys[j % len(ys)]}
+                for j in range(n)
+            ]
+            if any(matches(r, preds) for r in rows):
+                assert f"f{i}" in kept, (files[i], preds)
+
+    check()
