@@ -444,6 +444,57 @@ def append_ivf_index(
     return _read_attempt_chain(spark, path, winner)
 
 
+def compact_ivf_chain(
+    spark,
+    path: str,
+    min_links: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Fold an appended index's ``_PARENT`` chain back into ONE
+    attempt — the maintenance pass that keeps query-time cost flat
+    under steady appends. Every :func:`append_ivf_index` adds a chain
+    link, and every link costs the reader one more LIST + one more
+    union branch per probe; folding rewrites the union (assignments
+    and centroids UNCHANGED — this is a data move, not a re-train,
+    so recall is bit-identical) as a single parentless attempt,
+    committed marker-last like every other rewrite. Superseded chain
+    attempts become unreferenced once the marker flips and sweep via
+    :func:`gc_ivf_attempts` (they are protected only while the winner
+    chain includes them). ``min_links`` gates the rewrite (census-only
+    skip below it), so a scheduler calls this unconditionally —
+    interleave with full :func:`ensure_ivf_index` re-trains on the
+    cadence the bench's append-vs-rebuild recall delta suggests."""
+    import uuid
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+
+    cur = _resolve_ivf_attempt(spark, path)
+    if cur is None:
+        raise ValueError(f"no committed IVF index under {path!r}")
+    chain = _ivf_parent_chain(spark, path, cur)
+    if len(chain) < min_links:
+        return {"compacted": False, "links": len(chain)}
+    index, cents = _read_attempt_chain(spark, path, cur)
+    name = f"attempt-{uuid.uuid4().hex[:12]}"
+    base = f"{path}/{name}"
+    index.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{base}/index"
+    )
+    cents.write.mode("overwrite").parquet(f"{base}/centroids")
+    fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    try:
+        fsutil.write_text(spark, f"{path}/_DONE", name)  # commit point
+    except Exception:  # noqa: BLE001 - swallowable iff a winner exists
+        if _resolve_ivf_attempt(spark, path) is None:
+            raise
+    return {
+        "compacted": True,
+        "attempt": name,
+        "links_folded": len(chain),
+    }
+
+
 def gc_ivf_attempts(
     spark, path: str, max_age_ms: int, now_ms: int | None = None
 ) -> list[str]:

@@ -535,3 +535,49 @@ def test_append_ivf_index_extends_without_retraining(spark, tmp_path):
     assert deleted == ["attempt-stale0000000"]
     idx3, _ = read_ivf_index(spark, path)
     assert idx3.count() == n_base + n1 + n2
+
+
+def test_compact_ivf_chain_folds_appends(spark, tmp_path):
+    """Folding the _PARENT chain is a data move, not a re-train:
+    assignments, centroids and probe results are identical before and
+    after; the superseded chain attempts become GC-eligible; the gate
+    skips short chains."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_chain,
+        ensure_ivf_index,
+        gc_ivf_attempts,
+        read_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf_fold")
+    ensure_ivf_index(spark, emb.filter("vec_id % 4 != 0"), path, k=4, iterations=1)
+    for m in (0,):
+        append_ivf_index(spark, emb.filter(f"vec_id % 4 = {m}"), path)
+    # chain of 2 < min_links=3: census-only skip
+    assert compact_ivf_chain(spark, path, min_links=3) == {
+        "compacted": False,
+        "links": 2,
+    }
+    before_idx, before_cents = read_ivf_index(spark, path)
+    want = {
+        (r["vec_id"], r["cluster"]) for r in before_idx.collect()
+    }
+    rep = compact_ivf_chain(spark, path, min_links=2)
+    assert rep["compacted"] is True and rep["links_folded"] == 2
+    after_idx, after_cents = read_ivf_index(spark, path)
+    assert {(r["vec_id"], r["cluster"]) for r in after_idx.collect()} == want
+    assert {
+        (r["cluster"], tuple(r["centroid"])) for r in after_cents.collect()
+    } == {
+        (r["cluster"], tuple(r["centroid"])) for r in before_cents.collect()
+    }
+    # the folded attempt is parentless; old chain attempts now sweep
+    winner = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    assert not fsutil.exists(spark, f"{path}/{winner}/_PARENT")
+    deleted = gc_ivf_attempts(spark, path, max_age_ms=0, now_ms=2**62)
+    assert len(deleted) == 2
+    still_idx, _ = read_ivf_index(spark, path)
+    assert still_idx.count() == emb.count()
