@@ -764,6 +764,14 @@ def compact_table(
                 f"compact_table: rewrite row count {n1} != source {n0};"
                 f" marker untouched, {cur!r} still current"
             )
+    # carry the ingest ledger forward: compacting an ingest table's
+    # generation must not forget which landing batches were absorbed —
+    # a straggling/replayed landing partition of an absorbed batch
+    # would otherwise be read TWICE by read_ingest_table
+    gen_dir = cur[: -len("/data")]
+    ledger = fsutil.try_read_text(spark, f"{gen_dir}/_ABSORBED")
+    if ledger:
+        fsutil.write_text(spark, f"{base}/_ABSORBED", ledger)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
     _commit_marker(spark, root, name)
     # "after" is THIS rewrite's generation, not a re-resolve of the

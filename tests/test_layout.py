@@ -756,3 +756,30 @@ def test_manifest_partitioned_table_and_in_predicate(spark, tmp_path):
     )
     want = df.filter((F.col("bucket") == 0) & (F.col("a") < 100)).count()
     assert mixed.count() == want > 0
+
+
+def test_compact_table_carries_ingest_ledger(spark, tmp_path):
+    """Compacting an ingest table's generation must carry _ABSORBED
+    forward: without it a replayed landing partition of an absorbed
+    batch would be read twice by read_ingest_table."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        compact_table,
+        landing_append,
+        read_ingest_table,
+    )
+
+    root = str(tmp_path / "ingest_c")
+    for b in range(3):
+        landing_append(
+            spark.range(b * 10, b * 10 + 10).toDF("id"), root, b
+        )
+    absorb_landing(spark, root, min_batches=1)
+    # replay an absorbed batch, THEN compact the generation
+    landing_append(spark.range(10, 20).toDF("id"), root, 1)
+    compact_table(spark, root, target_file_bytes=1 << 30)
+    live = read_ingest_table(spark, root)
+    assert live.count() == 30  # replayed partition still subtracted
+    # and a genuinely new batch remains visible
+    landing_append(spark.range(30, 35).toDF("id"), root, 3)
+    assert read_ingest_table(spark, root).count() == 35
