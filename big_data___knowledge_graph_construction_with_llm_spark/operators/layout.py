@@ -967,12 +967,39 @@ def landing_append(batch: DataFrame, root: str, batch_id: int) -> None:
 
 
 def _absorbed_ids(spark: SparkSession, gen_dir: str | None) -> set[int]:
+    """Decode a generation's ``_ABSORBED`` ledger: items are either
+    bare batch ids or ``[lo, hi]`` inclusive ranges (batch ids are
+    near-contiguous, so the range form keeps the ledger O(gaps) — a
+    years-long ingest stays a handful of ranges, not one int per
+    micro-batch ever absorbed)."""
     import json
 
     if gen_dir is None:
         return set()
     text = fsutil.try_read_text(spark, f"{gen_dir}/_ABSORBED")
-    return set(json.loads(text)) if text else set()
+    if not text:
+        return set()
+    out: set[int] = set()
+    for item in json.loads(text):
+        if isinstance(item, list):
+            out.update(range(item[0], item[1] + 1))
+        else:
+            out.add(int(item))
+    return out
+
+
+def _encode_ranges(ids: set[int]) -> list:
+    """Inclusive ``[lo, hi]`` ranges (singletons stay bare ints) for
+    the ledger — the inverse of :func:`_absorbed_ids`' decoder."""
+    out: list = []
+    for b in sorted(ids):
+        if out and isinstance(out[-1], list) and out[-1][1] == b - 1:
+            out[-1][1] = b
+        elif out and not isinstance(out[-1], list) and out[-1] == b - 1:
+            out[-1] = [out[-1], b]
+        else:
+            out.append(b)
+    return out
 
 
 def _landing_batch_dirs(spark: SparkSession, root: str) -> dict[int, str]:
@@ -1071,13 +1098,13 @@ def absorb_landing(
     n_out = max(
         1, -(-sum(sz for _, sz in census) // target_file_bytes)
     )
-    ledger = sorted(absorbed | set(pending))
+    ledger_ids = absorbed | set(pending)
     name = write_table(
         merged.repartition(n_out),
         root,
         manifest=manifest,
         stats_cols=stats_cols,
-        extra_files={"_ABSORBED": json.dumps(ledger)},
+        extra_files={"_ABSORBED": json.dumps(_encode_ranges(ledger_ids))},
     )
     for d in pending.values():
         fsutil.delete(spark, f"{landing}/{d}")
@@ -1085,6 +1112,6 @@ def absorb_landing(
         "absorbed": True,
         "generation": name,
         "absorbed_batches": len(pending),
-        "ledger_size": len(ledger),
+        "ledger_size": len(ledger_ids),
         "files_after": len(fsutil.list_files(spark, f"{root}/{name}/data")),
     }

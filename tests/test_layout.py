@@ -783,3 +783,19 @@ def test_compact_table_carries_ingest_ledger(spark, tmp_path):
     # and a genuinely new batch remains visible
     landing_append(spark.range(30, 35).toDF("id"), root, 3)
     assert read_ingest_table(spark, root).count() == 35
+
+
+def test_absorbed_ledger_range_encoding():
+    """The ledger is O(gaps): contiguous batch ids collapse to [lo,hi]
+    ranges; the decoder accepts both forms (bare ints for legacy)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _encode_ranges,
+    )
+
+    assert _encode_ranges(set()) == []
+    assert _encode_ranges({5}) == [5]
+    assert _encode_ranges({0, 1, 2, 3}) == [[0, 3]]
+    assert _encode_ranges({0, 1, 3, 7, 8}) == [[0, 1], 3, [7, 8]]
+    # round-trip through the decoder's semantics
+    enc = _encode_ranges(set(range(100)) | {200, 300, 301})
+    assert enc == [[0, 99], 200, [300, 301]]
