@@ -93,7 +93,13 @@ def resumable_flow(
         out = stage(kept)
         if out is kept:
             continue  # pass-through gate
-        write_table(out, roots[i])
+        # manifest=False: stage tables are internal intermediates read
+        # exactly once by the next stage as a straight scan — a per-
+        # stage min/max pass (over text columns included) would roughly
+        # double the write-path read volume for stats nothing prunes
+        # on. Consumers wanting a prunable FINAL table write_table the
+        # returned frame themselves (manifest on by default there).
+        write_table(out, roots[i], manifest=False)
         kept = read_table(spark, roots[i])
     return kept
 

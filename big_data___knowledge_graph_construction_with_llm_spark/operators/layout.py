@@ -416,12 +416,18 @@ def _write_manifest(
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for i, c in enumerate(cols):
         aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
+    from urllib.parse import unquote
+
     rows = (
         df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
     )
     files = []
     for r in rows:
-        full = r["_file"]
+        # input_file_name() is a URI: percent-decode ONCE to recover
+        # the on-disk path (hive-escaped partition values like
+        # 'lang=pt%3ABR' appear double-encoded in the URI; a space is
+        # '%20'); the manifest must store what the filesystem can open
+        full = unquote(r["_file"])
         # LAST occurrence: the table root itself may contain "/data/",
         # while nothing after the generation's data dir can (hive
         # partition segments are k=v, never a bare "data")
@@ -1011,6 +1017,22 @@ def _landing_batch_dirs(spark: SparkSession, root: str) -> dict[int, str]:
     return out
 
 
+def _ingest_pending(
+    spark: SparkSession, root: str
+) -> tuple[str | None, dict[int, str]]:
+    """(generation dir, unabsorbed landing partitions) — the one view
+    construction shared by the reader and the absorb pass. The landing
+    LISTS FIRST, the marker resolves AFTER: an absorb committing in
+    between can only ADD ledger entries that subtract from the listing
+    (never a committed batch missing from both legs); the reverse
+    order could resolve the OLD generation and then list a landing the
+    new commit's deletes already emptied."""
+    pending_all = _landing_batch_dirs(spark, root)  # list FIRST
+    gen = _resolve_table_generation(spark, root)    # resolve AFTER
+    absorbed = _absorbed_ids(spark, gen)
+    return gen, {b: d for b, d in pending_all.items() if b not in absorbed}
+
+
 def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
     """The LIVE view of an ingest table: the committed generation (if
     any) UNION the landing partitions it has not absorbed. Duplicate-
@@ -1020,13 +1042,15 @@ def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
     checkpoint replay re-landing an absorbed batch) is subtracted from
     the landing leg rather than read twice. Batch-only consumers that
     want a STABLE snapshot keep using :func:`read_table` (data as of
-    the last absorb). Rows carry the ``_batch_id`` lineage column."""
-    gen = _resolve_table_generation(spark, root)
-    absorbed = _absorbed_ids(spark, gen)
-    pending = {
-        b: d for b, d in _landing_batch_dirs(spark, root).items()
-        if b not in absorbed
-    }
+    the last absorb). Rows carry the ``_batch_id`` lineage column.
+
+    LAZY-READER TOCTOU (the ``gc_table_generations`` note, landing
+    edition): the returned frame is lazy — a reader still scanning a
+    landing partition when :func:`absorb_landing`'s post-commit delete
+    removes it dies on a missing file. Long-lived readers pair
+    ``absorb_landing(delete_absorbed=False)`` with a
+    :func:`gc_landing` sweep whose age threshold outlives them."""
+    gen, pending = _ingest_pending(spark, root)
     landing = f"{root}/landing"
     parts = []
     if gen is not None:
@@ -1052,6 +1076,7 @@ def absorb_landing(
     min_batches: int = 8,
     manifest: bool = True,
     stats_cols: list[str] | None = None,
+    delete_absorbed: bool = True,
 ) -> dict:
     """Fold landed micro-batches into the ingest table's NEXT
     generation: new generation = current generation ∪ the SNAPSHOTTED
@@ -1069,16 +1094,25 @@ def absorb_landing(
     ``min_batches`` gates the rewrite (census-only skip below it), so
     a scheduler calls this unconditionally — the ``maybe_compact_table``
     shape. Batches landing AFTER the snapshot are untouched and stay
-    readable via the landing leg. Returns the absorb report."""
+    readable via the landing leg.
+
+    Absorbed partitions delete ONLY when the commit is demonstrably
+    visible — the re-resolved CURRENT generation's ledger must cover
+    the snapshot. A marker write that failed-but-was-swallowed (a
+    winner existed), or a concurrent absorb whose different snapshot
+    won the race, leaves a current generation that does NOT hold these
+    batches' rows; deleting the landing partitions then would LOSE
+    them, so they stay for the next absorb to retry (the report says
+    ``committed``/``landing_deleted``). ``delete_absorbed=False``
+    defers all deletes to an age-thresholded :func:`gc_landing` sweep —
+    required when long-lived lazy readers may still be scanning a
+    just-absorbed partition (see :func:`read_ingest_table`'s TOCTOU
+    note). Returns the absorb report."""
     import json
 
-    gen = _resolve_table_generation(spark, root)
-    absorbed = _absorbed_ids(spark, gen)
     landing = f"{root}/landing"
-    pending = {
-        b: d for b, d in _landing_batch_dirs(spark, root).items()
-        if b not in absorbed
-    }
+    gen, pending = _ingest_pending(spark, root)
+    absorbed = _absorbed_ids(spark, gen)
     if len(pending) < min_batches:
         return {"absorbed": False, "pending_batches": len(pending)}
     parts = []
@@ -1106,12 +1140,51 @@ def absorb_landing(
         stats_cols=stats_cols,
         extra_files={"_ABSORBED": json.dumps(_encode_ranges(ledger_ids))},
     )
-    for d in pending.values():
-        fsutil.delete(spark, f"{landing}/{d}")
+    # delete only when the commit is visibly in effect: the CURRENT
+    # generation's ledger covers this snapshot (ours, or a concurrent
+    # winner that absorbed a superset — either way the rows live in a
+    # marker-referenced generation)
+    gen_now = _resolve_table_generation(spark, root)
+    committed = gen_now is not None and gen_now.rsplit("/", 1)[-1] == name
+    covered = _absorbed_ids(spark, gen_now) >= set(pending)
+    if covered and delete_absorbed:
+        for d in pending.values():
+            fsutil.delete(spark, f"{landing}/{d}")
     return {
         "absorbed": True,
+        "committed": committed,
         "generation": name,
         "absorbed_batches": len(pending),
         "ledger_size": len(ledger_ids),
+        "landing_deleted": covered and delete_absorbed,
         "files_after": len(fsutil.list_files(spark, f"{root}/{name}/data")),
     }
+
+
+def gc_landing(
+    spark: SparkSession, root: str, max_age_ms: int, now_ms: int | None = None
+) -> list[str]:
+    """Sweep landing partitions whose batches the CURRENT generation's
+    ledger already covers and whose mtime is older than ``max_age_ms``
+    — the deferred-delete companion to
+    ``absorb_landing(delete_absorbed=False)``. The ledger guard means
+    only batches whose rows live in a marker-referenced generation are
+    ever deleted; the age threshold protects lazy readers still
+    scanning a just-absorbed partition (size it past the longest
+    reader lifetime — the ``gc_table_generations`` note verbatim).
+    Returns the deleted partition dir names."""
+    import time
+
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    gen = _resolve_table_generation(spark, root)
+    absorbed = _absorbed_ids(spark, gen)
+    landing = f"{root}/landing"
+    deleted: list[str] = []
+    for d, mtime in fsutil.list_dir(spark, landing):
+        if not d.startswith(f"{_BATCH_COL}="):
+            continue
+        b = int(d.split("=", 1)[1])
+        if b in absorbed and now - mtime > max_age_ms:
+            fsutil.delete(spark, f"{landing}/{d}")
+            deleted.append(d)
+    return sorted(deleted)

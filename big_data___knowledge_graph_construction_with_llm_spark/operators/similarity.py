@@ -390,6 +390,7 @@ def append_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _retries: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Extend the committed at-rest IVF index with a NEW embedding
     batch WITHOUT re-running k-means and WITHOUT rewriting the
@@ -405,9 +406,15 @@ def append_ivf_index(
 
     Same marker-last commit as :func:`ensure_ivf_index` (attempt fully
     on disk including ``_PARENT`` before ``_COMPLETE``, the one-object
-    ``_DONE`` write last); a marker-write failure is swallowed only
-    when a concurrent winner demonstrably exists, else it re-raises
-    (nothing would be committed). :func:`gc_ivf_attempts` protects the
+    ``_DONE`` write last) — but unlike a FULL build, a delta attempt
+    losing the marker race is a LOST UPDATE, not a harmless duplicate:
+    if the resolved winner's chain does not include this attempt (our
+    marker write failed, or a concurrent append/rebuild/fold landed
+    last), the batch would silently vanish from the at-rest index. The
+    commit therefore VERIFIES chain membership afterwards and, when
+    excluded, RETRIES the whole append against the new winner (fresh
+    parent, possibly fresh centroids; bounded, then raises — never a
+    quiet drop). :func:`gc_ivf_attempts` protects the
     winner AND its transitive parents, so the chain never loses a
     link; periodically REBUILD (full :func:`ensure_ivf_index` at a
     fresh path, or after deleting the marker) to re-train centroids —
@@ -435,13 +442,32 @@ def append_ivf_index(
     cents_df.write.mode("overwrite").parquet(f"{base}/centroids")
     fsutil.write_text(spark, f"{base}/_PARENT", cur_name)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    marker_exc: Exception | None = None
     try:
         fsutil.write_text(spark, f"{path}/_DONE", name)  # commit point
-    except Exception:  # noqa: BLE001 - swallowable iff a winner exists
-        if _resolve_ivf_attempt(spark, path) is None:
-            raise
-    winner = _resolve_ivf_attempt(spark, path) or base
-    return _read_attempt_chain(spark, path, winner)
+    except Exception as e:  # noqa: BLE001 - adjudicated below
+        marker_exc = e
+    winner = _resolve_ivf_attempt(spark, path)
+    if winner is not None:
+        try:
+            chain = _ivf_parent_chain(spark, path, winner)
+        except ValueError:
+            chain = []  # mid-commit torn chain: treat as not-included
+        if base in chain:
+            # committed: ours won, or a later concurrent commit chained
+            # ON TOP of ours — the batch is in the at-rest index either way
+            return _read_attempt_chain(spark, path, winner)
+    # the at-rest index does NOT include this batch: retry against the
+    # (possibly changed) winner rather than silently dropping vectors
+    if _retries > 0:
+        return append_ivf_index(
+            spark, new_vectors, path,
+            id_col=id_col, vec_col=vec_col, _retries=_retries - 1,
+        )
+    raise RuntimeError(
+        f"append_ivf_index: could not commit the batch under {path!r}"
+        " (marker write failing or concurrent commits kept winning)"
+    ) from marker_exc
 
 
 def compact_ivf_chain(
@@ -488,10 +514,23 @@ def compact_ivf_chain(
     except Exception:  # noqa: BLE001 - swallowable iff a winner exists
         if _resolve_ivf_attempt(spark, path) is None:
             raise
+    # report what actually took effect: if the marker now names someone
+    # else (our write failed behind an existing winner, or a concurrent
+    # append/rebuild landed last and chained onto the OLD links), the
+    # fold is unreferenced garbage — say so, so a scheduler retries
+    # instead of trusting a fold that never happened
+    winner = _resolve_ivf_attempt(spark, path)
+    visible = False
+    if winner is not None:
+        try:
+            visible = base in _ivf_parent_chain(spark, path, winner)
+        except ValueError:
+            visible = False
     return {
-        "compacted": True,
+        "compacted": visible,
         "attempt": name,
-        "links_folded": len(chain),
+        "links_folded": len(chain) if visible else 0,
+        "links": len(chain),
     }
 
 

@@ -459,17 +459,35 @@ def compact_fingerprint_store(
     total_bytes = sum(sz for _, sz in census)
     n_out = max(1, -(-total_bytes // target_file_bytes))
     name = write_table(merged.repartition(n_out), store_path, manifest=False)
-    # marker landed: the absorbed partitions are now redundant copies
-    # (parent lineage= dirs sweep too once their last batch is absorbed,
-    # so a migrated legacy store stops reading its root leg entirely)
-    for root, parts in ((landing, absorbed), (store_path, legacy)):
-        parents = set()
-        for p in parts:
-            fsutil.delete(spark, f"{root}/{p}")
-            parents.add(p.split("/", 1)[0])
-        for parent in parents:
-            if not fsutil.list_dir(spark, f"{root}/{parent}"):
-                fsutil.delete(spark, f"{root}/{parent}")
+    # delete ONLY when the commit is visibly ours: a marker write that
+    # failed-but-was-swallowed behind an existing winner (or a
+    # concurrent compactor whose different snapshot won) leaves a
+    # current generation that does NOT hold these partitions'
+    # fingerprints — deleting them then would silently re-admit every
+    # previously-seen duplicate. Left in place, the next compaction
+    # retries them (duplicate fingerprints across legs are harmless).
+    gen_now = _resolve_table_generation(spark, store_path)
+    if gen_now is None or gen_now.rsplit("/", 1)[-1] != name:
+        return {
+            "compacted": False,
+            "reason": "commit not visible (marker write failed or lost"
+            " a concurrent race); nothing deleted",
+            "generation": name,
+        }
+    for p in absorbed:
+        fsutil.delete(spark, f"{landing}/{p}")
+    # empty-parent cleanup ONLY on the legacy ROOT side: the stream
+    # never writes new batches there, so an emptied lineage dir stays
+    # empty. Landing lineage dirs are LIVE — a concurrent micro-batch
+    # can land between our emptiness check and a recursive delete, and
+    # deleting it would lose that batch's fingerprints — so they stay.
+    parents = set()
+    for p in legacy:
+        fsutil.delete(spark, f"{store_path}/{p}")
+        parents.add(p.split("/", 1)[0])
+    for parent in parents:
+        if not fsutil.list_dir(spark, f"{store_path}/{parent}"):
+            fsutil.delete(spark, f"{store_path}/{parent}")
     new_data = f"{store_path}/{name}/data"
     return {
         "compacted": True,

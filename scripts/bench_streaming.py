@@ -300,15 +300,20 @@ def main() -> None:
         )
 
         store = os.path.join(work, "fps-docs_100x")
-        probe = spark.createDataFrame(
-            [
-                (10**12 + i, f"probe document number {i}", "en", "probe", 20, None)
-                for i in range(1_000)
-            ],
-            DOC_SCHEMA,
-        )
 
         def probe_wall(tag: str) -> float:
+            # DISTINCT texts per tag: the 'after' probe must run the
+            # same novel-docs workload (store read + anti-join + emit +
+            # landing write), not dedup the 'before' probe's texts away
+            # and skip the emit/write legs
+            probe = spark.createDataFrame(
+                [
+                    (10**12 + i, f"probe {tag} document number {i}",
+                     "en", "probe", 20, None)
+                    for i in range(1_000)
+                ],
+                DOC_SCHEMA,
+            )
             s = incremental_dedup_sink(
                 store,
                 "text",

@@ -581,3 +581,85 @@ def test_compact_ivf_chain_folds_appends(spark, tmp_path):
     assert len(deleted) == 2
     still_idx, _ = read_ivf_index(spark, path)
     assert still_idx.count() == emb.count()
+
+
+def test_append_ivf_index_retries_lost_marker_commit(spark, tmp_path, monkeypatch):
+    """A delta attempt losing its marker write is a LOST UPDATE (the
+    winner chain lacks the batch), not a harmless duplicate: the append
+    must retry against the resolved winner until the batch is in the
+    committed chain — never return success with the vectors missing."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        append_ivf_index,
+        ensure_ivf_index,
+        read_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    base = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+    path = str(tmp_path / "ivf_retry")
+    ensure_ivf_index(spark, base, path, k=4, iterations=1)
+
+    real = fsutil.write_text
+    state = {"fails": 1}
+
+    def flaky(sp, p, content):
+        if p.endswith("/_DONE") and state["fails"] > 0:
+            state["fails"] -= 1
+            raise OSError("injected: _DONE write failed")
+        return real(sp, p, content)
+
+    monkeypatch.setattr(fsutil, "write_text", flaky)
+    idx, _ = append_ivf_index(spark, batch, path)
+    monkeypatch.setattr(fsutil, "write_text", real)
+    assert idx.count() == emb.count()  # the batch IS in the result
+    # and in the AT-REST committed chain, not just the returned frame
+    idx2, _ = read_ivf_index(spark, path)
+    assert idx2.count() == emb.count()
+
+    # persistent failure: raises instead of quietly dropping the batch
+    import pytest as _pytest
+
+    state["fails"] = 10**9
+    monkeypatch.setattr(fsutil, "write_text", flaky)
+    with _pytest.raises(RuntimeError, match="could not commit"):
+        append_ivf_index(spark, batch.limit(1), path)
+    monkeypatch.setattr(fsutil, "write_text", real)
+
+
+def test_compact_ivf_chain_reports_invisible_fold(spark, tmp_path, monkeypatch):
+    """A fold whose marker write fails behind the existing winner must
+    report compacted=False (the chain is untouched), so a scheduler
+    retries instead of trusting a fold that never took effect."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_chain,
+        ensure_ivf_index,
+        read_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf_fold_fail")
+    ensure_ivf_index(spark, emb.filter("vec_id % 2 = 1"), path, k=4, iterations=1)
+    append_ivf_index(spark, emb.filter("vec_id % 2 = 0"), path)
+    n = emb.count()
+
+    real = fsutil.write_text
+
+    def failing(sp, p, content):
+        if p.endswith("/_DONE"):
+            raise OSError("injected: _DONE write failed")
+        return real(sp, p, content)
+
+    monkeypatch.setattr(fsutil, "write_text", failing)
+    rep = compact_ivf_chain(spark, path, min_links=2)
+    monkeypatch.setattr(fsutil, "write_text", real)
+    assert rep["compacted"] is False and rep["links_folded"] == 0
+    idx, _ = read_ivf_index(spark, path)
+    assert idx.count() == n  # old chain still serves, nothing lost
+    rep2 = compact_ivf_chain(spark, path, min_links=2)  # healthy retry
+    assert rep2["compacted"] is True
+    idx2, _ = read_ivf_index(spark, path)
+    assert idx2.count() == n

@@ -799,3 +799,111 @@ def test_absorbed_ledger_range_encoding():
     # round-trip through the decoder's semantics
     enc = _encode_ranges(set(range(100)) | {200, 300, 301})
     assert enc == [[0, 99], 200, [300, 301]]
+
+
+def _fail_marker_writes(monkeypatch, fsutil_mod, suffixes, times=None):
+    """Patch fsutil.write_text to raise for paths ending in one of
+    ``suffixes`` (optionally only the first ``times`` calls)."""
+    real = fsutil_mod.write_text
+    state = {"left": times}
+
+    def failing(sp, path, content):
+        if path.endswith(tuple(suffixes)) and (
+            state["left"] is None or state["left"] > 0
+        ):
+            if state["left"] is not None:
+                state["left"] -= 1
+            raise OSError(f"injected: marker write failed for {path}")
+        return real(sp, path, content)
+
+    monkeypatch.setattr(fsutil_mod, "write_text", failing)
+    return real
+
+
+def test_absorb_landing_never_deletes_on_invisible_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A swallowed marker failure (winner exists) must NOT delete the
+    landing partitions whose rows live only in the unreferenced new
+    generation — that would permanently lose the absorbed batches. The
+    report says so, the live view stays complete, and the next
+    (healthy) absorb retries the same batches."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+    )
+
+    root = str(tmp_path / "ingest_fail")
+    landing_append(spark.range(0, 10).toDF("id"), root, 0)
+    rep0 = absorb_landing(spark, root, min_batches=1)
+    assert rep0["committed"] is True and rep0["landing_deleted"] is True
+
+    landing_append(spark.range(10, 20).toDF("id"), root, 1)
+    landing_append(spark.range(20, 30).toDF("id"), root, 2)
+    real = _fail_marker_writes(monkeypatch, fsutil, ["/_CURRENT"])
+    rep1 = absorb_landing(spark, root, min_batches=1)
+    monkeypatch.setattr(fsutil, "write_text", real)
+    assert rep1["absorbed"] is True
+    assert rep1["committed"] is False          # marker never flipped
+    assert rep1["landing_deleted"] is False    # nothing deleted
+    # every row still reachable: old generation + intact landing
+    assert read_ingest_table(spark, root).count() == 30
+
+    rep2 = absorb_landing(spark, root, min_batches=1)  # healthy retry
+    assert rep2["committed"] is True and rep2["absorbed_batches"] == 2
+    assert read_ingest_table(spark, root).count() == 30
+    assert spark.read.parquet(
+        f"{root}/{rep2['generation']}/data"
+    ).count() == 30
+
+
+def test_absorb_landing_deferred_delete_and_gc(spark, tmp_path):
+    """delete_absorbed=False leaves absorbed partitions for the
+    age-thresholded gc_landing sweep; the ledger keeps reads exact in
+    the meantime, and unabsorbed batches never sweep."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        gc_landing,
+        landing_append,
+        read_ingest_table,
+    )
+
+    root = str(tmp_path / "ingest_gc")
+    for b in range(3):
+        landing_append(spark.range(b * 10, b * 10 + 10).toDF("id"), root, b)
+    rep = absorb_landing(spark, root, min_batches=1, delete_absorbed=False)
+    assert rep["committed"] is True and rep["landing_deleted"] is False
+    # absorbed partitions still on disk; the ledger keeps reads exact
+    assert len(fsutil.list_files(spark, f"{root}/landing")) > 0
+    assert read_ingest_table(spark, root).count() == 30
+    # a fresh (unabsorbed) batch must survive any sweep
+    landing_append(spark.range(30, 40).toDF("id"), root, 3)
+    # young partitions are protected by age
+    assert gc_landing(spark, root, max_age_ms=10**12) == []
+    swept = gc_landing(spark, root, max_age_ms=0, now_ms=2**62)
+    assert swept == [f"_batch_id={b}" for b in range(3)]
+    assert read_ingest_table(spark, root).count() == 40
+
+
+def test_manifest_handles_special_partition_values(spark, tmp_path):
+    """input_file_name() returns URL-encoded URIs; manifests must store
+    the decodable on-disk path or pruned reads 404 on partition values
+    with spaces/colons."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_special")
+    df = spark.createDataFrame(
+        [(i, ["pt BR", "en:US", "plain"][i % 3]) for i in range(30)],
+        "id long, lang string",
+    )
+    write_table(df, root, partition_by=["lang"])
+    for v in ("pt BR", "en:US", "plain"):
+        got = read_table(spark, root, where=("lang", "==", v))
+        assert got.count() == 10, v
+        assert got.filter(F.col("lang") != v).count() == 0

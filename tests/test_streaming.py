@@ -1062,3 +1062,59 @@ def test_incremental_dedup_sink_expectations_quarantine(spark, tmp_path):
     # replay of the quarantined batch: partition overwritten, not doubled
     sink(bad, 1)
     assert spark.read.parquet(quarantine).count() == 2
+
+
+def test_compact_fingerprint_store_invisible_commit_deletes_nothing(
+    spark, tmp_path, monkeypatch
+):
+    """A compaction whose marker write fails behind the existing winner
+    must delete NOTHING (its generation is unreferenced — deleting the
+    landing partitions would silently re-admit every previously-seen
+    duplicate) and report compacted=False; dedup keeps working off the
+    intact landing, and a healthy retry compacts."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        compact_fingerprint_store,
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-failgate")
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="s")
+    sink(spark.createDataFrame([(1, "alpha")], "doc_id long, text string"), 0)
+    # first compaction commits: a winner generation now exists
+    assert compact_fingerprint_store(spark, store, min_batches=1)["compacted"]
+
+    sink(spark.createDataFrame([(2, "beta")], "doc_id long, text string"), 1)
+    files_before = len(fsutil.list_files(spark, f"{store}/landing"))
+    real = fsutil.write_text
+
+    def failing(sp, p, content):
+        if p.endswith("/_CURRENT"):
+            raise OSError("injected: marker write failed")
+        return real(sp, p, content)
+
+    monkeypatch.setattr(fsutil, "write_text", failing)
+    rep = compact_fingerprint_store(spark, store, min_batches=1)
+    monkeypatch.setattr(fsutil, "write_text", real)
+    assert rep["compacted"] is False and "not visible" in rep["reason"]
+    # landing intact: history complete, dedup still catches both docs
+    assert len(fsutil.list_files(spark, f"{store}/landing")) == files_before
+    sink(
+        spark.createDataFrame(
+            [(3, "alpha"), (4, "beta"), (5, "gamma")],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    assert emitted[2] == [5]
+    # healthy retry compacts and dedup still holds afterwards
+    assert compact_fingerprint_store(spark, store, min_batches=1)["compacted"]
+    sink(spark.createDataFrame([(6, "gamma"), (7, "delta")], "doc_id long, text string"), 3)
+    assert emitted[3] == [7]
