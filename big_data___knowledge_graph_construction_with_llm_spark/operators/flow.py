@@ -62,17 +62,38 @@ def resumable_flow(
     its input unchanged (``out is prev``) is a pass-through gate — its
     effect is a raise, not data — and commits nothing.
 
-    ``fingerprint`` pins the run's parameters into ``root/_PARAMS``:
-    resuming with a different fingerprint raises (the committed stages
-    were computed under other parameters — silently mixing them is the
-    wrong-data trap), ``force=True`` recomputes every stage as fresh
-    generations (sweep superseded ones with :func:`gc_flow_checkpoints`).
+    ``fingerprint`` pins the run's parameters TWICE: into
+    ``root/_PARAMS`` (the cheap up-front refusal — resuming with a
+    different fingerprint raises: the committed stages were computed
+    under other parameters, and silently mixing them is the wrong-data
+    trap) AND into every stage generation itself (a ``_FLOW_FP`` file
+    committed with the stage data via ``write_table`` ``extra_files``).
+    The per-stage stamp is the one that actually guards resume: the
+    scan counts a stage as committed ONLY when its current generation's
+    stamp matches, so an INTERRUPTED ``force=True`` rerun — which
+    rewrites ``_PARAMS`` before any stage lands — can never hand a
+    later stage's old-parameter generation to a subsequent non-force
+    run (stale-stamped generations read as not-committed and
+    recompute). ``force=True`` additionally deletes every stage root's
+    ``_CURRENT`` marker up front, so an interrupted SAME-fingerprint
+    force rerun (the rewrite-in-place escape hatch) cannot resume into
+    the very generations it was asked to recompute. Superseded and
+    unreferenced generations sweep with :func:`gc_flow_checkpoints`.
+    Stage generations written by pre-stamp versions carry no
+    ``_FLOW_FP`` and conservatively recompute.
 
-    The resume point is the LAST committed stage, not the first gap:
-    under one fingerprint a later stage can only ever have committed
-    from the same earlier outputs."""
+    The resume point is the LAST committed matching stage, not the
+    first gap: under one fingerprint a later stage can only ever have
+    committed from the same earlier outputs."""
     params_path = f"{root}/_PARAMS"
-    if fsutil.exists(spark, params_path) and not force:
+    roots = [f"{root}/{i:02d}_{name}" for i, (name, _) in enumerate(stages)]
+    if force:
+        # de-reference every stage FIRST (markers only — data dirs stay
+        # for GC): an interrupted force rerun must not leave old
+        # generations current for a later non-force run to resume into
+        for sroot in roots:
+            fsutil.delete(spark, f"{sroot}/_CURRENT")
+    elif fsutil.exists(spark, params_path):
         prev = (fsutil.try_read_text(spark, params_path) or "").strip()
         if prev and prev != fingerprint:
             raise ValueError(
@@ -81,11 +102,14 @@ def resumable_flow(
             )
     fsutil.write_text(spark, params_path, fingerprint)
 
-    roots = [f"{root}/{i:02d}_{name}" for i, (name, _) in enumerate(stages)]
     last_done = -1
     if not force:
         for i, sroot in enumerate(roots):
-            if _resolve_table_generation(spark, sroot) is not None:
+            gen = _resolve_table_generation(spark, sroot)
+            if gen is None:
+                continue
+            stamp = (fsutil.try_read_text(spark, f"{gen}/_FLOW_FP") or "").strip()
+            if stamp == fingerprint:
                 last_done = i
     kept = read_table(spark, roots[last_done]) if last_done >= 0 else initial
     for i in range(last_done + 1, len(stages)):
@@ -99,7 +123,10 @@ def resumable_flow(
         # double the write-path read volume for stats nothing prunes
         # on. Consumers wanting a prunable FINAL table write_table the
         # returned frame themselves (manifest on by default there).
-        write_table(out, roots[i], manifest=False)
+        write_table(
+            out, roots[i], manifest=False,
+            extra_files={"_FLOW_FP": fingerprint},
+        )
         kept = read_table(spark, roots[i])
     return kept
 

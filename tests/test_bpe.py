@@ -359,3 +359,77 @@ def test_encode_pack_resumable_kill_and_resume(spark, tmp_path):
         (r["doc_id"], tuple(r["piece_ids"]), r["seq_id"])
         for r in again.collect()
     } == want
+
+
+def test_resumable_flow_interrupted_force_never_resumes_stale(spark, tmp_path):
+    """An INTERRUPTED force=True rerun must not poison the checkpoint:
+    _PARAMS is rewritten before any stage lands, so without per-stage
+    fingerprint stamps a later non-force run would find the new
+    fingerprint matching and silently return later-stage generations
+    computed under the OLD parameters. The stamp (and force's up-front
+    marker de-reference) makes every stale generation read as
+    not-committed instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.flow import (
+        params_fingerprint,
+        resumable_flow,
+    )
+
+    root = str(tmp_path / "flow_force")
+    initial = spark.range(10).toDF("id")
+
+    def stages(factor, explode_s2=False, log=None):
+        def s1(prev):
+            if log is not None:
+                log.append("s1")
+            return prev.withColumn("x", F.col("id") * factor)
+
+        def s2(prev):
+            if log is not None:
+                log.append("s2")
+            if explode_s2:
+                raise RuntimeError("injected: cluster lost")
+            return prev.withColumn("y", F.col("x") + factor)
+
+        return [("s1", s1), ("s2", s2)]
+
+    def run(factor, force=False, explode_s2=False, log=None):
+        return resumable_flow(
+            spark,
+            stages(factor, explode_s2, log),
+            root,
+            params_fingerprint({"factor": repr(factor)}),
+            initial=initial,
+            force=force,
+        )
+
+    # full run under factor=2 commits both stages
+    assert run(2).agg(F.sum("y")).first()[0] == sum(i * 2 + 2 for i in range(10))
+
+    # force rerun under factor=3 dies in stage 2 — after _PARAMS was
+    # rewritten and stage 1 recommitted
+    with pytest.raises(RuntimeError, match="injected"):
+        run(3, force=True, explode_s2=True)
+    assert (fsutil.read_text(spark, f"{root}/_PARAMS").strip()
+            == params_fingerprint({"factor": repr(3)}))
+
+    # the subsequent NON-force run under factor=3 must recompute stage
+    # 2 (the old factor-2 generation is stale), not return it
+    log: list[str] = []
+    got = run(3, log=log)
+    assert log == ["s2"]  # resumed from the recommitted stage 1
+    assert got.agg(F.sum("y")).first()[0] == sum(i * 3 + 3 for i in range(10))
+
+    # the stamp alone also guards the trap when markers survive: put
+    # factor-3 generations current but flip _PARAMS to factor=4 (an
+    # interrupted force rerun that died before any stage landed)
+    fsutil.write_text(
+        spark, f"{root}/_PARAMS", params_fingerprint({"factor": repr(4)})
+    )
+    log2: list[str] = []
+    got4 = run(4, log=log2)
+    assert log2 == ["s1", "s2"]  # nothing stale resumed
+    assert got4.agg(F.sum("y")).first()[0] == sum(i * 4 + 4 for i in range(10))
