@@ -723,8 +723,14 @@ def compact_table(
     ``partition_by``.
 
     Returns before/after :func:`file_stats` plus the new generation
-    name. ``verify=True`` recounts the rewrite before committing and
-    deletes the attempt on mismatch, leaving the marker untouched."""
+    name and ``committed`` (False when the source generation was
+    superseded mid-rewrite — e.g. a concurrent :func:`absorb_landing`
+    committed new batches — or the marker write lost a race: the
+    rewrite is left unreferenced rather than flipped over data it
+    doesn't hold, and the scheduler retries; see the serialization
+    note in DEPLOYMENT.md). ``verify=True`` recounts the rewrite
+    before committing and deletes the attempt on mismatch, leaving
+    the marker untouched."""
     if partition_by and cluster_cols:
         raise ValueError("compact_table: partition_by and cluster_cols are exclusive")
     cur = current_table_path(spark, root)
@@ -779,14 +785,40 @@ def compact_table(
     if ledger:
         fsutil.write_text(spark, f"{base}/_ABSORBED", ledger)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
+    # currency check before the flip: if the SOURCE generation is no
+    # longer current (a concurrent absorb_landing committed new batches
+    # — and possibly deleted their landing partitions — or another
+    # writer landed), flipping the marker to this rewrite would make a
+    # generation current that lacks those rows and their ledger
+    # entries: data loss, not a lost race. Abort instead — the rewrite
+    # stays unreferenced (gc_table_generations sweeps it) and the
+    # report says not-committed so a scheduler retries. A commit
+    # landing INSIDE the check-to-flip window remains possible
+    # (DEPLOYMENT.md: serialize absorb/compact per root), but the
+    # window shrinks from the whole rewrite to one marker write.
+    src_name = gen_dir.rsplit("/", 1)[-1]
+    now_gen = _resolve_table_generation(spark, root)
+    if now_gen is None or now_gen.rsplit("/", 1)[-1] != src_name:
+        return {
+            "before": before,
+            "after": file_stats(spark, f"{base}/data", target_file_bytes),
+            "generation": name,
+            "committed": False,
+            "reason": "source generation superseded mid-rewrite;"
+            " marker untouched, rewrite left unreferenced",
+        }
     _commit_marker(spark, root, name)
     # "after" is THIS rewrite's generation, not a re-resolve of the
     # marker: a concurrent compactor may have flipped it (last marker
-    # wins), and this report is about what this rewrite produced
+    # wins), and this report is about what this rewrite produced.
+    # "committed" IS a re-resolve: False when our marker write lost.
+    gen_after = _resolve_table_generation(spark, root)
     return {
         "before": before,
         "after": file_stats(spark, f"{base}/data", target_file_bytes),
         "generation": name,
+        "committed": gen_after is not None
+        and gen_after.rsplit("/", 1)[-1] == name,
     }
 
 

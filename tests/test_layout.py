@@ -758,6 +758,53 @@ def test_manifest_partitioned_table_and_in_predicate(spark, tmp_path):
     assert mixed.count() == want > 0
 
 
+def test_compact_table_aborts_when_source_superseded(spark, tmp_path, monkeypatch):
+    """compact_table racing absorb_landing: the absorb commits a new
+    generation (and deletes its absorbed landing partitions) while the
+    compaction is mid-rewrite of the OLD generation. Flipping the
+    marker to the rewrite would lose those batches permanently — the
+    currency check must abort the flip instead, leaving the absorb's
+    generation current and every row intact."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        compact_table,
+        landing_append,
+        read_ingest_table,
+        read_table,
+    )
+
+    root = str(tmp_path / "ingest_race")
+    for b in range(3):
+        landing_append(spark.range(b * 10, b * 10 + 10).toDF("id"), root, b)
+    absorb_landing(spark, root, min_batches=1)
+    landing_append(spark.range(30, 40).toDF("id"), root, 3)
+
+    # inject the race: a concurrent absorb commits (and deletes batch
+    # 3's landing partition) while the compaction is mid-rewrite
+    real_manifest = layout._write_manifest
+    fired = {"n": 0}
+
+    def absorbing_manifest(sp, data_path, manifest_path, stats_cols=None):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            absorb_landing(sp, root, min_batches=1)
+        return real_manifest(sp, data_path, manifest_path, stats_cols)
+
+    monkeypatch.setattr(layout, "_write_manifest", absorbing_manifest)
+    rep = compact_table(spark, root, target_file_bytes=1 << 30)
+    monkeypatch.setattr(layout, "_write_manifest", real_manifest)
+
+    assert rep["committed"] is False and "superseded" in rep["reason"]
+    # the absorb's generation stayed current: all 40 rows, no loss
+    assert read_table(spark, root).count() == 40
+    assert read_ingest_table(spark, root).count() == 40
+    # a clean compaction afterwards commits normally
+    rep2 = compact_table(spark, root, target_file_bytes=1 << 30)
+    assert rep2["committed"] is True
+    assert read_ingest_table(spark, root).count() == 40
+
+
 def test_compact_table_carries_ingest_ledger(spark, tmp_path):
     """Compacting an ingest table's generation must carry _ABSORBED
     forward: without it a replayed landing partition of an absorbed
