@@ -328,7 +328,11 @@ def curate_resumable(
     analyzed-plan ``semanticHash`` + schema (falling back to
     schema + count — swapping the decontamination benchmark between
     runs must NOT silently resume against stages decontaminated on the
-    old one), ``expectations`` by the ordered rule names. The
+    old one), ``expectations`` by the ordered rule names PLUS each row
+    rule's predicate expression and each foreign-key rule's
+    reference-frame plan signature (a swapped ``satisfies`` predicate,
+    ``matches`` pattern, or FK dimension table under an unchanged name
+    must not silently resume either). The
     signature is deliberately cheap, so it cannot see a benchmark
     whose FILES were rewritten in place under an identical plan —
     rewrite-in-place callers pass ``force=True``. Resuming with
@@ -357,19 +361,38 @@ def curate_resumable(
         raise TypeError(f"unknown curate arguments: {sorted(unknown)}")
     sig.update(kwargs)
 
+    def _df_sig(v):
+        try:  # plan identity: stable across sessions for same source
+            h = v._jdf.queryExecution().analyzed().semanticHash()
+            return f"df:{v.schema.simpleString()}:sh{int(h)}"
+        except Exception:  # noqa: BLE001 - fallback: schema + count
+            return f"df:{v.schema.simpleString()}:n{v.count()}"
+
+    def _rule_sig(r):
+        # the name alone is NOT content for every kind: satisfies()
+        # takes a caller-chosen name that doesn't encode the predicate,
+        # matches()/in_set() bake the column but not the pattern/values,
+        # and foreign_key() never signs its ref frame — so a swapped
+        # predicate or reference table under an unchanged name would
+        # silently resume (the benchmark-swap hole, one level down).
+        # Row rules therefore sign name + predicate expression (the
+        # Column repr embeds it, deterministically for the same
+        # construction); foreign_key signs name + the ref frame's plan
+        # signature; unique's name already carries its full content.
+        parts = [r.name]
+        if r.kind == "row" and r.predicate is not None:
+            parts.append(repr(r.predicate))
+        if r.kind == "foreign_key":
+            parts.append(_df_sig(r.ref))
+        return "|".join(parts)
+
     def _content_sig(k, v):
         if v is None:
             return repr(v)
         if k == "expectations":
-            # rule identity = the ordered rule names (each factory bakes
-            # its parameters into the name)
-            return "rules:" + ";".join(r.name for r in v)
+            return "rules:" + ";".join(_rule_sig(r) for r in v)
         if k == "benchmark":
-            try:  # plan identity: stable across sessions for same source
-                h = v._jdf.queryExecution().analyzed().semanticHash()
-                return f"df:{v.schema.simpleString()}:sh{int(h)}"
-            except Exception:  # noqa: BLE001 - fallback: schema + count
-                return f"df:{v.schema.simpleString()}:n{v.count()}"
+            return _df_sig(v)
         return repr(v)
 
     fp_src = {k: _content_sig(k, v) for k, v in sorted(sig.items())}

@@ -228,9 +228,10 @@ def test_curate_expectations_gate(spark):
 
 def test_curate_resumable_resumes_after_interruption(spark, tmp_path):
     """A failing expectations gate interrupts the run AFTER stage 0
-    committed (the realistic mid-pipeline crash); the re-run must
-    resume from the committed stage — same generation, no recompute —
-    and the final output must match plain curate()."""
+    committed (the realistic mid-pipeline crash). Fixing the gate's
+    predicate is parameter drift (rule content signs the fingerprint)
+    and needs force; an identical re-run afterwards resumes fully with
+    no recompute, and the final output matches plain curate()."""
     import pytest
     from big_data___knowledge_graph_construction_with_llm_spark import fsutil
     from big_data___knowledge_graph_construction_with_llm_spark.operators import validate as V
@@ -256,21 +257,22 @@ def test_curate_resumable_resumes_after_interruption(spark, tmp_path):
         curate_resumable(df, root, expectations=[bad_rule], min_tokens=5)
     gen_q = fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
 
-    # run 2: same-NAMED rule with the predicate fixed (expectations are
-    # fingerprinted by their ordered rule names; predicate content is
-    # not hashed) -> resumes from the committed stage
+    # run 2: same-NAMED rule with the predicate fixed — rule content is
+    # part of the fingerprint (the predicate expression signs), so this
+    # is parameter drift and refuses rather than silently resuming a
+    # run gated under a different predicate; force proceeds
     ok_rule = V.satisfies("text_present", F.col("text").isNotNull())
-    out = curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_resumable(df, root, expectations=[ok_rule], min_tokens=5)
+    out = curate_resumable(
+        df, root, expectations=[ok_rule], min_tokens=5, force=True
+    )
     got = sorted(tuple(r) for r in out.collect())
     want = sorted(
         tuple(r) for r in curate(df, min_tokens=5).collect()
     )
     assert got == want
-    # stage 0 was NOT recomputed: its committed generation is unchanged
-    assert (
-        fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
-        == gen_q
-    )
+    gen_q = fsutil.read_text(spark, f"{root}/00_quality_gate/_CURRENT").strip()
 
     # run 3: full resume — every stage committed, nothing recomputes,
     # same rows come straight off the final stage's table
@@ -324,3 +326,36 @@ def test_curate_resumable_refuses_swapped_benchmark(spark, tmp_path):
     curate_resumable(df, root, benchmark=bench_a, min_tokens=3)
     with pytest.raises(ValueError, match="different parameters"):
         curate_resumable(df, root, benchmark=bench_b, min_tokens=3)
+
+
+def test_curate_resumable_refuses_swapped_fk_reference(spark, tmp_path):
+    """A foreign_key expectation's reference frame is content too:
+    swapping the dimension table under an unchanged rule name must
+    refuse resume (the ref frame's plan signature signs the
+    fingerprint), while the identical ref resumes cleanly."""
+    import pytest
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import validate as V
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.curation import (
+        curate_resumable,
+    )
+
+    rows = [
+        (i, f"document number {i} with enough distinct tokens to pass gates")
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "ckpt_fk")
+    ref_a = spark.range(0, 100).toDF("k")
+    ref_b = spark.range(0, 50).toDF("k")
+    rules_a = [V.foreign_key("doc_id", ref_a, "k")]
+    curate_resumable(df, root, expectations=rules_a, min_tokens=3)
+    # identical ref plan -> clean resume
+    curate_resumable(
+        df, root, expectations=[V.foreign_key("doc_id", ref_a, "k")],
+        min_tokens=3,
+    )
+    with pytest.raises(ValueError, match="different parameters"):
+        curate_resumable(
+            df, root, expectations=[V.foreign_key("doc_id", ref_b, "k")],
+            min_tokens=3,
+        )
