@@ -359,15 +359,32 @@ _MANIFEST_STAT_PREFIXES = (
 )
 
 
-def _json_bound(v, side: str):
+def _epoch_micros(aware) -> int:
+    """Exact UTC epoch microseconds of a tz-AWARE datetime (integer
+    timedelta division — no float round-trip)."""
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (aware - epoch) // _dt.timedelta(microseconds=1)
+
+
+def _json_bound(v, side: str, dtype: str | None = None):
     """A manifest-safe JSON value for a min/max bound, CONSERVATIVE
     under the round-trip: exact types (int/str/bool) pass through;
-    temporals become ISO strings (lexicographic order = their order);
+    dates become ISO strings (lexicographic order = their order);
     Decimal/float bounds are floats WIDENED one ULP outward
     (``nextafter`` toward -inf for a min, +inf for a max) so a lossy
     nearest-rounding can never narrow a file's span and prune a file
-    that held a matching row. ``None`` for unrepresentable types —
-    the column simply gets no stats entry."""
+    that held a matching row. TIMESTAMPS become UTC epoch-micros
+    INTS, never naive ISO strings — a session/driver timezone that
+    differs between manifest write and pruned read must not flip a
+    lexicographic comparison (ADVICE r10): collected ``timestamp``
+    values are OS-local naive (PySpark's ``fromtimestamp``), so
+    ``astimezone(utc)`` recovers the exact instant; ``timestamp_ntz``
+    wall-clock values map through the fixed wall-as-UTC convention
+    (both the write side and :func:`_query_bound` use it, so the
+    mapping is consistent and monotonic). ``None`` for
+    unrepresentable types — the column simply gets no stats entry."""
     import datetime as _dt
     import decimal
     import math
@@ -379,9 +396,125 @@ def _json_bound(v, side: str):
     if isinstance(v, decimal.Decimal):
         f = float(v)
         return math.nextafter(f, -math.inf if side == "min" else math.inf)
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        if v.tzinfo is not None:
+            return _epoch_micros(v)
+        if dtype == "timestamp_ntz":
+            return _epoch_micros(v.replace(tzinfo=_dt.timezone.utc))
+        # collected TimestampType values: OS-local naive, epoch-exact
+        return _epoch_micros(v.astimezone(_dt.timezone.utc))
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return None
+
+
+def _query_bound(val, side: str, dtype: str | None, session_tz: str | None):
+    """The query-side twin of :func:`_json_bound`: coerce a predicate
+    value to the manifest's bound representation for column ``dtype``.
+    Timestamp columns compare as UTC epoch micros — tz-aware values
+    convert exactly; NAIVE values are interpreted the way the residual
+    filter's ``F.lit`` interprets them (verified: the driver's OS
+    zone, NOT the session timezone), WIDENED outward across both DST
+    folds so an ambiguous wall hour can never flip a comparison; for
+    ``timestamp_ntz`` columns — whose residual comparison casts
+    through the SESSION zone — the candidate set additionally covers
+    the wall-as-UTC write convention and the session-zone reading, so
+    the prune stays conservative under every interpretation. Against
+    a pre-v2 manifest (no recorded type) a naive datetime falls back
+    to the legacy ISO comparison and an aware one returns ``None`` ⇒
+    keep — the tz-mismatched lexicographic compare was the one
+    non-conservative path (ADVICE r10)."""
+    import datetime as _dt
+
+    if isinstance(val, _dt.datetime):
+        t = dtype or ""
+        if t.startswith("timestamp"):
+            if val.tzinfo is not None:
+                return _epoch_micros(val)
+            cands = [
+                _epoch_micros(
+                    val.replace(fold=f).astimezone(_dt.timezone.utc)
+                )
+                for f in (0, 1)
+            ]
+            if t == "timestamp_ntz":
+                cands.append(
+                    _epoch_micros(val.replace(tzinfo=_dt.timezone.utc))
+                )
+                if session_tz:
+                    try:
+                        from zoneinfo import ZoneInfo
+
+                        z = ZoneInfo(session_tz)
+                    except Exception:  # unknown zone: can't cover it
+                        return None
+                    cands += [
+                        _epoch_micros(val.replace(tzinfo=z, fold=f))
+                        for f in (0, 1)
+                    ]
+            return min(cands) if side == "min" else max(cands)
+        if dtype is None and val.tzinfo is None:
+            return val.isoformat()  # legacy v1 naive-ISO spans
+        return None  # aware-vs-legacy or datetime on a non-ts column
+    return _json_bound(val, side, dtype)
+
+
+#: per-generation file count up to which the per-file manifest entries
+#: inline into the root ``_MANIFEST`` JSON (one driver-side read prunes
+#: everything); above it they live in the ``_MANIFEST_FILES`` parquet
+#: sidecar and the root holds only O(dirs) directory-level aggregates —
+#: a 10^6-file generation must not become a multi-hundred-MB driver
+#: object (VERDICT r9 #1)
+_MANIFEST_INLINE_MAX = 4096
+
+#: when at least this fraction of a directory's files survives
+#: file-level pruning, the whole DIRECTORY path goes to the reader
+#: instead of each file (one LIST beats 10^5 explicit path args)
+_WHOLE_DIR_FRACTION = 0.9
+
+#: hard cap on explicit per-file paths handed to the reader; past it
+#: the partially-surviving dirs are promoted whole (conservative
+#: superset — the residual filter still applies)
+_MAX_EXPLICIT_PATHS = 100_000
+
+
+def _dir_of(rel: str) -> str:
+    """Relative dir of a relative file path ('' for the data root)."""
+    i = rel.rfind("/")
+    return rel[:i] if i >= 0 else ""
+
+
+def _file_stat_aggs(cols: list[str]) -> list[Column]:
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for i, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
+    return aggs
+
+
+def _dirs_from_file_entries(files: list[dict], cols: list[str]) -> list[dict]:
+    """O(dirs) directory aggregates from per-file manifest entries:
+    a dir carries a column's span only when EVERY member file does
+    (else the dir level conservatively keeps)."""
+    by_dir: dict[str, list[dict]] = {}
+    for f in files:
+        by_dir.setdefault(_dir_of(f["file"]), []).append(f)
+    out = []
+    for d in sorted(by_dir):
+        members = by_dir[d]
+        stats = {}
+        for c in cols:
+            spans = [f["stats"].get(c) for f in members]
+            if all(s is not None for s in spans):
+                stats[c] = [min(s[0] for s in spans), max(s[1] for s in spans)]
+        out.append(
+            {
+                "dir": d,
+                "n_files": len(members),
+                "rows": sum(f["rows"] for f in members),
+                "stats": stats,
+            }
+        )
+    return out
 
 
 def _write_manifest(
@@ -389,14 +522,24 @@ def _write_manifest(
     data_path: str,
     manifest_path: str,
     stats_cols: list[str] | None = None,
+    inline_max: int | None = None,
 ) -> dict:
-    """Build and write a generation's ``_MANIFEST``: one JSON object
-    ``{version, columns, files: [{file, rows, stats: {col: [min,
-    max]}}]}`` with file paths RELATIVE to the data dir (hive
-    partition dirs included, so the manifest survives a root move).
-    One aggregate pass grouped by ``input_file_name()`` — the stats
-    columns decode once at write time so every later selective read
-    can skip whole files driver-side. Returns the manifest dict."""
+    """Build and write a generation's ``_MANIFEST`` (version 2): the
+    root JSON carries ``{version, columns, types, n_files, total_rows,
+    dirs: [{dir, n_files, rows, stats}]}`` — O(partition dirs), so it
+    stays a small driver object at ANY file count — plus either the
+    per-file entries INLINE (``files: [{file, rows, stats}]``, when the
+    generation has ≤ ``inline_max`` files: one driver read prunes
+    everything, no Spark job) or a ``files_table`` pointer to the
+    ``_MANIFEST_FILES`` parquet sidecar (written by Spark, never
+    collected — the per-file stats keep their NATIVE column types
+    there, so the file-level prune job compares exactly). File paths
+    are RELATIVE to the data dir (hive partition dirs included, so the
+    manifest survives a root move). One aggregate pass over the data
+    grouped by ``input_file_name()`` either way — the stats columns
+    decode once at write time so every later selective read can skip
+    whole directories driver-side and whole files sidecar-side.
+    Returns the root manifest dict."""
     import json
 
     df = spark.read.parquet(data_path)
@@ -413,38 +556,100 @@ def _write_manifest(
     missing = [c for c in cols if c not in types]
     if missing:
         raise ValueError(f"manifest stats_cols absent from data: {missing}")
-    aggs = [F.count(F.lit(1)).alias("_rows")]
-    for i, c in enumerate(cols):
-        aggs += [F.min(c).alias(f"_mn{i}"), F.max(c).alias(f"_mx{i}")]
-    from urllib.parse import unquote
-
-    rows = (
-        df.groupBy(F.input_file_name().alias("_file")).agg(*aggs).collect()
+    if inline_max is None:
+        inline_max = _MANIFEST_INLINE_MAX
+    n_files = len(fsutil.list_files(spark, data_path))
+    per_file = df.groupBy(F.input_file_name().alias("_uri")).agg(
+        *_file_stat_aggs(cols)
     )
-    files = []
-    for r in rows:
-        # input_file_name() is a URI: percent-decode ONCE to recover
-        # the on-disk path (hive-escaped partition values like
-        # 'lang=pt%3ABR' appear double-encoded in the URI; a space is
-        # '%20'); the manifest must store what the filesystem can open
-        full = unquote(r["_file"])
-        # LAST occurrence: the table root itself may contain "/data/",
-        # while nothing after the generation's data dir can (hive
-        # partition segments are k=v, never a bare "data")
-        anchor = full.rfind("/data/")
-        rel = full[anchor + len("/data/"):] if anchor >= 0 else full
-        stats = {}
-        for i, c in enumerate(cols):
-            mn = _json_bound(r[f"_mn{i}"], "min")
-            mx = _json_bound(r[f"_mx{i}"], "max")
-            if mn is not None and mx is not None:
-                stats[c] = [mn, mx]
-        files.append({"file": rel, "rows": int(r["_rows"]), "stats": stats})
-    manifest = {
-        "version": 1,
+    manifest: dict = {
+        "version": 2,
         "columns": cols,
-        "files": sorted(files, key=lambda f: f["file"]),
+        "types": {c: types[c] for c in cols},
+        "n_files": n_files,
     }
+    if n_files <= inline_max:
+        from urllib.parse import unquote
+
+        files = []
+        for r in per_file.collect():
+            # input_file_name() is a URI: percent-decode ONCE to
+            # recover the on-disk path (hive-escaped partition values
+            # like 'lang=pt%3ABR' appear double-encoded in the URI; a
+            # space is '%20'); the manifest must store what the
+            # filesystem can open. LAST "/data/" occurrence: the table
+            # root itself may contain "/data/", while nothing after
+            # the generation's data dir can (hive partition segments
+            # are k=v, never a bare "data")
+            full = unquote(r["_uri"])
+            anchor = full.rfind("/data/")
+            rel = full[anchor + len("/data/"):] if anchor >= 0 else full
+            stats = {}
+            for i, c in enumerate(cols):
+                mn = _json_bound(r[f"_mn{i}"], "min", types[c])
+                mx = _json_bound(r[f"_mx{i}"], "max", types[c])
+                if mn is not None and mx is not None:
+                    stats[c] = [mn, mx]
+            files.append({"file": rel, "rows": int(r["_rows"]), "stats": stats})
+        files.sort(key=lambda f: f["file"])
+        manifest["files"] = files
+        manifest["dirs"] = _dirs_from_file_entries(files, cols)
+        manifest["total_rows"] = sum(f["rows"] for f in files)
+    else:
+        # sidecar path: the per-file frame is NEVER collected. rel =
+        # percent-decoded URI after the LAST "/data/" (split takes the
+        # last element — same anchor rule as the inline path); dir =
+        # rel up to the last '/'
+        sidecar = manifest_path + "_FILES"
+        rel = F.element_at(F.split(F.url_decode(F.col("_uri")), "/data/"), -1)
+        keyed = per_file.withColumn("file", rel).withColumn(
+            "dir",
+            F.when(
+                F.col("file").contains("/"),
+                F.expr(
+                    "substring(file, 1,"
+                    " length(file) - instr(reverse(file), '/'))"
+                ),
+            ).otherwise(F.lit("")),
+        )
+        out_cols = ["dir", "file", F.col("_rows").alias("rows")] + [
+            c for i in range(len(cols)) for c in (f"_mn{i}", f"_mx{i}")
+        ]
+        n_out = max(1, -(-n_files // 500_000))
+        (
+            keyed.select(*out_cols)
+            .repartition(n_out)
+            .sortWithinPartitions("dir", "file")
+            .write.mode("overwrite")
+            .parquet(sidecar)
+        )
+        back = spark.read.parquet(sidecar)
+        dir_aggs = [F.count(F.lit(1)).alias("_nf"), F.sum("rows").alias("_r")]
+        for i in range(len(cols)):
+            dir_aggs += [
+                F.min(f"_mn{i}").alias(f"_mn{i}"),
+                F.max(f"_mx{i}").alias(f"_mx{i}"),
+            ]
+        dirs = []
+        for r in back.groupBy("dir").agg(*dir_aggs).collect():
+            stats = {}
+            for i, c in enumerate(cols):
+                mn = _json_bound(r[f"_mn{i}"], "min", types[c])
+                mx = _json_bound(r[f"_mx{i}"], "max", types[c])
+                if mn is not None and mx is not None:
+                    stats[c] = [mn, mx]
+            dirs.append(
+                {
+                    "dir": r["dir"],
+                    "n_files": int(r["_nf"]),
+                    "rows": int(r["_r"]),
+                    "stats": stats,
+                }
+            )
+        dirs.sort(key=lambda d: d["dir"])
+        manifest["dirs"] = dirs
+        manifest["total_rows"] = sum(d["rows"] for d in dirs)
+        manifest["files_table"] = "_MANIFEST_FILES"
     fsutil.write_text(spark, manifest_path, json.dumps(manifest))
     return manifest
 
@@ -473,14 +678,7 @@ def read_manifest(
 _PRUNE_OPS = ("==", "=", "<", "<=", ">", ">=", "in")
 
 
-def prune_manifest_files(manifest: dict, where) -> list[str]:
-    """The manifest files that MAY contain rows matching ``where`` —
-    a list of ``(col, op, value)`` conjuncts (or one such tuple).
-    Driver-side and conservative: a file is kept unless its recorded
-    ``[min, max]`` span PROVABLY excludes the predicate (missing
-    stats, unknown column, or a cross-type comparison ⇒ kept). Null
-    rows never match these predicates, so a min/max computed over
-    non-null values prunes safely even when the file holds nulls."""
+def _check_prune_preds(where) -> list[tuple]:
     preds = [where] if isinstance(where, tuple) else list(where)
     for col, op, _v in preds:
         if op not in _PRUNE_OPS:
@@ -488,39 +686,216 @@ def prune_manifest_files(manifest: dict, where) -> list[str]:
                 f"unsupported prune op {op!r} on {col!r};"
                 f" supported: {_PRUNE_OPS}"
             )
+    return preds
 
-    def may_match(stats: dict, col: str, op: str, val) -> bool:
-        span = stats.get(col)
-        if span is None:
-            return True
-        mn, mx = span
-        if op == "in":
-            # keep if ANY member may fall inside the span
-            return any(may_match(stats, col, "==", v) for v in val)
-        # widen the query value in the direction that KEEPS more files,
-        # mirroring the write-side widening (both are conservative)
-        lo = _json_bound(val, "min")
-        hi = _json_bound(val, "max")
-        if lo is None or hi is None:
-            return True
-        try:
-            if op in ("==", "="):
-                return mn <= hi and lo <= mx
-            if op == "<":
-                return mn < hi
-            if op == "<=":
-                return mn <= hi
-            if op == ">":
-                return mx > lo
-            return mx >= lo  # ">="
-        except TypeError:  # cross-type comparison: can't prove exclusion
-            return True
 
+def _span_may_match(
+    stats: dict,
+    col: str,
+    op: str,
+    val,
+    dtype: str | None,
+    session_tz: str | None,
+) -> bool:
+    """Conservative span test: True unless the recorded ``[min, max]``
+    PROVABLY excludes the predicate (missing stats, unknown column,
+    uninterpretable or cross-type query value ⇒ True). Null rows never
+    match these predicates, so a span computed over non-null values
+    prunes safely even when the file holds nulls."""
+    span = stats.get(col)
+    if span is None:
+        return True
+    mn, mx = span
+    if op == "in":
+        # keep if ANY member may fall inside the span
+        return any(
+            _span_may_match(stats, col, "==", v, dtype, session_tz)
+            for v in val
+        )
+    # widen the query value in the direction that KEEPS more files,
+    # mirroring the write-side widening (both are conservative)
+    lo = _query_bound(val, "min", dtype, session_tz)
+    hi = _query_bound(val, "max", dtype, session_tz)
+    if lo is None or hi is None:
+        return True
+    try:
+        if op in ("==", "="):
+            return mn <= hi and lo <= mx
+        if op == "<":
+            return mn < hi
+        if op == "<=":
+            return mn <= hi
+        if op == ">":
+            return mx > lo
+        return mx >= lo  # ">="
+    except TypeError:  # cross-type comparison: can't prove exclusion
+        return True
+
+
+def prune_manifest_files(
+    manifest: dict, where, session_tz: str | None = None
+) -> list[str]:
+    """The INLINE manifest files that MAY contain rows matching
+    ``where`` — a list of ``(col, op, value)`` conjuncts (or one such
+    tuple). Driver-side and conservative (see :func:`_span_may_match`).
+    Timestamp predicates on a v2 manifest compare as UTC epoch micros:
+    pass the Spark session timezone as ``session_tz`` so NAIVE
+    datetime values localize the way the residual ``F.lit`` will
+    (:func:`read_table` does); without it naive values conservatively
+    keep. Raises for a sharded manifest whose file entries live in the
+    ``_MANIFEST_FILES`` sidecar — use ``read_table(where=)`` (or
+    :func:`_prune_plan`) there."""
+    preds = _check_prune_preds(where)
+    if "files" not in manifest:
+        raise ValueError(
+            "manifest stores its file entries in the _MANIFEST_FILES"
+            " sidecar (files_table); prune via read_table(where=)"
+        )
+    types = manifest.get("types") or {}
     return [
         f["file"]
         for f in manifest["files"]
-        if all(may_match(f["stats"], c, op, v) for c, op, v in preds)
+        if all(
+            _span_may_match(f["stats"], c, op, v, types.get(c), session_tz)
+            for c, op, v in preds
+        )
     ]
+
+
+def _sidecar_prune_cond(
+    preds: list[tuple], stat_cols: list[str]
+) -> Column:
+    """The file-level prune predicate over the ``_MANIFEST_FILES``
+    sidecar's NATIVE-typed ``_mn{i}``/``_mx{i}`` columns — exact
+    comparisons, no JSON round-trip; null stats (all-null column in a
+    file) conservatively keep via ``coalesce``."""
+    idx = {c: i for i, c in enumerate(stat_cols)}
+    cond = F.lit(True)
+    for col, op, val in preds:
+        if col not in idx:
+            continue  # no stats for this column: cannot prune on it
+        mn, mx = F.col(f"_mn{idx[col]}"), F.col(f"_mx{idx[col]}")
+        if op == "in":
+            c = F.lit(False)
+            for v in val:
+                c = c | ((mn <= F.lit(v)) & (F.lit(v) <= mx))
+        elif op in ("==", "="):
+            c = (mn <= F.lit(val)) & (F.lit(val) <= mx)
+        elif op == "<":
+            c = mn < F.lit(val)
+        elif op == "<=":
+            c = mn <= F.lit(val)
+        elif op == ">":
+            c = mx > F.lit(val)
+        else:  # ">="
+            c = mx >= F.lit(val)
+        cond = cond & F.coalesce(c, F.lit(True))
+    return cond
+
+
+def _prune_plan(
+    spark: SparkSession,
+    manifest: dict,
+    where,
+    gen_dir: str,
+    session_tz: str | None = None,
+) -> dict:
+    """The structured prune a selective :func:`read_table` executes:
+    DIRECTORY-level spans (O(dirs), always driver-side) first, then
+    file-level within the surviving dirs — inline entries walk in
+    Python, sharded ones run one tiny Spark job over the
+    ``_MANIFEST_FILES`` sidecar (pushdown-friendly: sorted by dir).
+    Dirs where at least :data:`_WHOLE_DIR_FRACTION` of files survive
+    are handed to the reader WHOLE (one path, one LIST — the residual
+    filter covers the extra files), and the explicit path list is
+    capped at :data:`_MAX_EXPLICIT_PATHS` by promoting partial dirs
+    whole — the reader never receives an unbounded argument list.
+
+    Returns ``{"all": <every file survived>, "dirs": [rel dirs passed
+    whole], "files": [rel files passed explicitly], "kept_files":
+    <file count the union covers>}``; empty dirs+files means provably
+    no match."""
+    preds = _check_prune_preds(where)
+    types = manifest.get("types") or {}
+
+    def keep(stats: dict) -> bool:
+        return all(
+            _span_may_match(stats, c, op, v, types.get(c), session_tz)
+            for c, op, v in preds
+        )
+
+    dirs = manifest.get("dirs")
+    if dirs is None:  # v1 manifest: inline files only, no dir level
+        kept = prune_manifest_files(manifest, where, session_tz=session_tz)
+        return {
+            "all": len(kept) == len(manifest["files"]),
+            "dirs": [],
+            "files": kept,
+            "kept_files": len(kept),
+        }
+    kept_dirs = [d for d in dirs if keep(d["stats"])]
+    if not kept_dirs:
+        return {"all": False, "dirs": [], "files": [], "kept_files": 0}
+    nf = {d["dir"]: d["n_files"] for d in kept_dirs}
+
+    # file-level survivors per surviving dir
+    by_dir: dict[str, list[str]] = {}
+    if "files" in manifest:
+        in_kept = set(nf)
+        for f in manifest["files"]:
+            d = _dir_of(f["file"])
+            if d in in_kept and keep(f["stats"]):
+                by_dir.setdefault(d, []).append(f["file"])
+    else:
+        sdf = spark.read.parquet(f"{gen_dir}/{manifest['files_table']}")
+        if len(kept_dirs) < len(dirs):
+            sdf = sdf.filter(F.col("dir").isin(list(nf)))
+        surv = sdf.filter(
+            _sidecar_prune_cond(preds, manifest["columns"])
+        ).select("dir", "file")
+        surv = surv.persist()
+        try:
+            counts = {
+                r["dir"]: r["n"]
+                for r in surv.groupBy("dir").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            partial = [
+                d
+                for d, n in counts.items()
+                if n < _WHOLE_DIR_FRACTION * nf[d]
+            ]
+            n_explicit = sum(counts[d] for d in partial)
+            if partial and n_explicit <= _MAX_EXPLICIT_PATHS:
+                for r in surv.filter(F.col("dir").isin(partial)).collect():
+                    by_dir.setdefault(r["dir"], []).append(r["file"])
+            elif partial:  # cap: promote every partial dir whole
+                partial = []
+            for d, n in counts.items():
+                if d not in partial:
+                    by_dir[d] = None  # sentinel: whole dir
+        finally:
+            surv.unpersist()
+
+    whole, files, kept_files = [], [], 0
+    for d, members in sorted(by_dir.items()):
+        if members is None or len(members) >= _WHOLE_DIR_FRACTION * nf[d]:
+            whole.append(d)
+            kept_files += nf[d]
+        else:
+            files += sorted(members)
+            kept_files += len(members)
+    if len(files) > _MAX_EXPLICIT_PATHS:  # inline-path cap, same rule
+        promoted = sorted({_dir_of(f) for f in files})
+        kept_files += sum(nf[d] for d in promoted) - len(files)
+        whole, files = sorted(set(whole) | set(promoted)), []
+    return {
+        "all": kept_files >= manifest.get("n_files", float("inf")),
+        "dirs": whole,
+        "files": files,
+        "kept_files": kept_files,
+    }
 
 
 def _where_column(where) -> Column:
@@ -560,14 +935,22 @@ def read_table(
 
     ``where`` — ``(col, op, value)`` or a list of such conjuncts (ops:
     ``== = < <= > >= in``; ``in`` takes a value list) — turns the
-    read MANIFEST-PRUNED: the file
-    list comes from the generation's ``_MANIFEST`` (one small JSON
-    read), files whose min/max provably exclude the predicate are
-    never opened (no LIST, no footer read — at 100 TB that metadata
-    is the first wall a selective query hits), and the survivors
-    still carry the exact residual filter so results are identical
-    to ``read_table(...).filter(...)``. Generations without a
-    manifest fall back to the full read + filter."""
+    read MANIFEST-PRUNED: the generation's ``_MANIFEST`` (one small
+    JSON read, O(partition dirs) however many files the generation
+    holds) prunes DIRECTORY spans driver-side first, then file spans
+    (inline for small generations; one tiny Spark job over the
+    ``_MANIFEST_FILES`` sidecar for sharded ones), and the reader
+    receives whole-directory paths wherever a dir survives (near-)
+    intact — so neither the root manifest, the prune, nor the path
+    argument list grows O(files) at a 10^5-10^6-file generation.
+    Excluded files are never opened (no LIST, no footer read — at
+    100 TB that metadata is the first wall a selective query hits),
+    and the survivors still carry the exact residual filter so
+    results are identical to ``read_table(...).filter(...)``.
+    Timestamp predicates: tz-aware datetimes compare exactly; naive
+    ones are interpreted in the current SESSION timezone (matching
+    the residual ``F.lit``). Generations without a manifest fall back
+    to the full read + filter."""
     if generation is not None:
         base = f"{root}/{generation}"
         if not fsutil.exists(spark, f"{base}/_COMPLETE"):
@@ -589,13 +972,24 @@ def read_table(
     )
     if manifest is None:  # pre-manifest generation: full read + filter
         return spark.read.parquet(data).filter(cond)
-    kept = prune_manifest_files(manifest, where)
-    if not kept:
+    plan = _prune_plan(
+        spark,
+        manifest,
+        where,
+        gen_dir=base,
+        session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+    )
+    if not plan["dirs"] and not plan["files"]:
         # no file can match: an empty frame with the table's schema
         # (schema from ONE footer via the normal reader, zero data rows)
         return spark.read.parquet(data).filter(F.lit(False))
+    if plan["all"]:
+        return spark.read.parquet(data).filter(cond)
+    paths = [data if d == "" else f"{data}/{d}" for d in plan["dirs"]] + [
+        f"{data}/{f}" for f in plan["files"]
+    ]
     reader = spark.read.option("basePath", data)
-    return reader.parquet(*[f"{data}/{f}" for f in kept]).filter(cond)
+    return reader.parquet(*paths).filter(cond)
 
 
 def list_table_generations(spark: SparkSession, root: str) -> list[dict]:
@@ -663,7 +1057,9 @@ def write_table(
     if manifest:
         _write_manifest(spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols)
     for fname, content in (extra_files or {}).items():
-        if fname in ("_COMPLETE", "_MANIFEST", "data") or "/" in fname:
+        if fname in (
+            "_COMPLETE", "_MANIFEST", "_MANIFEST_FILES", "data"
+        ) or "/" in fname:
             raise ValueError(f"extra_files name {fname!r} collides with the protocol")
         fsutil.write_text(spark, f"{base}/{fname}", content)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
@@ -766,7 +1162,7 @@ def compact_table(
     if verify:
         n0 = df.count()
         n1 = (
-            sum(f["rows"] for f in man["files"])
+            man["total_rows"]
             if man is not None
             else spark.read.parquet(f"{base}/data").count()
         )

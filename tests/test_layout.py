@@ -607,6 +607,191 @@ def test_prune_manifest_files_op_semantics():
         prune_manifest_files(man, ("x", "!=", 1))
 
 
+def test_manifest_sidecar_sharded_prune(spark, tmp_path, monkeypatch):
+    """Past the inline threshold the per-file entries live in the
+    _MANIFEST_FILES parquet sidecar: the root JSON stays O(dirs), the
+    file-level prune runs as one tiny Spark job, and the pruned read
+    still opens only the surviving files with results identical to the
+    full read + filter."""
+    import pytest as _pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        prune_manifest_files,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    monkeypatch.setattr(layout, "_MANIFEST_INLINE_MAX", 4)
+    root = str(tmp_path / "tbl_shard")
+    df = _corpus(spark, n=20_000)
+    write_table(
+        df.repartitionByRange(16, F.col("a")).sortWithinPartitions("a"), root
+    )
+    man = read_manifest(spark, root)
+    assert man["version"] == 2 and "files" not in man
+    assert man["files_table"] == "_MANIFEST_FILES"
+    assert man["n_files"] == 16 and man["total_rows"] == 20_000
+    assert len(man["dirs"]) == 1  # unpartitioned: one root dir
+    d = man["dirs"][0]
+    assert d["dir"] == "" and d["n_files"] == 16 and d["rows"] == 20_000
+    assert d["stats"]["a"] == [0, 999]
+
+    where = [("a", ">=", 100), ("a", "<", 120)]
+    pruned = read_table(spark, root, where=where)
+    full = read_table(spark, root).filter(
+        (F.col("a") >= 100) & (F.col("a") < 120)
+    )
+    assert pruned.count() == full.count() > 0
+    assert pruned.agg(F.sum("id")).first()[0] == full.agg(F.sum("id")).first()[0]
+    assert 0 < len(pruned.select("id").inputFiles()) < 16
+
+    # the inline driver-side walker refuses a sharded manifest rather
+    # than silently pruning nothing
+    with _pytest.raises(ValueError, match="sidecar"):
+        prune_manifest_files(man, where)
+
+    # beyond-domain predicate: zero survivors, schema-correct empty
+    none = read_table(spark, root, where=("a", ">", 10_000))
+    assert none.count() == 0 and none.columns == full.columns
+    # non-selective predicate: everything survives -> plain full read
+    allr = read_table(spark, root, where=("a", ">=", 0))
+    assert allr.count() == 20_000
+
+
+def test_manifest_sharded_whole_dir_pass(spark, tmp_path, monkeypatch):
+    """Sharded prune over a HIVE-partitioned generation: a directory
+    whose every file survives is handed to the reader as ONE whole-dir
+    path (no explicit per-file argument list), dir-level spans exclude
+    whole directories before any file-level work, and results stay
+    identical to the filtered full read."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _prune_plan,
+        current_table_path,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    monkeypatch.setattr(layout, "_MANIFEST_INLINE_MAX", 4)
+    root = str(tmp_path / "tbl_shard_part")
+    df = _corpus(spark, n=20_000).withColumn("bucket", F.col("id") % 4)
+    write_table(df.repartition(8), root, partition_by=["bucket"])
+    man = read_manifest(spark, root)
+    assert "files" not in man and len(man["dirs"]) == 4
+    assert {d["dir"] for d in man["dirs"]} == {f"bucket={b}" for b in range(4)}
+
+    gen_dir = current_table_path(spark, root)[: -len("/data")]
+    plan = _prune_plan(spark, man, ("bucket", "==", 2), gen_dir)
+    # dir-level exclusion alone resolves the predicate; the surviving
+    # dir passes WHOLE (file level keeps all its files)
+    assert plan["dirs"] == ["bucket=2"] and plan["files"] == []
+    got = read_table(spark, root, where=("bucket", "==", 2))
+    assert "bucket" in got.columns and got.count() == 5_000
+    assert all("bucket=2" in f for f in got.select("id").inputFiles())
+
+    # a dir no file can match at dir level -> provably-empty read
+    plan_none = _prune_plan(spark, man, ("bucket", "==", 7), gen_dir)
+    assert plan_none["dirs"] == [] and plan_none["files"] == []
+    assert read_table(spark, root, where=("bucket", "==", 7)).count() == 0
+
+    # conjunct across partition + data columns still matches the
+    # filtered full read exactly
+    mixed = read_table(
+        spark, root, where=[("bucket", "in", [1, 3]), ("a", "<", 100)]
+    )
+    want = df.filter(F.col("bucket").isin(1, 3) & (F.col("a") < 100))
+    assert mixed.count() == want.count() > 0
+
+
+def test_manifest_timestamp_bounds_are_timezone_safe(spark, tmp_path):
+    """Timestamp manifest bounds are UTC epoch micros, not naive ISO
+    strings: tz-aware predicates prune exactly, and NAIVE predicates
+    are interpreted in the SESSION timezone — matching the residual
+    F.lit — so a session tz that differs from the write-time zone can
+    never flip a comparison and drop a matching file (ADVICE r10)."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "tbl_ts")
+    base_s = 1_700_000_000
+    df = spark.range(1_000).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(base_s) + F.col("id") * 60).alias("ts"),
+    )
+    write_table(
+        df.repartitionByRange(8, F.col("ts")).sortWithinPartitions("ts"), root
+    )
+    man = read_manifest(spark, root)
+    assert man["types"]["ts"].startswith("timestamp")
+    span = man["files"][0]["stats"]["ts"]
+    assert isinstance(span[0], int) and isinstance(span[1], int)
+
+    lo = dt.datetime.fromtimestamp(base_s + 100 * 60, dt.timezone.utc)
+    hi = dt.datetime.fromtimestamp(base_s + 200 * 60, dt.timezone.utc)
+    where = [("ts", ">=", lo), ("ts", "<", hi)]
+    pruned = read_table(spark, root, where=where)
+    full = read_table(spark, root).filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+    )
+    assert pruned.count() == full.count() == 100
+    assert 0 < len(pruned.select("id").inputFiles()) < 8
+
+    # naive predicate under a flipped SESSION tz: F.lit interprets a
+    # naive datetime in the driver's OS zone regardless of session tz
+    # (probed), and the prune uses the same interpretation — so the
+    # pruned read still equals the residual-filtered full read, with
+    # files actually skipped, even when the session tz at read time
+    # differs from the write-time zone
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        lo_n, hi_n = lo.replace(tzinfo=None), hi.replace(tzinfo=None)
+        os_off = lo.astimezone().utcoffset()  # this container: UTC
+        assert os_off == dt.timedelta(0), "test assumes a UTC OS zone"
+        pruned_n = read_table(
+            spark, root, where=[("ts", ">=", lo_n), ("ts", "<", hi_n)]
+        )
+        full_n = read_table(spark, root).filter(
+            (F.col("ts") >= F.lit(lo_n)) & (F.col("ts") < F.lit(hi_n))
+        )
+        assert pruned_n.count() == full_n.count() == 100
+        assert 0 < len(pruned_n.select("id").inputFiles()) < 8
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert ZoneInfo  # imported for documentation of the OS-zone probe
+
+    # legacy v1 manifest (naive-ISO spans, no types) + tz-aware value:
+    # uninterpretable comparison keeps every file — never a wrong drop
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        prune_manifest_files,
+    )
+
+    man_v1 = {
+        "version": 1,
+        "columns": ["ts"],
+        "files": [
+            {"file": "f0", "rows": 1,
+             "stats": {"ts": ["2024-01-01T00:00:00", "2024-01-02T00:00:00"]}},
+            {"file": "f1", "rows": 1,
+             "stats": {"ts": ["2024-06-01T00:00:00", "2024-06-02T00:00:00"]}},
+        ],
+    }
+    aware = dt.datetime(2024, 1, 1, 12, tzinfo=dt.timezone.utc)
+    assert prune_manifest_files(man_v1, ("ts", "==", aware)) == ["f0", "f1"]
+    # naive value against v1 keeps the legacy lexicographic behavior
+    naive = dt.datetime(2024, 1, 1, 12)
+    assert prune_manifest_files(man_v1, ("ts", "==", naive)) == ["f0"]
+
+
 def test_commit_marker_failure_semantics(spark, tmp_path, monkeypatch):
     """A marker-write failure is swallowed ONLY when a concurrent
     winner demonstrably exists; on a first-ever write (no winner) it

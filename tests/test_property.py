@@ -1139,26 +1139,48 @@ def test_prune_manifest_soundness_property():
         }
         return all(table[o](row[c], v) for c, o, v in preds)
 
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _dirs_from_file_entries,
+        _prune_plan,
+    )
+
     @settings(max_examples=300, deadline=None)
     @given(st.lists(st.tuples(file_strat, file_strat), min_size=1, max_size=6), pred_strat)
     def check(files, preds):
-        manifest = {
-            "version": 1,
-            "columns": ["x", "y"],
-            "files": [
-                {
-                    "file": f"f{i}",
-                    "rows": len(xs),
-                    "stats": {
-                        "x": [min(xs), max(xs)],
-                        "y": [min(ys), max(ys)],
-                    },
-                }
-                # pair x/y values positionally; unequal lengths cycle
-                for i, (xs, ys) in enumerate(files)
-            ],
-        }
+        entries = [
+            {
+                # spread files over two hive dirs so the v2 DIR level
+                # actually exercises (below)
+                "file": f"p={i % 2}/f{i}",
+                "rows": len(xs),
+                "stats": {
+                    "x": [min(xs), max(xs)],
+                    "y": [min(ys), max(ys)],
+                },
+            }
+            # pair x/y values positionally; unequal lengths cycle
+            for i, (xs, ys) in enumerate(files)
+        ]
+        manifest = {"version": 1, "columns": ["x", "y"], "files": entries}
         kept = set(prune_manifest_files(manifest, preds))
+
+        # v2 inline: dir-level spans prune first, whole-dir collapse
+        # may hand a superset — completeness must still hold
+        man2 = dict(
+            manifest,
+            version=2,
+            types={"x": "bigint", "y": "bigint"},
+            n_files=len(entries),
+            total_rows=sum(e["rows"] for e in entries),
+            dirs=_dirs_from_file_entries(entries, ["x", "y"]),
+        )
+        plan = _prune_plan(None, man2, preds, gen_dir="unused")
+        kept2 = set(plan["files"]) | {
+            e["file"]
+            for e in entries
+            if e["file"].rsplit("/", 1)[0] in set(plan["dirs"])
+        }
+
         for i, (xs, ys) in enumerate(files):
             n = max(len(xs), len(ys))
             rows = [
@@ -1166,6 +1188,7 @@ def test_prune_manifest_soundness_property():
                 for j in range(n)
             ]
             if any(matches(r, preds) for r in rows):
-                assert f"f{i}" in kept, (files[i], preds)
+                assert f"p={i % 2}/f{i}" in kept, (files[i], preds)
+                assert f"p={i % 2}/f{i}" in kept2, (files[i], preds)
 
     check()
