@@ -477,6 +477,107 @@ def layout_experiment(spark, sf_dir: str) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def manifest_scale_experiment(
+    spark, n_files: int = 50_000, n_dirs: int = 64
+) -> dict:
+    """The manifest machinery at METADATA scale (VERDICT r9 #1): a
+    generation with ~``n_files`` real parquet files across ``n_dirs``
+    hive partition dirs, range-clustered within each dir so file spans
+    are prunable. Measures what the sharded v2 design must keep flat:
+    root ``_MANIFEST`` bytes (O(dirs), never O(files)), manifest build
+    wall, prune wall for a ~1%-selective data predicate (dir spans
+    driver-side + one tiny sidecar job) and for a single-partition
+    predicate (whole-dir pass), files actually opened by the pruned
+    read, and row parity against the filtered full read. Scratch data
+    is tiny per file — the experiment prices the METADATA path, which
+    depends on file counts, not bytes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _prune_plan,
+        current_table_path,
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="manifest_scale_")
+    try:
+        root = f"{scratch}/tbl"
+        files_per_dir = n_files // n_dirs
+        n_rows = n_files * 4
+        df = spark.range(n_rows).select(
+            F.col("id"),
+            (F.col("id") % n_dirs).alias("bucket"),
+            F.col("id").alias("k"),
+        )
+        # each range task holds a disjoint k slice x all buckets ->
+        # ~files_per_dir files per dir, disjoint k spans within a dir
+        t0 = time.perf_counter()
+        write_table(
+            df.repartitionByRange(files_per_dir, F.col("k"))
+            .sortWithinPartitions("k"),
+            root,
+            partition_by=["bucket"],
+        )
+        write_s = round(time.perf_counter() - t0, 2)
+        man = read_manifest(spark, root)
+        gen_dir = current_table_path(spark, root)[: -len("/data")]
+        root_bytes = len(fsutil.try_read_text(spark, f"{gen_dir}/_MANIFEST") or "")
+        sidecar_files = fsutil.list_files(spark, f"{gen_dir}/_MANIFEST_FILES")
+
+        # ~1%-selective k-window: dir level keeps every dir (k spans
+        # all buckets), the sidecar job does the file-level work
+        lo, hi = int(n_rows * 0.40), int(n_rows * 0.41)
+        where_k = [("k", ">=", lo), ("k", "<", hi)]
+        t0 = time.perf_counter()
+        plan_k = _prune_plan(spark, man, where_k, gen_dir)
+        prune_k_s = round(time.perf_counter() - t0, 3)
+        pruned = read_table(spark, root, where=where_k)
+        opened_k = len(pruned.select("id").inputFiles())
+        rows_pruned = pruned.count()
+        rows_full = (
+            read_table(spark, root)
+            .filter((F.col("k") >= lo) & (F.col("k") < hi))
+            .count()
+        )
+
+        # single-partition predicate: resolved at dir level, handed to
+        # the reader as ONE whole-dir path
+        t0 = time.perf_counter()
+        plan_b = _prune_plan(spark, man, ("bucket", "==", 3), gen_dir)
+        prune_b_s = round(time.perf_counter() - t0, 3)
+        return {
+            "n_files": man["n_files"],
+            "n_dirs": len(man["dirs"]),
+            "sharded": "files_table" in man,
+            "write_s": write_s,
+            "root_manifest_bytes": root_bytes,
+            "sidecar_files": len(sidecar_files),
+            "sidecar_bytes": sum(sz for _, sz in sidecar_files),
+            "selective": {
+                "prune_s": prune_k_s,
+                "kept_files": plan_k["kept_files"],
+                "whole_dirs": len(plan_k["dirs"]),
+                "explicit_files": len(plan_k["files"]),
+                "files_opened": opened_k,
+                "rows_match": rows_pruned == rows_full,
+            },
+            "partition": {
+                "prune_s": prune_b_s,
+                "whole_dirs": plan_b["dirs"],
+                "explicit_files": len(plan_b["files"]),
+                "kept_files": plan_b["kept_files"],
+            },
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _bpe_corpus(spark, sf_dir: str, copies: int = 1):
     """Deterministic HIGH-CARDINALITY word corpus derived from
     lineitem — the bench ``documents`` table has a closed 31-word
@@ -708,6 +809,10 @@ def main() -> None:
 
     skew = skew_join_experiment(spark, scaled_dir)
 
+    # manifest machinery at METADATA scale: ~50k real files — the tier
+    # the sharded v2 root/sidecar split exists for (VERDICT r9 #1)
+    manifest50k = manifest_scale_experiment(spark, n_files=50_000, n_dirs=64)
+
     # BPE at realistic distinct-word cardinality, two tiers: ~1M
     # distinct words at 1x, ~10M at 10x (copy-minted tails), proving
     # the frequency-split encode's distinct-word bound on the axis
@@ -760,6 +865,7 @@ def main() -> None:
         "scaled100": scaled100,
         "ratio100": ratios(scaled100, base),
         "skew_join": skew,
+        "manifest50k": manifest50k,
         "bpe": bpe,
         "driver": {
             "py_maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
