@@ -1380,46 +1380,92 @@ def clustering_stats(path: str, column: str) -> dict:
 # written before _COMPLETE = covered by the commit point) that the
 # combined reader subtracts from the landing view.
 
-#: landing partition column for ingest tables
+#: landing partition columns for ingest tables. Lineage names the
+#: CHECKPOINT lineage a stream runs under (the fingerprint store's
+#: lesson, r4): batch ids restart at 0 on a fresh checkpoint, and a
+#: second stream landing into the same root needs its own namespace —
+#: without it, dynamic partition overwrite silently replaces another
+#: run's partitions and loses rows.
+_LINEAGE_COL = "_lineage"
 _BATCH_COL = "_batch_id"
 
+#: the lineage name pre-lineage layouts (bare ``_batch_id=`` dirs, a
+#: bare-list ledger) migrate onto — RESERVED: a live stream landing
+#: under it would collide with that migrated history
+_LEGACY_LINEAGE = "legacy"
 
-def landing_append(batch: DataFrame, root: str, batch_id: int) -> None:
+
+def _check_lineage(lineage: str) -> str:
+    if (
+        not lineage
+        or lineage == _LEGACY_LINEAGE
+        or any(ch in lineage for ch in "/=")
+    ):
+        raise ValueError(
+            f"invalid ingest lineage {lineage!r}: must be non-empty,"
+            f" not the reserved {_LEGACY_LINEAGE!r} (pre-lineage history"
+            " migrates onto it), and free of '/' and '='"
+        )
+    return lineage
+
+
+def landing_append(
+    batch: DataFrame, root: str, batch_id: int, lineage: str = "default"
+) -> None:
     """``foreachBatch`` emit body landing one micro-batch as ONE
-    ``_batch_id=<id>`` partition under ``root/landing`` — dynamic
-    partition overwrite, so an at-least-once replay rewrites its own
-    partition instead of doubling rows. Pair with
-    :func:`read_ingest_table` (readers) and :func:`absorb_landing`
+    ``_lineage=<l>/_batch_id=<id>`` partition under ``root/landing`` —
+    dynamic partition overwrite, so an at-least-once replay rewrites
+    its own partition instead of doubling rows. ``lineage`` names the
+    checkpoint lineage (same contract as
+    ``streaming.events.incremental_dedup_sink``): keep one string as
+    long as the query restarts FROM THE SAME CHECKPOINT, pick a new
+    one whenever you start over with a fresh checkpoint (batch ids
+    restart at 0 — under the old lineage they would dynamic-overwrite
+    absorbed history) or run a SECOND stream into the same root. Pair
+    with :func:`read_ingest_table` (readers) and :func:`absorb_landing`
     (maintenance)."""
+    _check_lineage(lineage)
     (
-        batch.withColumn(_BATCH_COL, F.lit(int(batch_id)))
-        .write.partitionBy(_BATCH_COL)
+        batch.withColumn(_LINEAGE_COL, F.lit(lineage))
+        .withColumn(_BATCH_COL, F.lit(int(batch_id)))
+        .write.partitionBy(_LINEAGE_COL, _BATCH_COL)
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(f"{root}/landing")
     )
 
 
-def _absorbed_ids(spark: SparkSession, gen_dir: str | None) -> set[int]:
-    """Decode a generation's ``_ABSORBED`` ledger: items are either
-    bare batch ids or ``[lo, hi]`` inclusive ranges (batch ids are
-    near-contiguous, so the range form keeps the ledger O(gaps) — a
-    years-long ingest stays a handful of ranges, not one int per
-    micro-batch ever absorbed)."""
-    import json
-
-    if gen_dir is None:
-        return set()
-    text = fsutil.try_read_text(spark, f"{gen_dir}/_ABSORBED")
-    if not text:
-        return set()
+def _decode_ranges(items: list) -> set[int]:
     out: set[int] = set()
-    for item in json.loads(text):
+    for item in items:
         if isinstance(item, list):
             out.update(range(item[0], item[1] + 1))
         else:
             out.add(int(item))
     return out
+
+
+def _absorbed_ids(
+    spark: SparkSession, gen_dir: str | None
+) -> dict[str, set[int]]:
+    """Decode a generation's ``_ABSORBED`` ledger into
+    ``{lineage: batch ids}``. Items per lineage are bare batch ids or
+    ``[lo, hi]`` inclusive ranges (batch ids are near-contiguous, so
+    the range form keeps the ledger O(gaps) — a years-long ingest
+    stays a handful of ranges per lineage, not one int per micro-batch
+    ever absorbed). A pre-lineage ledger (bare JSON list) decodes as
+    the reserved legacy lineage."""
+    import json
+
+    if gen_dir is None:
+        return {}
+    text = fsutil.try_read_text(spark, f"{gen_dir}/_ABSORBED")
+    if not text:
+        return {}
+    doc = json.loads(text)
+    if isinstance(doc, list):  # pre-lineage ledger
+        return {_LEGACY_LINEAGE: _decode_ranges(doc)}
+    return {lin: _decode_ranges(items) for lin, items in doc.items()}
 
 
 def _encode_ranges(ids: set[int]) -> list:
@@ -1436,29 +1482,95 @@ def _encode_ranges(ids: set[int]) -> list:
     return out
 
 
-def _landing_batch_dirs(spark: SparkSession, root: str) -> dict[int, str]:
-    """batch_id → partition dir name currently present in landing."""
-    out: dict[int, str] = {}
-    for name, _ in fsutil.list_dir(spark, f"{root}/landing"):
-        if name.startswith(f"{_BATCH_COL}="):
-            out[int(name.split("=", 1)[1])] = name
+def _encode_ledger(by_lineage: dict[str, set[int]]) -> str:
+    import json
+
+    return json.dumps(
+        {lin: _encode_ranges(ids) for lin, ids in sorted(by_lineage.items())}
+    )
+
+
+def _covers(
+    ledger: dict[str, set[int]], pending: dict[tuple[str, int], str]
+) -> bool:
+    """Does a decoded ledger cover every (lineage, batch) key?"""
+    return all(b in ledger.get(lin, ()) for lin, b in pending)
+
+
+def _landing_batch_dirs(
+    spark: SparkSession, root: str
+) -> dict[tuple[str, int], str]:
+    """(lineage, batch_id) → landing-relative partition dir currently
+    present. Pre-lineage layouts (bare ``_batch_id=`` dirs at the
+    landing root) enumerate under the reserved legacy lineage, so a
+    root written by an older engine keeps reading and absorbing."""
+    landing = f"{root}/landing"
+    out: dict[tuple[str, int], str] = {}
+    for name, _ in fsutil.list_dir(spark, landing):
+        if name.startswith(f"{_BATCH_COL}="):  # pre-lineage layout
+            out[(_LEGACY_LINEAGE, int(name.split("=", 1)[1]))] = name
+        elif name.startswith(f"{_LINEAGE_COL}="):
+            lin = name.split("=", 1)[1]
+            for sub, _m in fsutil.list_dir(spark, f"{landing}/{name}"):
+                if sub.startswith(f"{_BATCH_COL}="):
+                    out[(lin, int(sub.split("=", 1)[1]))] = f"{name}/{sub}"
     return out
 
 
 def _ingest_pending(
     spark: SparkSession, root: str
-) -> tuple[str | None, dict[int, str]]:
-    """(generation dir, unabsorbed landing partitions) — the one view
-    construction shared by the reader and the absorb pass. The landing
-    LISTS FIRST, the marker resolves AFTER: an absorb committing in
-    between can only ADD ledger entries that subtract from the listing
-    (never a committed batch missing from both legs); the reverse
-    order could resolve the OLD generation and then list a landing the
-    new commit's deletes already emptied."""
+) -> tuple[str | None, dict[tuple[str, int], str]]:
+    """(generation dir, unabsorbed landing partitions keyed by
+    (lineage, batch_id)) — the one view construction shared by the
+    reader and the absorb pass. The landing LISTS FIRST, the marker
+    resolves AFTER: an absorb committing in between can only ADD
+    ledger entries that subtract from the listing (never a committed
+    batch missing from both legs); the reverse order could resolve
+    the OLD generation and then list a landing the new commit's
+    deletes already emptied."""
     pending_all = _landing_batch_dirs(spark, root)  # list FIRST
     gen = _resolve_table_generation(spark, root)    # resolve AFTER
     absorbed = _absorbed_ids(spark, gen)
-    return gen, {b: d for b, d in pending_all.items() if b not in absorbed}
+    return gen, {
+        k: d
+        for k, d in pending_all.items()
+        if k[1] not in absorbed.get(k[0], ())
+    }
+
+
+def _ingest_frames(
+    spark: SparkSession,
+    root: str,
+    gen: str | None,
+    pending: dict[tuple[str, int], str],
+) -> list[DataFrame]:
+    """The frames an ingest view unions: the generation's data (rows
+    written pre-lineage gain the legacy ``_lineage``) and the pending
+    landing partitions — lineage-layout dirs in one basePath read,
+    pre-lineage bare ``_batch_id=`` dirs (which carry no lineage
+    partition dir) in another with the legacy lineage stamped on."""
+    landing = f"{root}/landing"
+    parts: list[DataFrame] = []
+    if gen is not None:
+        g = spark.read.parquet(f"{gen}/data")
+        if _LINEAGE_COL not in g.columns:
+            g = g.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+        parts.append(g)
+    lineage_dirs = sorted(d for d in pending.values() if "/" in d)
+    legacy_dirs = sorted(d for d in pending.values() if "/" not in d)
+    if lineage_dirs:
+        parts.append(
+            spark.read.option("basePath", landing).parquet(
+                *[f"{landing}/{d}" for d in lineage_dirs]
+            )
+        )
+    if legacy_dirs:
+        parts.append(
+            spark.read.option("basePath", landing)
+            .parquet(*[f"{landing}/{d}" for d in legacy_dirs])
+            .withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+        )
+    return parts
 
 
 def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
@@ -1468,9 +1580,14 @@ def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
     in the generation's ``_ABSORBED`` ledger the instant the marker
     commits, so a straggling landing partition (delete pending, or a
     checkpoint replay re-landing an absorbed batch) is subtracted from
-    the landing leg rather than read twice. Batch-only consumers that
-    want a STABLE snapshot keep using :func:`read_table` (data as of
-    the last absorb). Rows carry the ``_batch_id`` lineage column.
+    the landing leg rather than read twice — PER LINEAGE, so a fresh
+    checkpoint restarting batch ids at 0 under a new lineage never
+    collides with absorbed history, and two streams landing into one
+    root stay disjoint. Batch-only consumers that want a STABLE
+    snapshot keep using :func:`read_table` (data as of the last
+    absorb). Rows carry the ``_lineage`` and ``_batch_id`` columns;
+    pre-lineage rows and landing dirs read under the reserved legacy
+    lineage.
 
     LAZY-READER TOCTOU (the ``gc_table_generations`` note, landing
     edition): the returned frame is lazy — a reader still scanning a
@@ -1479,16 +1596,7 @@ def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
     ``absorb_landing(delete_absorbed=False)`` with a
     :func:`gc_landing` sweep whose age threshold outlives them."""
     gen, pending = _ingest_pending(spark, root)
-    landing = f"{root}/landing"
-    parts = []
-    if gen is not None:
-        parts.append(spark.read.parquet(f"{gen}/data"))
-    if pending:
-        parts.append(
-            spark.read.option("basePath", landing).parquet(
-                *[f"{landing}/{d}" for d in sorted(pending.values())]
-            )
-        )
+    parts = _ingest_frames(spark, root, gen, pending)
     if not parts:
         raise ValueError(f"ingest table {root!r} has no generation and no landing data")
     out = parts[0]
@@ -1536,21 +1644,12 @@ def absorb_landing(
     required when long-lived lazy readers may still be scanning a
     just-absorbed partition (see :func:`read_ingest_table`'s TOCTOU
     note). Returns the absorb report."""
-    import json
-
     landing = f"{root}/landing"
     gen, pending = _ingest_pending(spark, root)
     absorbed = _absorbed_ids(spark, gen)
     if len(pending) < min_batches:
         return {"absorbed": False, "pending_batches": len(pending)}
-    parts = []
-    if gen is not None:
-        parts.append(spark.read.parquet(f"{gen}/data"))
-    parts.append(
-        spark.read.option("basePath", landing).parquet(
-            *[f"{landing}/{d}" for d in sorted(pending.values())]
-        )
-    )
+    parts = _ingest_frames(spark, root, gen, pending)
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
@@ -1560,13 +1659,15 @@ def absorb_landing(
     n_out = max(
         1, -(-sum(sz for _, sz in census) // target_file_bytes)
     )
-    ledger_ids = absorbed | set(pending)
+    ledger = {lin: set(ids) for lin, ids in absorbed.items()}
+    for lin, b in pending:
+        ledger.setdefault(lin, set()).add(b)
     name = write_table(
         merged.repartition(n_out),
         root,
         manifest=manifest,
         stats_cols=stats_cols,
-        extra_files={"_ABSORBED": json.dumps(_encode_ranges(ledger_ids))},
+        extra_files={"_ABSORBED": _encode_ledger(ledger)},
     )
     # delete only when the commit is visibly in effect: the CURRENT
     # generation's ledger covers this snapshot (ours, or a concurrent
@@ -1574,7 +1675,7 @@ def absorb_landing(
     # marker-referenced generation)
     gen_now = _resolve_table_generation(spark, root)
     committed = gen_now is not None and gen_now.rsplit("/", 1)[-1] == name
-    covered = _absorbed_ids(spark, gen_now) >= set(pending)
+    covered = _covers(_absorbed_ids(spark, gen_now), pending)
     if covered and delete_absorbed:
         for d in pending.values():
             fsutil.delete(spark, f"{landing}/{d}")
@@ -1583,7 +1684,7 @@ def absorb_landing(
         "committed": committed,
         "generation": name,
         "absorbed_batches": len(pending),
-        "ledger_size": len(ledger_ids),
+        "ledger_size": sum(len(ids) for ids in ledger.values()),
         "landing_deleted": covered and delete_absorbed,
         "files_after": len(fsutil.list_files(spark, f"{root}/{name}/data")),
     }
@@ -1608,11 +1709,19 @@ def gc_landing(
     absorbed = _absorbed_ids(spark, gen)
     landing = f"{root}/landing"
     deleted: list[str] = []
+
+    def sweep(lin: str, rel: str, mtime: int) -> None:
+        b = int(rel.rsplit("=", 1)[1])
+        if b in absorbed.get(lin, ()) and now - mtime > max_age_ms:
+            fsutil.delete(spark, f"{landing}/{rel}")
+            deleted.append(rel)
+
     for d, mtime in fsutil.list_dir(spark, landing):
-        if not d.startswith(f"{_BATCH_COL}="):
-            continue
-        b = int(d.split("=", 1)[1])
-        if b in absorbed and now - mtime > max_age_ms:
-            fsutil.delete(spark, f"{landing}/{d}")
-            deleted.append(d)
+        if d.startswith(f"{_BATCH_COL}="):  # pre-lineage layout
+            sweep(_LEGACY_LINEAGE, d, mtime)
+        elif d.startswith(f"{_LINEAGE_COL}="):
+            lin = d.split("=", 1)[1]
+            for sub, m in fsutil.list_dir(spark, f"{landing}/{d}"):
+                if sub.startswith(f"{_BATCH_COL}="):
+                    sweep(lin, f"{d}/{sub}", m)
     return sorted(deleted)

@@ -857,7 +857,7 @@ def test_ingest_table_landing_absorb_and_replay(spark, tmp_path):
         landing_append(batch(b * 100, b * 100 + 100), root, b)
     live = read_ingest_table(spark, root)
     assert live.count() == 400
-    assert set(live.columns) == {"id", "v", "_batch_id"}
+    assert set(live.columns) == {"id", "v", "_lineage", "_batch_id"}
 
     # census gate: below min_batches nothing rewrites
     skip = absorb_landing(spark, root, min_batches=50)
@@ -1116,8 +1116,133 @@ def test_absorb_landing_deferred_delete_and_gc(spark, tmp_path):
     # young partitions are protected by age
     assert gc_landing(spark, root, max_age_ms=10**12) == []
     swept = gc_landing(spark, root, max_age_ms=0, now_ms=2**62)
-    assert swept == [f"_batch_id={b}" for b in range(3)]
+    assert swept == [
+        f"_lineage=default/_batch_id={b}" for b in range(3)
+    ]
     assert read_ingest_table(spark, root).count() == 40
+
+
+def test_ingest_lineage_isolates_streams_and_restarts(spark, tmp_path):
+    """The (lineage, batch_id) namespace (the fingerprint store's r4
+    lesson, ported): a fresh checkpoint restarting batch ids at 0
+    lands under a NEW lineage and cannot dynamic-overwrite absorbed
+    history; two streams landing into one root stay disjoint; a
+    replay stays subtracted PER LINEAGE; reserved/invalid lineage
+    names are rejected."""
+    import pytest as _pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+        read_table,
+    )
+
+    root = str(tmp_path / "ingest_lin")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).toDF("id")
+
+    # stream A lands batches 0-2 and absorbs
+    for b in range(3):
+        landing_append(batch(b * 10, b * 10 + 10), root, b, lineage="runA")
+    absorb_landing(spark, root, min_batches=1)
+    assert read_table(spark, root).count() == 30
+
+    # FRESH CHECKPOINT: batch ids restart at 0 under a new lineage —
+    # batch (runB, 0) must not collide with absorbed (runA, 0)
+    landing_append(batch(100, 105), root, 0, lineage="runB")
+    live = read_ingest_table(spark, root)
+    assert live.count() == 35
+    # a second stream's batch 0 coexists with runB's batch 0
+    landing_append(batch(200, 207), root, 0, lineage="runC")
+    assert read_ingest_table(spark, root).count() == 42
+
+    # absorb folds both lineages; replays of either stay subtracted
+    rep = absorb_landing(spark, root, min_batches=1)
+    assert rep["absorbed_batches"] == 2
+    assert read_table(spark, root).count() == 42
+    landing_append(batch(100, 105), root, 0, lineage="runB")  # replay
+    landing_append(batch(0, 10), root, 0, lineage="runA")     # replay
+    assert read_ingest_table(spark, root).count() == 42
+    # per-lineage integrity: each lineage's rows intact
+    by_lin = {
+        r["_lineage"]: r["n"]
+        for r in read_table(spark, root)
+        .groupBy("_lineage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_lin == {"runA": 30, "runB": 5, "runC": 7}
+
+    # reserved / malformed lineage names are refused up front
+    for bad in ("", "legacy", "a/b", "a=b"):
+        with _pytest.raises(ValueError, match="lineage"):
+            landing_append(batch(0, 1), root, 9, lineage=bad)
+
+
+def test_ingest_legacy_layout_migrates_under_legacy_lineage(spark, tmp_path):
+    """A root written by the pre-lineage engine (bare _batch_id= dirs,
+    bare-list ledger) keeps reading, absorbing, and replay-subtracting
+    under the reserved 'legacy' lineage, alongside new lineaged
+    batches."""
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "ingest_legacy")
+
+    def legacy_land(df, batch_id):
+        # what the pre-lineage landing_append wrote
+        (
+            df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.partitionBy("_batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(f"{root}/landing")
+        )
+
+    # a pre-lineage generation: batches 0-1 absorbed under a bare-list
+    # ledger, with batch 1's landing partition still on disk (deferred
+    # delete), plus an unabsorbed legacy batch 2
+    gen_df = spark.range(20).toDF("id").withColumn(
+        "_batch_id", (F.col("id") / 10).cast("int").cast("long")
+    )
+    write_table(
+        gen_df, root, manifest=False,
+        extra_files={"_ABSORBED": json.dumps([[0, 1]])},
+    )
+    legacy_land(spark.range(10, 20).toDF("id"), 1)  # absorbed straggler
+    legacy_land(spark.range(20, 25).toDF("id"), 2)  # unabsorbed
+
+    live = read_ingest_table(spark, root)
+    assert live.count() == 25  # straggler subtracted, batch 2 visible
+    assert live.filter(F.col("_lineage") == "legacy").count() == 25
+
+    # new lineaged batches coexist with the legacy tail
+    landing_append(spark.range(100, 104).toDF("id"), root, 0, lineage="runA")
+    assert read_ingest_table(spark, root).count() == 29
+
+    # absorb folds legacy batch 2 AND (runA, 0); the ledger goes
+    # object-form with the legacy ranges preserved
+    rep = absorb_landing(spark, root, min_batches=1)
+    assert rep["absorbed_batches"] == 2 and rep["committed"] is True
+    assert read_table(spark, root).count() == 29
+    ledger = json.loads(
+        fsutil.read_text(spark, f"{root}/{rep['generation']}/_ABSORBED")
+    )
+    assert ledger == {"legacy": [[0, 2]], "runA": [0]}
+    # replays of both forms stay subtracted
+    legacy_land(spark.range(20, 25).toDF("id"), 2)
+    landing_append(spark.range(100, 104).toDF("id"), root, 0, lineage="runA")
+    assert read_ingest_table(spark, root).count() == 29
 
 
 def test_manifest_handles_special_partition_values(spark, tmp_path):
