@@ -963,9 +963,18 @@ def read_table(
         if gen is None:
             raise ValueError(f"no committed table generation under {root!r}")
         base = gen
-    data = f"{base}/data"
     if where is None:
-        return spark.read.parquet(data)
+        return spark.read.parquet(f"{base}/data")
+    return _read_generation_pruned(spark, root, base, where)
+
+
+def _read_generation_pruned(
+    spark: SparkSession, root: str, base: str, where
+) -> DataFrame:
+    """The manifest-pruned + residual-filtered read of one generation
+    dir — :func:`read_table` ``where=`` mechanics, shared with the
+    ingest live view's generation leg."""
+    data = f"{base}/data"
     cond = _where_column(where)
     manifest = read_manifest(
         spark, root, generation=base.rsplit("/", 1)[-1]
@@ -1543,37 +1552,58 @@ def _ingest_frames(
     root: str,
     gen: str | None,
     pending: dict[tuple[str, int], str],
+    where=None,
 ) -> list[DataFrame]:
     """The frames an ingest view unions: the generation's data (rows
     written pre-lineage gain the legacy ``_lineage``) and the pending
     landing partitions — lineage-layout dirs in one basePath read,
     pre-lineage bare ``_batch_id=`` dirs (which carry no lineage
-    partition dir) in another with the legacy lineage stamped on."""
+    partition dir) in another with the legacy lineage stamped on.
+    ``where`` makes every leg carry the residual filter and the
+    GENERATION leg manifest-pruned (the leg with 10^5-file scale;
+    landing holds at most the batches since the last absorb)."""
     landing = f"{root}/landing"
+    cond = _where_column(where) if where is not None else None
+    preds = _check_prune_preds(where) if where is not None else []
     parts: list[DataFrame] = []
     if gen is not None:
-        g = spark.read.parquet(f"{gen}/data")
+        probe = spark.read.parquet(f"{gen}/data")
+        if where is not None and all(
+            c in probe.columns for c, _op, _v in preds
+        ):
+            g = _read_generation_pruned(spark, root, gen, where)
+        elif where is not None:
+            # a pred column the generation lacks (e.g. _lineage on a
+            # legacy generation): add it first, filter unpruned
+            g = probe
+            if _LINEAGE_COL not in g.columns:
+                g = g.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+            g = g.filter(cond)
+        else:
+            g = probe
         if _LINEAGE_COL not in g.columns:
             g = g.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
         parts.append(g)
     lineage_dirs = sorted(d for d in pending.values() if "/" in d)
     legacy_dirs = sorted(d for d in pending.values() if "/" not in d)
     if lineage_dirs:
-        parts.append(
-            spark.read.option("basePath", landing).parquet(
-                *[f"{landing}/{d}" for d in lineage_dirs]
-            )
+        frame = spark.read.option("basePath", landing).parquet(
+            *[f"{landing}/{d}" for d in lineage_dirs]
         )
+        parts.append(frame.filter(cond) if cond is not None else frame)
     if legacy_dirs:
-        parts.append(
+        frame = (
             spark.read.option("basePath", landing)
             .parquet(*[f"{landing}/{d}" for d in legacy_dirs])
             .withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
         )
+        parts.append(frame.filter(cond) if cond is not None else frame)
     return parts
 
 
-def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
+def read_ingest_table(
+    spark: SparkSession, root: str, where=None
+) -> DataFrame:
     """The LIVE view of an ingest table: the committed generation (if
     any) UNION the landing partitions it has not absorbed. Duplicate-
     free in every window by construction — an absorbed batch is listed
@@ -1589,6 +1619,15 @@ def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
     pre-lineage rows and landing dirs read under the reserved legacy
     lineage.
 
+    ``where`` (the :func:`read_table` predicate spec) makes the
+    GENERATION leg manifest-pruned — when ``absorb_landing`` wrote a
+    manifest, a selective live read opens only the generation files
+    whose spans may match, never the rest — while every leg still
+    carries the exact residual filter, so results are identical to
+    ``read_ingest_table(...).filter(...)``. The landing leg filters
+    without pruning (it holds at most the batches since the last
+    absorb — the generation is where the 10^5-file scale lives).
+
     LAZY-READER TOCTOU (the ``gc_table_generations`` note, landing
     edition): the returned frame is lazy — a reader still scanning a
     landing partition when :func:`absorb_landing`'s post-commit delete
@@ -1596,7 +1635,7 @@ def read_ingest_table(spark: SparkSession, root: str) -> DataFrame:
     ``absorb_landing(delete_absorbed=False)`` with a
     :func:`gc_landing` sweep whose age threshold outlives them."""
     gen, pending = _ingest_pending(spark, root)
-    parts = _ingest_frames(spark, root, gen, pending)
+    parts = _ingest_frames(spark, root, gen, pending, where=where)
     if not parts:
         raise ValueError(f"ingest table {root!r} has no generation and no landing data")
     out = parts[0]

@@ -1245,6 +1245,60 @@ def test_ingest_legacy_layout_migrates_under_legacy_lineage(spark, tmp_path):
     assert read_ingest_table(spark, root).count() == 29
 
 
+def test_read_ingest_table_where_prunes_generation_leg(spark, tmp_path):
+    """read_ingest_table(where=) must equal the filtered live view
+    exactly while opening only the generation files whose manifest
+    spans may match — the landing leg (bounded by the absorb cadence)
+    filters without pruning."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        compact_table,
+        current_table_path,
+        landing_append,
+        read_ingest_table,
+    )
+
+    root = str(tmp_path / "ingest_where")
+    for b in range(4):
+        landing_append(
+            spark.range(b * 2500, b * 2500 + 2500).toDF("id"), root, b
+        )
+    absorb_landing(spark, root, min_batches=1)
+    # re-cluster the generation on id so its file spans are prunable
+    compact_table(spark, root, target_file_bytes=8 << 10, cluster_cols=["id"])
+    gen_files = len(
+        spark.read.parquet(current_table_path(spark, root)).inputFiles()
+    )
+    assert gen_files >= 4
+    # two landing batches arrive after the absorb
+    landing_append(spark.range(10_000, 10_500).toDF("id"), root, 4)
+    landing_append(spark.range(10_500, 10_600).toDF("id"), root, 5)
+
+    where = [("id", ">=", 500), ("id", "<", 700)]
+    pruned = read_ingest_table(spark, root, where=where)
+    full = read_ingest_table(spark, root).filter(
+        (F.col("id") >= 500) & (F.col("id") < 700)
+    )
+    assert pruned.count() == full.count() == 200
+    assert (
+        pruned.agg(F.sum("id")).first()[0] == full.agg(F.sum("id")).first()[0]
+    )
+    # files-opened contract: generation leg pruned (landing legs read
+    # whole, then filtered — 2 pending batch files here)
+    opened = pruned.select("id").inputFiles()
+    gen_opened = [f for f in opened if "/landing/" not in f]
+    assert 0 < len(gen_opened) < gen_files
+    # a window living only in the landing tail still reads exactly
+    live_only = read_ingest_table(spark, root, where=("id", ">=", 10_550))
+    assert live_only.count() == 50
+    # predicates on the lineage columns compose (physical in the
+    # generation, partition-derived in landing)
+    lin = read_ingest_table(
+        spark, root, where=[("_batch_id", "==", 4), ("id", "<", 10_200)]
+    )
+    assert lin.count() == 200
+
+
 def test_manifest_handles_special_partition_values(spark, tmp_path):
     """input_file_name() returns URL-encoded URIs; manifests must store
     the decodable on-disk path or pruned reads 404 on partition values
