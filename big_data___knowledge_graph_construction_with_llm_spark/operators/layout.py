@@ -1701,13 +1701,30 @@ def absorb_landing(
     ledger = {lin: set(ids) for lin, ids in absorbed.items()}
     for lin, b in pending:
         ledger.setdefault(lin, set()).add(b)
-    name = write_table(
-        merged.repartition(n_out),
-        root,
-        manifest=manifest,
-        stats_cols=stats_cols,
-        extra_files={"_ABSORBED": _encode_ledger(ledger)},
-    )
+    try:
+        name = write_table(
+            merged.repartition(n_out),
+            root,
+            manifest=manifest,
+            stats_cols=stats_cols,
+            extra_files={"_ABSORBED": _encode_ledger(ledger)},
+        )
+    except Exception:
+        # a concurrent absorb that won and deleted its absorbed landing
+        # partitions makes OUR snapshot read fail on missing inputs —
+        # lose gracefully when the now-current ledger demonstrably
+        # covers this snapshot (the rows live in a marker-referenced
+        # generation; nothing is lost and there is nothing to retry),
+        # re-raise anything else (genuine I/O failure)
+        gen_now = _resolve_table_generation(spark, root)
+        if _covers(_absorbed_ids(spark, gen_now), pending):
+            return {
+                "absorbed": False,
+                "pending_batches": len(pending),
+                "reason": "snapshot raced a concurrent absorb whose"
+                " commit covers it; nothing lost, nothing to retry",
+            }
+        raise
     # delete only when the commit is visibly in effect: the CURRENT
     # generation's ledger covers this snapshot (ours, or a concurrent
     # winner that absorbed a superset — either way the rows live in a

@@ -458,7 +458,34 @@ def compact_fingerprint_store(
     files_before = len(census)
     total_bytes = sum(sz for _, sz in census)
     n_out = max(1, -(-total_bytes // target_file_bytes))
-    name = write_table(merged.repartition(n_out), store_path, manifest=False)
+    try:
+        name = write_table(
+            merged.repartition(n_out), store_path, manifest=False
+        )
+    except Exception:
+        # a concurrent compactor that won deletes its absorbed
+        # partitions; OUR snapshot read then dies on missing inputs
+        # mid-write. That is a lost race, not data loss — lose
+        # GRACEFULLY (the scheduler contract: this pass is called
+        # unconditionally) when a winner demonstrably covers the
+        # snapshot: the marker names a DIFFERENT generation than the
+        # one we snapshotted AND every snapshotted partition is gone
+        # (only a visible-commit winner deletes them). Anything else
+        # re-raises — a genuine I/O failure must surface.
+        gen_now = _resolve_table_generation(spark, store_path, retries=1)
+        raced = gen_now is not None and gen_now != gen
+        gone = all(
+            not fsutil.exists(spark, f"{landing}/{p}") for p in absorbed
+        ) and all(
+            not fsutil.exists(spark, f"{store_path}/{p}") for p in legacy
+        )
+        if raced and gone:
+            return {
+                "compacted": False,
+                "reason": "snapshot raced a concurrent compaction whose"
+                " commit absorbed it; nothing lost, nothing to retry",
+            }
+        raise
     # delete ONLY when the commit is visibly ours: a marker write that
     # failed-but-was-swallowed behind an existing winner (or a
     # concurrent compactor whose different snapshot won) leaves a

@@ -1122,6 +1122,44 @@ def test_absorb_landing_deferred_delete_and_gc(spark, tmp_path):
     assert read_ingest_table(spark, root).count() == 40
 
 
+def test_absorb_landing_loses_race_gracefully(spark, tmp_path, monkeypatch):
+    """Two absorb passes, one root: the loser's snapshotted landing
+    partitions vanish mid-write when the winner's visible commit
+    deletes them. The loser must return the not-absorbed report shape
+    (the scheduler calls this unconditionally) — never an exception,
+    never a lost row."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+    )
+
+    root = str(tmp_path / "ingest_race2")
+    for b in range(3):
+        landing_append(spark.range(b * 10, b * 10 + 10).toDF("id"), root, b)
+
+    real_wt = layout.write_table
+    fired: dict = {}
+
+    def racing_write_table(df, r, **kw):
+        if not fired:
+            fired["x"] = True
+            inner = absorb_landing(spark, root, min_batches=1)
+            assert inner["committed"] is True and inner["landing_deleted"]
+        return real_wt(df, r, **kw)
+
+    monkeypatch.setattr(layout, "write_table", racing_write_table)
+    rep = absorb_landing(spark, root, min_batches=1)
+    monkeypatch.setattr(layout, "write_table", real_wt)
+    assert rep["absorbed"] is False and "raced" in rep["reason"]
+    # every row lives in the winner's generation
+    assert read_ingest_table(spark, root).count() == 30
+    assert sorted(
+        r["id"] for r in read_ingest_table(spark, root).collect()
+    ) == list(range(30))
+
+
 def test_ingest_lineage_isolates_streams_and_restarts(spark, tmp_path):
     """The (lineage, batch_id) namespace (the fingerprint store's r4
     lesson, ported): a fresh checkpoint restarting batch ids at 0

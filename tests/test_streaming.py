@@ -945,6 +945,91 @@ def test_compact_fingerprint_store_e2e(spark, tmp_path):
     assert emitted[5] == [12]
 
 
+def test_compact_fingerprint_store_loses_race_gracefully(
+    spark, tmp_path, monkeypatch
+):
+    """Two compactors, one store: the loser's snapshot files vanish
+    mid-write when the winner's visible commit deletes them. The loser
+    must RETURN the not-compacted report shape (the scheduler calls
+    this pass unconditionally), not die — and must re-raise when the
+    failure is NOT demonstrably a lost race."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        compact_fingerprint_store,
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-race")
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="s")
+    for b in range(4):
+        sink(
+            spark.createDataFrame(
+                [(b * 10 + i, f"text {b} {i}") for i in range(3)],
+                "doc_id long, text string",
+            ),
+            b,
+        )
+
+    real_wt = layout.write_table
+    fired: dict = {}
+
+    def racing_write_table(df, root, **kw):
+        if not fired:
+            fired["x"] = True
+            # the concurrent compactor finishes BETWEEN our snapshot
+            # and our write action: commits and deletes the absorbed
+            # landing partitions
+            inner = compact_fingerprint_store(spark, store, min_batches=1)
+            assert inner["compacted"] is True
+        return real_wt(df, root, **kw)
+
+    monkeypatch.setattr(layout, "write_table", racing_write_table)
+    rep = compact_fingerprint_store(spark, store, min_batches=1)
+    monkeypatch.setattr(layout, "write_table", real_wt)
+    assert rep["compacted"] is False and "raced" in rep["reason"]
+
+    # nothing lost: the winner's generation holds every fingerprint,
+    # so dedup history is fully intact after the race
+    sink(
+        spark.createDataFrame(
+            [(100, "text 2 1"), (101, "fresh one")],
+            "doc_id long, text string",
+        ),
+        4,
+    )
+    assert emitted[4] == [101]
+
+    # a missing-input failure with NO winner covering it re-raises:
+    # delete a landing partition behind the compactor's back
+    sink(
+        spark.createDataFrame([(200, "x1"), (201, "x2")], "doc_id long, text string"),
+        5,
+    )
+    real_mk = layout._resolve_table_generation
+    gen_before = real_mk(spark, store)
+
+    def sabotaging_write_table(df, root, **kw):
+        # simulate a non-race deletion (operator error / external rm)
+        for name, _ in fsutil.list_dir(spark, f"{store}/landing"):
+            fsutil.delete(spark, f"{store}/landing/{name}")
+        return real_wt(df, root, **kw)
+
+    monkeypatch.setattr(layout, "write_table", sabotaging_write_table)
+    with pytest.raises(Exception):
+        compact_fingerprint_store(spark, store, min_batches=1)
+    assert real_mk(spark, store) == gen_before  # marker untouched
+
+
 def test_compact_fingerprint_store_migrates_legacy_flat_layout(spark, tmp_path):
     """A store written by the pre-generational sink (flat lineage=*
     partitions at the ROOT) keeps deduping unchanged, and compaction
