@@ -345,6 +345,38 @@ def main() -> None:
                 )
                 ivf_recall["append_2batch_wall_s"] = append_wall
                 ivf_recall["rebuild_wall_s"] = rebuild_wall
+
+                # retrain-on-fold closes the drift loop: fold the
+                # appended chain with retrain=True (one k-means over
+                # the union the fold reads anyway) and the folded
+                # index must recover ~rebuild recall at the same
+                # n_probe — the number that lets the scheduler use
+                # retraining folds instead of separate full rebuilds
+                from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                    compact_ivf_chain,
+                    read_ivf_index,
+                )
+
+                t0 = time.perf_counter()
+                rep_f = compact_ivf_chain(
+                    spark, apath, min_links=2, retrain=True, iterations=2
+                )
+                fold_wall = round(time.perf_counter() - t0, 2)
+                if rep_f.get("retrained"):
+                    idx_f, cents_f = read_ivf_index(spark, apath)
+                    hits = 0
+                    for q, truth in zip(qvecs, exact):
+                        got = {
+                            r["vec_id"]
+                            for r in knn_ivf(
+                                idx_f, cents_f, q, 10, n_probe=2
+                            ).collect()
+                        }
+                        hits += len(got & truth)
+                    ivf_recall["retrain_fold_recall_at_10_nprobe_2"] = round(
+                        hits / denom, 3
+                    )
+                    ivf_recall["retrain_fold_wall_s"] = fold_wall
             finally:
                 shutil.rmtree(scratch, ignore_errors=True)
         except Exception as exc:

@@ -476,21 +476,33 @@ def compact_ivf_chain(
     min_links: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    retrain: bool = False,
+    k: int | None = None,
+    iterations: int = 2,
 ) -> dict:
     """Fold an appended index's ``_PARENT`` chain back into ONE
     attempt — the maintenance pass that keeps query-time cost flat
     under steady appends. Every :func:`append_ivf_index` adds a chain
     link, and every link costs the reader one more LIST + one more
     union branch per probe; folding rewrites the union (assignments
-    and centroids UNCHANGED — this is a data move, not a re-train,
+    and centroids UNCHANGED by default — a data move, not a re-train,
     so recall is bit-identical) as a single parentless attempt,
     committed marker-last like every other rewrite. Superseded chain
     attempts become unreferenced once the marker flips and sweep via
     :func:`gc_ivf_attempts` (they are protected only while the winner
     chain includes them). ``min_links`` gates the rewrite (census-only
-    skip below it), so a scheduler calls this unconditionally —
-    interleave with full :func:`ensure_ivf_index` re-trains on the
-    cadence the bench's append-vs-rebuild recall delta suggests."""
+    skip below it), so a scheduler calls this unconditionally.
+
+    ``retrain=True`` closes the append-drift loop (VERDICT r9 #2: two
+    10% appends cost a third of the measured recall at n_probe=2): the
+    fold already reads the full union, so it re-runs
+    :func:`ivf_centroids` on it (``k`` defaults to the current
+    centroid count; one k-means over data the fold was paying for
+    anyway) and re-assigns every vector — the folded attempt then has
+    FRESH-BUILD recall instead of frozen-centroid recall, without a
+    separate rebuild pass or a second full read. Schedule it on the
+    cadence the bench's append-vs-rebuild recall delta suggests
+    (BENCH_DETAIL ``ivf_recall``), with plain folds in between."""
     import uuid
 
     from big_data___knowledge_graph_construction_with_llm_spark import fsutil
@@ -502,6 +514,17 @@ def compact_ivf_chain(
     if len(chain) < min_links:
         return {"compacted": False, "links": len(chain)}
     index, cents = _read_attempt_chain(spark, path, cur)
+    if retrain:
+        vectors = index.drop("cluster")
+        new_cents = ivf_centroids(
+            vectors,
+            k=k if k is not None else cents.count(),
+            iterations=iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        index = ivf_index(vectors, new_cents, id_col=id_col, vec_col=vec_col)
+        cents = new_cents
     name = f"attempt-{uuid.uuid4().hex[:12]}"
     base = f"{path}/{name}"
     index.write.mode("overwrite").partitionBy("cluster").parquet(
@@ -531,6 +554,7 @@ def compact_ivf_chain(
         "attempt": name,
         "links_folded": len(chain) if visible else 0,
         "links": len(chain),
+        "retrained": bool(retrain) and visible,
     }
 
 

@@ -583,6 +583,64 @@ def test_compact_ivf_chain_folds_appends(spark, tmp_path):
     assert still_idx.count() == emb.count()
 
 
+def test_compact_ivf_chain_retrain_closes_drift(spark, tmp_path):
+    """compact_ivf_chain(retrain=True): the fold re-runs k-means on
+    the union it was already reading and re-assigns every vector — the
+    folded attempt has fresh-build structure (every stored cluster is
+    the nearest new centroid), not frozen-centroid drift; probe-all
+    still equals brute force; plain folds stay bit-identical."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        append_ivf_index,
+        compact_ivf_chain,
+        ensure_ivf_index,
+        nearest_cluster,
+        read_ivf_index,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf_retrain")
+    # train on a skewed subset so appended data genuinely drifts the
+    # true clustering
+    ensure_ivf_index(spark, emb.filter("vec_id % 4 = 1"), path, k=4, iterations=1)
+    for m in (2, 3, 0):
+        append_ivf_index(spark, emb.filter(f"vec_id % 4 = {m}"), path)
+    _idx_before, cents_before = read_ivf_index(spark, path)
+    c_before = {
+        (r["cluster"], tuple(r["centroid"])) for r in cents_before.collect()
+    }
+
+    rep = compact_ivf_chain(spark, path, min_links=2, retrain=True, iterations=2)
+    assert rep["compacted"] is True and rep["retrained"] is True
+    idx, cents = read_ivf_index(spark, path)
+    winner = fsutil.read_text(spark, f"{path}/_DONE").strip()
+    assert not fsutil.exists(spark, f"{path}/{winner}/_PARENT")
+    assert idx.count() == emb.count()  # every vector survived the fold
+    c_after = {
+        (r["cluster"], tuple(r["centroid"])) for r in cents.collect()
+    }
+    assert c_after != c_before  # centroids actually re-trained
+
+    # fresh-build consistency: every stored cluster IS the nearest new
+    # centroid (frozen-centroid drift would violate this)
+    cpairs = [(r["cluster"], list(r["centroid"])) for r in cents.collect()]
+    mism = idx.withColumn(
+        "_want", nearest_cluster(F.col("embedding").cast("array<double>"), cpairs)
+    ).filter(F.col("cluster") != F.col("_want"))
+    assert mism.count() == 0
+
+    # probe-all ≡ brute force over the folded + retrained index
+    q = [
+        float(x)
+        for x in load(spark, SF_DIR, "embeddings")
+        .filter("vec_id = 0")
+        .head()["embedding"]
+    ]
+    got = [r["vec_id"] for r in knn_ivf(idx, cents, q, 5, n_probe=4).collect()]
+    want = [r["vec_id"] for r in knn_brute_force(emb, q, 5).collect()]
+    assert got == want
+
+
 def test_append_ivf_index_retries_lost_marker_commit(spark, tmp_path, monkeypatch):
     """A delta attempt losing its marker write is a LOST UPDATE (the
     winner chain lacks the batch), not a harmless duplicate: the append
