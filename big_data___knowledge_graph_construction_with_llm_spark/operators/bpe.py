@@ -154,15 +154,36 @@ def train_bpe(
     entries (counts changed since push) re-pushed at their current
     count on pop. Ties rank lexicographically — bit-identical models
     across runs (the heap orders by exactly the old scan's
-    ``(-count, pair)`` key)."""
-    import heapq
+    ``(-count, pair)`` key).
 
+    DRIVER MEMORY SIZING (measured, BENCH_SCALE ``bpe_memory_curve``,
+    fresh process per tier over the same word table): the peak is
+    dominated by the pair→words index + pair heap, which scale with
+    the LIVE PAIR count — itself set by ``max_words`` — and grow only
+    mildly with merge count (each merge retires pairs as it mints
+    them). Budget ~2-2.5 GB of driver heap per 1M ``max_words`` at
+    32k-64k merges and size ``max_words`` down (not ``vocab_size``)
+    when the driver is smaller — halving ``max_words`` roughly halves
+    the peak, while vocab 8k→64k moves it far less."""
     freq_rows = word_frequencies(df, text_col, min_count, max_words).collect()
     words: dict[tuple[str, ...], int] = {}
     for r in freq_rows:
         words[tuple(r["word"]) + (END,)] = words.get(
             tuple(r["word"]) + (END,), 0
         ) + int(r["count"])
+    alphabet, merges = _learn_merges(words, vocab_size)
+    return BpeModel(alphabet=alphabet, merges=merges)
+
+
+def _learn_merges(
+    words: dict[tuple[str, ...], int], vocab_size: int
+) -> tuple[tuple[str, ...], tuple[tuple[str, str], ...]]:
+    """The driver-side merge loop of :func:`train_bpe` over an
+    already-collected ``{word syms: freq}`` table — factored out so
+    the memory-sizing probe (``scripts/bench_scale.py``,
+    ``bpe_memory_curve``) can price it in a fresh process without a
+    Spark session. MUTATES ``words``."""
+    import heapq
 
     alphabet = tuple(sorted({s for syms in words for s in syms}))
     if vocab_size < len(alphabet):
@@ -224,7 +245,7 @@ def train_bpe(
             c = pc.get(p)
             if c:
                 heapq.heappush(heap, (-c, p))
-    return BpeModel(alphabet=alphabet, merges=tuple(merges))
+    return alphabet, tuple(merges)
 
 
 def _make_word_encoder(ranks: dict[tuple[str, str], int], end: str):

@@ -624,6 +624,71 @@ def _bpe_corpus(spark, sf_dir: str, copies: int = 1):
     )
 
 
+def bpe_memory_curve(
+    spark,
+    sf_dir: str,
+    max_words: int = 1_000_000,
+    vocabs: tuple[int, ...] = (8_000, 32_000, 64_000),
+) -> dict:
+    """The BPE trainer's driver-memory sizing rule, MEASURED: run the
+    driver-side merge loop (``operators.bpe._learn_merges``) in a
+    FRESH SUBPROCESS per vocab tier over the SAME collected word
+    table, so each tier's maxrss is its own high-water mark (one
+    shared process would report only the largest). No Spark in the
+    probes — the distributed count runs once here and ships as JSON.
+    This is the curve the ``train_bpe`` docstring quotes (VERDICT r9
+    #5): the peak tracks ``max_words`` (live pairs), not vocab size."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.bpe import (
+        word_frequencies,
+    )
+
+    docs = _bpe_corpus(spark, sf_dir, copies=1)
+    rows = word_frequencies(docs, "text", 1, max_words).collect()
+    table = [[r["word"], int(r["count"])] for r in rows]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict = {"max_words": max_words, "distinct_words": len(table), "tiers": {}}
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        _json.dump(table, fh)
+        tbl_path = fh.name
+    probe = r"""
+import json, resource, sys, time
+sys.path.insert(0, {repo!r})
+from big_data___knowledge_graph_construction_with_llm_spark.operators.bpe import END, _learn_merges
+table = json.load(open({tbl!r}))
+words = {{}}
+for w, c in table:
+    k = tuple(w) + (END,)
+    words[k] = words.get(k, 0) + c
+t0 = time.perf_counter()
+alphabet, merges = _learn_merges(words, {vocab})
+print(json.dumps({{
+    "maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+    "merge_loop_wall_s": round(time.perf_counter() - t0, 1),
+    "n_merges": len(merges),
+}}))
+"""
+    try:
+        for v in vocabs:
+            res = subprocess.run(
+                [_sys.executable, "-c", probe.format(repo=repo, tbl=tbl_path, vocab=v)],
+                capture_output=True,
+                text=True,
+                timeout=3600,
+            )
+            if res.returncode == 0:
+                out["tiers"][str(v)] = _json.loads(res.stdout.strip().splitlines()[-1])
+            else:
+                out["tiers"][str(v)] = {"error": res.stderr[-500:]}
+    finally:
+        os.unlink(tbl_path)
+    return out
+
+
 def bpe_experiment(
     spark,
     sf_dir: str,
@@ -829,6 +894,12 @@ def main() -> None:
         "x10": bpe_experiment(spark, base_dir, copies=10),
     }
 
+    # driver-memory sizing curve: fresh process per vocab tier over the
+    # same 1M-word table (maxrss is a per-process high-water mark)
+    bpe_mem = bpe_memory_curve(
+        spark, base_dir, max_words=1_000_000, vocabs=(8_000, 32_000, 64_000)
+    )
+
     def ratios(scaled_suite, base_suite):
         return {
             q: {
@@ -867,6 +938,7 @@ def main() -> None:
         "skew_join": skew,
         "manifest50k": manifest50k,
         "bpe": bpe,
+        "bpe_memory_curve": bpe_mem,
         "driver": {
             "py_maxrss_mb": int(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
             "probe_before": probe_before,
