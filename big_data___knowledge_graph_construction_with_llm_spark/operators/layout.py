@@ -599,9 +599,18 @@ def _write_manifest(
         # sidecar path: the per-file frame is NEVER collected. rel =
         # percent-decoded URI after the LAST "/data/" (split takes the
         # last element — same anchor rule as the inline path); dir =
-        # rel up to the last '/'
+        # rel up to the last '/'. url_decode is FORM decoding ('+' ->
+        # space), but input_file_name URIs keep literal '+' unencoded
+        # (percent-encoding only) — re-escape it first so the decode
+        # matches Python's unquote on the inline path exactly
         sidecar = manifest_path + "_FILES"
-        rel = F.element_at(F.split(F.url_decode(F.col("_uri")), "/data/"), -1)
+        rel = F.element_at(
+            F.split(
+                F.url_decode(F.regexp_replace(F.col("_uri"), r"\+", "%2B")),
+                "/data/",
+            ),
+            -1,
+        )
         keyed = per_file.withColumn("file", rel).withColumn(
             "dir",
             F.when(

@@ -1356,3 +1356,37 @@ def test_manifest_handles_special_partition_values(spark, tmp_path):
         got = read_table(spark, root, where=("lang", "==", v))
         assert got.count() == 10, v
         assert got.filter(F.col("lang") != v).count() == 0
+
+
+def test_manifest_sidecar_handles_special_partition_values(
+    spark, tmp_path, monkeypatch
+):
+    """The SIDECAR path derives relative paths in Spark (url_decode),
+    which must match Python's unquote exactly — including '+' (form
+    decoding would turn a literal '+' into a space and 404 the read)
+    and percent-encoded spaces/colons."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    monkeypatch.setattr(layout, "_MANIFEST_INLINE_MAX", 0)
+    root = str(tmp_path / "tbl_special_shard")
+    vals = ["pt BR", "en:US", "c++", "plain"]
+    df = spark.createDataFrame(
+        [(i, vals[i % 4]) for i in range(40)], "id long, lang string"
+    )
+    write_table(df, root, partition_by=["lang"])
+    man = read_manifest(spark, root)
+    assert "files" not in man and len(man["dirs"]) == 4
+    for v in vals:
+        got = read_table(spark, root, where=("lang", "==", v))
+        assert got.count() == 10, v
+        assert got.filter(F.col("lang") != v).count() == 0
+        # conjunct forcing FILE-level sidecar pruning inside the dir
+        mixed = read_table(
+            spark, root, where=[("lang", "==", v), ("id", "<", 20)]
+        )
+        assert mixed.count() == 5, v
