@@ -340,13 +340,42 @@ def _resolve_table_generation(
 
 
 def current_table_path(spark: SparkSession, root: str) -> str:
-    """The committed generation's DATA path under a generational table
-    root — what every reader scans. Raises if no generation has ever
-    committed (or the marker names a vanished one)."""
+    """The committed HEAD generation's DATA path under a generational
+    table root. Raises if no generation has ever committed (or the
+    marker names a vanished one). Note: a table with DELTA generations
+    (incremental :func:`absorb_landing`) holds data across the head's
+    ``_PARENT`` chain — full-table readers go through
+    :func:`read_table`, which unions it; this path is the head member
+    only."""
     gen = _resolve_table_generation(spark, root)
     if gen is None:
         raise ValueError(f"no committed table generation under {root!r}")
     return f"{gen}/data"
+
+
+def _gen_chain(spark: SparkSession, root: str, gen_dir: str) -> list[str]:
+    """The generation dir plus its transitive ``_PARENT`` ancestors
+    (delta-absorb lineage), newest first — the ``similarity``
+    ``_ivf_parent_chain`` shape. A broken link (parent GC'd despite
+    chain protection, or never completed) raises rather than silently
+    serving a partial table."""
+    chain = [gen_dir]
+    seen = {gen_dir.rsplit("/", 1)[-1]}
+    cur = gen_dir
+    while fsutil.exists(spark, f"{cur}/_PARENT"):
+        parent = (fsutil.try_read_text(spark, f"{cur}/_PARENT") or "").strip()
+        if not parent or parent in seen:
+            raise ValueError(f"corrupt _PARENT chain under {root!r} at {cur!r}")
+        pdir = f"{root}/{parent}"
+        if not fsutil.exists(spark, f"{pdir}/_COMPLETE"):
+            raise ValueError(
+                f"table parent generation {parent!r} under {root!r} is"
+                " missing or incomplete — the delta chain is broken (GC'd?)"
+            )
+        chain.append(pdir)
+        seen.add(parent)
+        cur = pdir
+    return chain
 
 
 #: dtypes whose min/max are recorded in the generation manifest —
@@ -972,17 +1001,14 @@ def read_table(
         if gen is None:
             raise ValueError(f"no committed table generation under {root!r}")
         base = gen
-    if where is None:
-        return spark.read.parquet(f"{base}/data")
     return _read_generation_pruned(spark, root, base, where)
 
 
-def _read_generation_pruned(
+def _read_one_member_pruned(
     spark: SparkSession, root: str, base: str, where
 ) -> DataFrame:
-    """The manifest-pruned + residual-filtered read of one generation
-    dir — :func:`read_table` ``where=`` mechanics, shared with the
-    ingest live view's generation leg."""
+    """The manifest-pruned + residual-filtered read of ONE generation
+    dir (no chain)."""
     data = f"{base}/data"
     cond = _where_column(where)
     manifest = read_manifest(
@@ -1010,6 +1036,49 @@ def _read_generation_pruned(
     return reader.parquet(*paths).filter(cond)
 
 
+def _read_generation_pruned(
+    spark: SparkSession, root: str, base: str, where
+) -> DataFrame:
+    """The full read of a generation INCLUDING its ``_PARENT`` delta
+    chain — :func:`read_table` mechanics, shared with the ingest live
+    view's generation leg. ``where=None`` reads every member whole;
+    otherwise each member prunes through its OWN manifest and carries
+    the residual filter."""
+    from functools import reduce
+
+    chain = _gen_chain(spark, root, base)
+    preds = _check_prune_preds(where) if where is not None else []
+    parts = []
+    for m in chain:
+        if where is None:
+            parts.append(spark.read.parquet(f"{m}/data"))
+            continue
+        mcols = spark.read.parquet(f"{m}/data").columns
+        if all(c in mcols for c, _op, _v in preds):
+            parts.append(_read_one_member_pruned(spark, root, m, where))
+        else:
+            # a pred column this member lacks — e.g. _lineage on a
+            # pre-lineage parent a delta chained onto: stamp the
+            # legacy lineage first, then the plain residual filter
+            p = spark.read.parquet(f"{m}/data")
+            if _LINEAGE_COL not in p.columns:
+                p = p.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+            parts.append(p.filter(_where_column(where)))
+    # a delta chained onto a pre-lineage parent: the parent's rows ARE
+    # the legacy lineage (the _ingest_frames stamp, one level down);
+    # any other schema asymmetry across deltas unions as nulls
+    if any(_LINEAGE_COL in p.columns for p in parts):
+        parts = [
+            p
+            if _LINEAGE_COL in p.columns
+            else p.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+            for p in parts
+        ]
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
+
+
 def list_table_generations(spark: SparkSession, root: str) -> list[dict]:
     """Census of a table root's COMPLETE generations, newest first:
     ``{generation, mtime_ms, current}`` per entry — what time travel
@@ -1034,6 +1103,7 @@ def write_table(
     manifest: bool = True,
     stats_cols: list[str] | None = None,
     extra_files: dict[str, str] | None = None,
+    parent: str | None = None,
 ) -> str:
     """Write ``df`` as a NEW generation of the table at ``root`` and
     commit it MARKER-LAST: the generation dir
@@ -1062,12 +1132,29 @@ def write_table(
     ``_COMPLETE`` — i.e. covered by the same commit point (used by
     :func:`absorb_landing` for the ``_ABSORBED`` ledger). Names must
     not collide with the protocol's own (``_COMPLETE``/``_MANIFEST``)
-    or land under ``data``."""
+    or land under ``data``.
+
+    ``parent`` (a COMPLETE generation name under the same root) makes
+    this a DELTA generation: its ``data`` holds only the new rows and
+    a ``_PARENT`` file links the rest of the table — readers
+    (:func:`read_table`) union the transitive chain, exactly the
+    ``append_ivf_index`` shape. An incremental :func:`absorb_landing`
+    writes these so absorbing a few micro-batches never rewrites the
+    table; :func:`compact_table` folds the chain back to one
+    parentless generation; :func:`gc_table_generations` protects the
+    winner's whole chain."""
     import uuid
 
     spark = df.sparkSession
     name = f"gen-{uuid.uuid4().hex[:12]}"
     base = f"{root}/{name}"
+    if parent is not None and not fsutil.exists(
+        spark, f"{root}/{parent}/_COMPLETE"
+    ):
+        raise ValueError(
+            f"write_table parent {parent!r} under {root!r} is absent or"
+            " incomplete"
+        )
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -1076,10 +1163,12 @@ def write_table(
         _write_manifest(spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols)
     for fname, content in (extra_files or {}).items():
         if fname in (
-            "_COMPLETE", "_MANIFEST", "_MANIFEST_FILES", "data"
+            "_COMPLETE", "_MANIFEST", "_MANIFEST_FILES", "_PARENT", "data"
         ) or "/" in fname:
             raise ValueError(f"extra_files name {fname!r} collides with the protocol")
         fsutil.write_text(spark, f"{base}/{fname}", content)
+    if parent is not None:
+        fsutil.write_text(spark, f"{base}/_PARENT", parent)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
     _commit_marker(spark, root, name)
     return name
@@ -1148,11 +1237,22 @@ def compact_table(
     if partition_by and cluster_cols:
         raise ValueError("compact_table: partition_by and cluster_cols are exclusive")
     cur = current_table_path(spark, root)
+    gen_head = cur[: -len("/data")]
+    chain = _gen_chain(spark, root, gen_head)
     before = file_stats(spark, cur, target_file_bytes)
+    for member in chain[1:]:  # fold the delta chain's census in
+        m = file_stats(spark, f"{member}/data", target_file_bytes)
+        for key in (
+            "n_files", "total_bytes", "n_small_files",
+        ):
+            before[key] += m[key]
     if before["n_files"] == 0:
         raise ValueError(f"compact_table: no data files under {cur!r}")
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
-    df = spark.read.parquet(cur)
+    # the rewrite source is the FULL chain union (incremental absorbs
+    # chain delta generations onto the head): compacting is also the
+    # fold that returns the table to one parentless generation
+    df = _read_generation_pruned(spark, root, gen_head, None)
     if cluster_cols:
         out = df.repartitionByRange(
             n_out, *[F.col(c) for c in cluster_cols]
@@ -1231,6 +1331,7 @@ def compact_table(
         "before": before,
         "after": file_stats(spark, f"{base}/data", target_file_bytes),
         "generation": name,
+        "links_folded": len(chain),
         "committed": gen_after is not None
         and gen_after.rsplit("/", 1)[-1] == name,
     }
@@ -1242,25 +1343,35 @@ def maybe_compact_table(
     target_file_bytes: int = 128 << 20,
     min_small_files: int = 16,
     min_small_fraction: float = 0.5,
+    min_chain_links: int = 4,
     **compact_kwargs,
 ) -> dict:
     """The maintenance-loop form of :func:`compact_table`: census the
-    CURRENT generation (:func:`file_stats` — one recursive LIST, no
-    data bytes) and rewrite only when fragmentation crosses the
-    thresholds (at least ``min_small_files`` undersized files AND they
-    are at least ``min_small_fraction`` of all files). A scheduler can
-    call this unconditionally on every table after every pipeline run —
-    the no-op path costs one listing, so 'should we compact?' never
-    needs a human. Returns ``{"compacted": False, "stats": census}``
-    on skip, else :func:`compact_table`'s report plus
-    ``"compacted": True``."""
-    census = file_stats(
-        spark, current_table_path(spark, root), target_file_bytes
-    )
+    CURRENT generation chain (:func:`file_stats` per member — one
+    recursive LIST each, no data bytes) and rewrite only when
+    fragmentation crosses the thresholds (at least ``min_small_files``
+    undersized files AND they are at least ``min_small_fraction`` of
+    all files) OR the incremental-absorb ``_PARENT`` chain has grown
+    to ``min_chain_links`` members (every link costs readers one more
+    LIST + union branch — the ``compact_ivf_chain`` gate, table
+    edition). A scheduler can call this unconditionally on every table
+    after every pipeline run — the no-op path costs one listing per
+    chain member, so 'should we compact?' never needs a human. Returns
+    ``{"compacted": False, "stats": census}`` on skip, else
+    :func:`compact_table`'s report plus ``"compacted": True``."""
+    head = current_table_path(spark, root)[: -len("/data")]
+    chain = _gen_chain(spark, root, head)
+    census = file_stats(spark, f"{chain[0]}/data", target_file_bytes)
+    for member in chain[1:]:
+        m = file_stats(spark, f"{member}/data", target_file_bytes)
+        for key in ("n_files", "total_bytes", "n_small_files"):
+            census[key] += m[key]
+    census["chain_links"] = len(chain)
     small = census["n_small_files"]
-    if small < min_small_files or small < min_small_fraction * max(
+    fragmented = small >= min_small_files and small >= min_small_fraction * max(
         census["n_files"], 1
-    ):
+    )
+    if not fragmented and len(chain) < min_chain_links:
         return {"compacted": False, "stats": census}
     rep = compact_table(
         spark, root, target_file_bytes=target_file_bytes, **compact_kwargs
@@ -1273,28 +1384,38 @@ def gc_table_generations(
     spark: SparkSession, root: str, max_age_ms: int, now_ms: int | None = None
 ) -> list[str]:
     """Sweep superseded ``gen-*`` dirs under a generational table root:
-    delete every generation older than ``max_age_ms`` that is not the
-    one the ``_CURRENT`` marker names. The marker's generation is
-    protected unconditionally; the age threshold protects both
-    in-flight writers that haven't reached their marker write and
-    long-lived readers still lazily scanning a just-superseded
-    generation (size it past the longest reader lifetime / rewrite
-    cadence — the ``ensure_ivf_index`` sizing note applies verbatim).
-    Returns the deleted generation names; ``now_ms`` injectable for
-    tests."""
+    delete every generation older than ``max_age_ms`` that is neither
+    the one the ``_CURRENT`` marker names NOR one of its transitive
+    ``_PARENT`` ancestors (incremental-absorb delta chains — deleting
+    a chain link would amputate the table's older data; the
+    ``gc_ivf_attempts`` rule verbatim). The winner chain is protected
+    unconditionally; the age threshold protects both in-flight writers
+    that haven't reached their marker write and long-lived readers
+    still lazily scanning a just-superseded generation (size it past
+    the longest reader lifetime / rewrite cadence — the
+    ``ensure_ivf_index`` sizing note applies verbatim). Returns the
+    deleted generation names; ``now_ms`` injectable for tests."""
     import time
 
     now = int(time.time() * 1000) if now_ms is None else now_ms
-    protected = ""
+    protected: set[str] = set()
     if fsutil.exists(spark, f"{root}/_CURRENT"):
         text = fsutil.try_read_text(spark, f"{root}/_CURRENT")
         if text is None or not text.strip():
             return []  # marker mid-write: a commit is in flight and
             # nothing would be protected — sweep on the next cadence
-        protected = text.strip()
+        winner = text.strip()
+        protected.add(winner)
+        try:
+            protected.update(
+                d.rsplit("/", 1)[-1]
+                for d in _gen_chain(spark, root, f"{root}/{winner}")
+            )
+        except ValueError:
+            return []  # chain unreadable mid-commit: skip this sweep
     deleted: list[str] = []
     for name, stamp in fsutil.list_dir(spark, root):
-        if not name.startswith("gen-") or name == protected:
+        if not name.startswith("gen-") or name in protected:
             continue
         if now - stamp > max_age_ms:
             fsutil.delete(spark, f"{root}/{name}")
@@ -1576,20 +1697,18 @@ def _ingest_frames(
     preds = _check_prune_preds(where) if where is not None else []
     parts: list[DataFrame] = []
     if gen is not None:
-        probe = spark.read.parquet(f"{gen}/data")
-        if where is not None and all(
-            c in probe.columns for c, _op, _v in preds
-        ):
+        cols = spark.read.parquet(f"{gen}/data").columns
+        if where is not None and all(c in cols for c, _op, _v in preds):
             g = _read_generation_pruned(spark, root, gen, where)
         elif where is not None:
             # a pred column the generation lacks (e.g. _lineage on a
             # legacy generation): add it first, filter unpruned
-            g = probe
+            g = _read_generation_pruned(spark, root, gen, None)
             if _LINEAGE_COL not in g.columns:
                 g = g.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
             g = g.filter(cond)
         else:
-            g = probe
+            g = _read_generation_pruned(spark, root, gen, None)
         if _LINEAGE_COL not in g.columns:
             g = g.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
         parts.append(g)
@@ -1661,6 +1780,7 @@ def absorb_landing(
     manifest: bool = True,
     stats_cols: list[str] | None = None,
     delete_absorbed: bool = True,
+    incremental: bool = False,
 ) -> dict:
     """Fold landed micro-batches into the ingest table's NEXT
     generation: new generation = current generation ∪ the SNAPSHOTTED
@@ -1680,6 +1800,20 @@ def absorb_landing(
     shape. Batches landing AFTER the snapshot are untouched and stay
     readable via the landing leg.
 
+    ``incremental=True`` makes the absorb O(landed batches) instead of
+    O(table): the new generation holds ONLY the absorbed batches' rows
+    and chains to the previous head via ``_PARENT`` (the
+    ``append_ivf_index`` shape — at a 100 TB generation, folding a few
+    micro-batches must not rewrite 100 TB). Readers union the chain
+    transparently (:func:`read_table` / :func:`read_ingest_table`),
+    the cumulative ledger rides the chain HEAD, and
+    :func:`compact_table` (or the chain-length gate in
+    :func:`maybe_compact_table`) periodically folds the chain back to
+    one parentless generation; :func:`gc_table_generations` protects
+    the winner's transitive parents. This is the steady-state mode for
+    large tables; the default rewrite keeps small tables
+    self-contained in one generation.
+
     Absorbed partitions delete ONLY when the commit is demonstrably
     visible — the re-resolved CURRENT generation's ledger must cover
     the snapshot. A marker write that failed-but-was-swallowed (a
@@ -1697,12 +1831,22 @@ def absorb_landing(
     absorbed = _absorbed_ids(spark, gen)
     if len(pending) < min_batches:
         return {"absorbed": False, "pending_batches": len(pending)}
-    parts = _ingest_frames(spark, root, gen, pending)
+    # incremental: the new generation holds ONLY the landed batches and
+    # chains to the current head via _PARENT — absorbing a few
+    # micro-batches writes a few micro-batches, never the table
+    # (readers union the chain; compact_table folds it). Rewrite mode
+    # folds generation + landing into one self-contained generation.
+    parent = gen.rsplit("/", 1)[-1] if (incremental and gen) else None
+    parts = _ingest_frames(
+        spark, root, None if parent else gen, pending
+    )
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
     census = fsutil.list_files(spark, landing) + (
-        fsutil.list_files(spark, f"{gen}/data") if gen else []
+        fsutil.list_files(spark, f"{gen}/data")
+        if gen and not parent
+        else []
     )
     n_out = max(
         1, -(-sum(sz for _, sz in census) // target_file_bytes)
@@ -1717,6 +1861,7 @@ def absorb_landing(
             manifest=manifest,
             stats_cols=stats_cols,
             extra_files={"_ABSORBED": _encode_ledger(ledger)},
+            parent=parent,
         )
     except Exception:
         # a concurrent absorb that won and deleted its absorbed landing
@@ -1748,6 +1893,7 @@ def absorb_landing(
         "absorbed": True,
         "committed": committed,
         "generation": name,
+        "parent": parent,
         "absorbed_batches": len(pending),
         "ledger_size": sum(len(ids) for ids in ledger.values()),
         "landing_deleted": covered and delete_absorbed,

@@ -578,6 +578,87 @@ def manifest_scale_experiment(
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def ingest_chain_experiment(spark, sf_dir: str, n_batches: int = 4) -> dict:
+    """Incremental vs rewrite absorb, priced (round 10): seed one
+    generation from the lineitem corpus, land ``n_batches`` small
+    micro-batches, and absorb them both ways. The rewrite absorb
+    rewrites the WHOLE table (at 100 TB: a 100 TB write to fold a few
+    micro-batches); the incremental absorb writes a _PARENT-chained
+    delta holding only the batches. Reports absorb wall + bytes
+    actually written per mode, reader parity, and the fold-back wall
+    (compact_table) that returns the chain to one generation."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        compact_table,
+        landing_append,
+        read_ingest_table,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    n_corpus = li.count()
+    batch_rows = max(1_000, n_corpus // 100)
+    scratch = tempfile.mkdtemp(prefix="ingest_chain_")
+    out: dict = {"corpus_rows": n_corpus, "batch_rows": batch_rows}
+    try:
+        for mode in ("rewrite", "incremental"):
+            inc = mode == "incremental"
+            root = f"{scratch}/{mode}"
+            landing_append(li, root, 0, lineage="seed")
+            absorb_landing(spark, root, min_batches=1, incremental=inc)
+            for b in range(1, n_batches + 1):
+                landing_append(
+                    spark.range(batch_rows).select(
+                        (F.col("id") + b * batch_rows).alias("l_orderkey"),
+                        F.lit(9).alias("l_linenumber"),
+                        F.col("id").alias("l_partkey"),
+                        F.lit(1.0).alias("l_extendedprice"),
+                    ),
+                    root,
+                    b,
+                    lineage="seed",
+                )
+            t0 = time.perf_counter()
+            rep = absorb_landing(spark, root, min_batches=1, incremental=inc)
+            wall = round(time.perf_counter() - t0, 2)
+            gen_files = fsutil.list_files(
+                spark, f"{root}/{rep['generation']}/data"
+            )
+            expected = n_corpus + n_batches * batch_rows
+            res = {
+                "absorb_wall_s": wall,
+                "gen_bytes_written": sum(sz for _, sz in gen_files),
+                "gen_files_written": len(gen_files),
+                "rows_exact": read_ingest_table(spark, root).count()
+                == expected,
+            }
+            if inc:
+                t0 = time.perf_counter()
+                fold = compact_table(spark, root, target_file_bytes=64 << 20)
+                res["fold_wall_s"] = round(time.perf_counter() - t0, 2)
+                res["links_folded"] = fold["links_folded"]
+                res["rows_exact_after_fold"] = (
+                    read_ingest_table(spark, root).count() == expected
+                )
+            out[mode] = res
+        out["write_amplification_rewrite_vs_incremental"] = round(
+            out["rewrite"]["gen_bytes_written"]
+            / max(out["incremental"]["gen_bytes_written"], 1),
+            1,
+        )
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def _bpe_corpus(spark, sf_dir: str, copies: int = 1):
     """Deterministic HIGH-CARDINALITY word corpus derived from
     lineitem — the bench ``documents`` table has a closed 31-word
@@ -878,6 +959,10 @@ def main() -> None:
     # the sharded v2 root/sidecar split exists for (VERDICT r9 #1)
     manifest50k = manifest_scale_experiment(spark, n_files=50_000, n_dirs=64)
 
+    # incremental vs rewrite absorb: the write-amplification number
+    # behind the _PARENT-chained ingest generations (round 10)
+    ingest_chain = ingest_chain_experiment(spark, base_dir)
+
     # BPE at realistic distinct-word cardinality, two tiers: ~1M
     # distinct words at 1x, ~10M at 10x (copy-minted tails), proving
     # the frequency-split encode's distinct-word bound on the axis
@@ -937,6 +1022,7 @@ def main() -> None:
         "ratio100": ratios(scaled100, base),
         "skew_join": skew,
         "manifest50k": manifest50k,
+        "ingest_chain": ingest_chain,
         "bpe": bpe,
         "bpe_memory_curve": bpe_mem,
         "driver": {

@@ -1283,6 +1283,122 @@ def test_ingest_legacy_layout_migrates_under_legacy_lineage(spark, tmp_path):
     assert read_ingest_table(spark, root).count() == 29
 
 
+def test_incremental_absorb_chains_generations(spark, tmp_path):
+    """absorb_landing(incremental=True) is O(landed batches), not
+    O(table): the new generation holds ONLY the absorbed rows and
+    chains to the head via _PARENT; readers union the chain
+    transparently (full, filtered, pruned, time-travel), GC protects
+    the chain, and compact_table folds it back to one parentless
+    generation with the ledger carried."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        compact_table,
+        gc_table_generations,
+        landing_append,
+        maybe_compact_table,
+        read_ingest_table,
+        read_table,
+    )
+
+    root = str(tmp_path / "ingest_chain")
+    for b in range(3):
+        landing_append(spark.range(b * 100, b * 100 + 100).toDF("id"), root, b)
+    rep1 = absorb_landing(spark, root, min_batches=1, incremental=True)
+    assert rep1["committed"] is True and rep1["parent"] is None  # first: no head
+    assert read_table(spark, root).count() == 300
+
+    # second absorb: a DELTA generation — its data dir holds ONLY the
+    # two new batches' rows (the O(batches) claim, checked directly)
+    landing_append(spark.range(300, 350).toDF("id"), root, 3)
+    landing_append(spark.range(350, 400).toDF("id"), root, 4)
+    rep2 = absorb_landing(spark, root, min_batches=1, incremental=True)
+    assert rep2["parent"] == rep1["generation"]
+    assert fsutil.read_text(
+        spark, f"{root}/{rep2['generation']}/_PARENT"
+    ).strip() == rep1["generation"]
+    delta_rows = spark.read.parquet(f"{root}/{rep2['generation']}/data")
+    assert delta_rows.count() == 100  # only the new batches
+
+    # readers union the chain: full, live, filtered, pruned, pinned
+    assert read_table(spark, root).count() == 400
+    assert read_ingest_table(spark, root).count() == 400
+    got = read_table(spark, root, where=[("id", ">=", 250), ("id", "<", 320)])
+    assert got.count() == 70  # spans both chain members
+    assert read_table(spark, root, generation=rep1["generation"]).count() == 300
+
+    # replay of an absorbed batch stays subtracted (ledger on the head)
+    landing_append(spark.range(300, 350).toDF("id"), root, 3)
+    assert read_ingest_table(spark, root).count() == 400
+
+    # GC protects the winner's whole chain
+    assert gc_table_generations(spark, root, max_age_ms=0, now_ms=2**62) == []
+
+    # the chain-length gate folds: two links < 4 skip, then trigger
+    skip = maybe_compact_table(spark, root, min_chain_links=4)
+    assert skip["compacted"] is False and skip["stats"]["chain_links"] == 2
+    rep_fold = maybe_compact_table(spark, root, min_chain_links=2)
+    assert rep_fold["compacted"] is True and rep_fold["links_folded"] == 2
+    assert rep_fold["committed"] is True
+    # folded: parentless, full content, superseded chain sweeps
+    head = fsutil.read_text(spark, f"{root}/_CURRENT").strip()
+    assert not fsutil.exists(spark, f"{root}/{head}/_PARENT")
+    assert read_table(spark, root).count() == 400
+    swept = gc_table_generations(spark, root, max_age_ms=0, now_ms=2**62)
+    assert sorted(swept) == sorted([rep1["generation"], rep2["generation"]])
+    # ledger carried through the fold: the replayed partition (and a
+    # fresh re-land of an absorbed batch) stay subtracted
+    landing_append(spark.range(0, 100).toDF("id"), root, 0)
+    assert read_ingest_table(spark, root).count() == 400
+    assert read_table(spark, root).agg(F.sum("id")).first()[0] == sum(
+        range(400)
+    )
+
+
+def test_incremental_absorb_onto_legacy_generation(spark, tmp_path):
+    """An incremental delta chained onto a PRE-LINEAGE generation: the
+    parent's rows read under the legacy lineage, filtered and pruned
+    chain reads stay exact, and lineage predicates work across the
+    mixed chain."""
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "ingest_chain_legacy")
+    # a pre-lineage generation (no _lineage column, bare-list ledger)
+    gen_df = spark.range(20).toDF("id").withColumn(
+        "_batch_id", (F.col("id") / 10).cast("int").cast("long")
+    )
+    write_table(
+        gen_df, root, manifest=False,
+        extra_files={"_ABSORBED": json.dumps([[0, 1]])},
+    )
+    landing_append(spark.range(100, 110).toDF("id"), root, 0, lineage="runA")
+    rep = absorb_landing(spark, root, min_batches=1, incremental=True)
+    assert rep["parent"] is not None and rep["committed"] is True
+
+    full = read_table(spark, root)
+    assert full.count() == 30
+    by_lin = {
+        r["_lineage"]: r["n"]
+        for r in full.groupBy("_lineage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_lin == {"legacy": 20, "runA": 10}
+    # a lineage predicate across the mixed chain (parent lacks the col)
+    got = read_table(spark, root, where=("_lineage", "==", "legacy"))
+    assert got.count() == 20
+    assert read_ingest_table(spark, root).count() == 30
+    # replays of both forms stay subtracted against the head ledger
+    landing_append(spark.range(100, 110).toDF("id"), root, 0, lineage="runA")
+    assert read_ingest_table(spark, root).count() == 30
+
+
 def test_read_ingest_table_where_prunes_generation_leg(spark, tmp_path):
     """read_ingest_table(where=) must equal the filtered live view
     exactly while opening only the generation files whose manifest
