@@ -1843,11 +1843,13 @@ def absorb_landing(
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    census = fsutil.list_files(spark, landing) + (
-        fsutil.list_files(spark, f"{gen}/data")
-        if gen and not parent
-        else []
-    )
+    census = fsutil.list_files(spark, landing)
+    if gen and not parent:
+        # rewrite mode folds the WHOLE chain (a rewrite after
+        # incremental absorbs implicitly compacts it) — size n_out
+        # from every member's bytes, not just the head's
+        for member in _gen_chain(spark, root, gen):
+            census += fsutil.list_files(spark, f"{member}/data")
     n_out = max(
         1, -(-sum(sz for _, sz in census) // target_file_bytes)
     )
