@@ -61,6 +61,22 @@ def best_of(run1: dict[str, float], run2: dict[str, float]) -> dict[str, float]:
 #: when the host is merely busy; only re-pin if the hardware changes.
 CALIBRATION_BASELINE_S = 0.95
 
+#: queries between interleaved calibration probes. One probe per PASS
+#: (r10 and earlier) corrected the pass's average load but was blind to
+#: load ARRIVING mid-suite — BENCH_r10 moved +13% normalized on a tree
+#: whose plan-bearing files hadn't changed (VERDICT r10 #1). Probing
+#: every N queries makes each query normalize against the load measured
+#: in ITS OWN window.
+PROBE_EVERY = 10
+
+#: re-run rule (documented for the driver): when the suite-median probe
+#: exceeds this multiple of the pinned baseline, or the within-suite
+#: probe spread (max/min) exceeds LOAD_VARIANCE_MAX, the emitted JSON
+#: sets rerun_recommended=true — the host was loaded or unstable enough
+#: that the normalized number should be re-measured in a quieter window.
+OVERLOAD_RERUN_FACTOR = 1.2
+LOAD_VARIANCE_MAX = 1.5
+
 
 def calibration_probe(spark) -> float:
     """One fixed, data-independent reference job (1B-row range ->
@@ -140,20 +156,34 @@ def main() -> None:
     # and the headline also carries the min and the per-pass spread so
     # round-over-round deltas can be judged against the noise envelope.
     # All raw passes are preserved in BENCH_DETAIL.json.
-    calibration: list[float] = []
+    # INTERLEAVED calibration (VERDICT r10 #1): a probe before the suite
+    # and after every PROBE_EVERY queries, per pass. Each query
+    # normalizes against the most recent probe — load arriving mid-suite
+    # is corrected in the window it arrived, not smeared across the pass.
+    probe_segments: list[list[tuple[int, float]]] = []
+    norm_runs: list[dict[str, float]] = []
     calibration_probe(spark)  # warm the probe's own codegen, untimed
+    names_sorted = sorted(queries)
     for pass_i in range(n_passes):
-        # fixed ruler first: what is THIS pass's host-load multiplier?
-        calibration.append(calibration_probe(spark))
+        seg = [(0, calibration_probe(spark))]
+        probe_segments.append(seg)
         sink: dict[str, float] = {}
+        nsink: dict[str, float] = {}
         runs.append(sink)
-        for name in sorted(queries):
+        norm_runs.append(nsink)
+        for qi, name in enumerate(names_sorted):
+            if qi and qi % PROBE_EVERY == 0:
+                seg.append((qi, calibration_probe(spark)))
             mc.start()
             t0 = time.perf_counter()
             try:
                 df = queries[name](spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 sink[name] = round(time.perf_counter() - t0, 3)
+                # normalize by THIS window's load factor
+                nsink[name] = round(
+                    sink[name] * CALIBRATION_BASELINE_S / seg[-1][1], 3
+                )
                 if pass_i == 0:
                     rec = mc.finish(name)
                     shuffles[name] = {
@@ -163,6 +193,7 @@ def main() -> None:
                     }
             except Exception as exc:  # keep benching; report the failure
                 sink[name] = -1.0
+                nsink[name] = -1.0
                 print(f"bench: {name} failed (run{pass_i + 1}): {exc!r}", file=sys.stderr)
 
     med = _agg_passes(runs, _median)
@@ -172,14 +203,29 @@ def main() -> None:
     pass_totals = [
         round(sum(t for t in r.values() if t >= 0), 3) for r in runs
     ]
-    # load-normalized headline: total ÷ (observed ruler / pinned ruler).
-    # A 2x-loaded window doubles both the suite and the probe, so the
-    # normalized number stays comparable round-over-round.
-    calibration_wall = _median(calibration) if calibration else -1.0
-    normalized_total = (
-        round(total_median * CALIBRATION_BASELINE_S / calibration_wall, 3)
-        if calibration_wall > 0
-        else -1.0
+    # load-normalized headline: per-query median of the WINDOW-normalized
+    # times (each divided by its own segment's observed/pinned probe
+    # ratio). A 2x-loaded window doubles both its queries and its probe,
+    # so the normalized number stays comparable round-over-round even
+    # when the load arrives mid-suite.
+    all_probes = [w for seg in probe_segments for _qi, w in seg]
+    calibration = [
+        round(_median([w for _qi, w in seg]), 3) for seg in probe_segments
+    ]
+    calibration_wall = _median(all_probes) if all_probes else -1.0
+    norm_med = _agg_passes(norm_runs, _median)
+    normalized_total = round(
+        sum(t for t in norm_med.values() if t >= 0), 3
+    )
+    # within-suite load spread: >LOAD_VARIANCE_MAX means the host load
+    # CHANGED while the suite ran — the normalized number corrects it
+    # window-by-window, but the raw totals are not comparable
+    load_variance = (
+        round(max(all_probes) / min(all_probes), 3) if all_probes else -1.0
+    )
+    rerun_recommended = bool(
+        calibration_wall > OVERLOAD_RERUN_FACTOR * CALIBRATION_BASELINE_S
+        or load_variance > LOAD_VARIANCE_MAX
     )
 
     # accuracy contract for q_approx_sketches (untimed): the sketches are
@@ -490,8 +536,12 @@ def main() -> None:
                 "total_min": total_min,
                 "pass_totals": pass_totals,
                 "calibration_passes": calibration,
+                "calibration_probes": probe_segments,
                 "calibration_baseline_s": CALIBRATION_BASELINE_S,
                 "normalized_total": normalized_total,
+                "queries_normalized": norm_med,
+                "load_variance": load_variance,
+                "rerun_recommended": rerun_recommended,
                 "shuffle": shuffles,
                 "sketch_accuracy": sketch_accuracy,
                 "ivf_recall": ivf_recall,
@@ -522,13 +572,21 @@ def main() -> None:
                 "total_min": total_min,
                 # per-pass totals = the noise envelope a delta must clear
                 "pass_totals": pass_totals,
-                # fixed-probe load ruler + the normalized total (divide
-                # the raw median by observed/pinned probe wall); quote
+                # fixed-probe load ruler, INTERLEAVED every PROBE_EVERY
+                # queries: each query normalizes against its own
+                # window's observed/pinned probe ratio; quote
                 # normalized_total for round-over-round comparisons
                 "calibration_wall_s": round(calibration_wall, 3),
                 "calibration_baseline_s": CALIBRATION_BASELINE_S,
                 "calibration_passes": calibration,
                 "normalized_total": normalized_total,
+                # max/min probe across the whole run: the within-suite
+                # load swing the interleaving corrected for
+                "load_variance": load_variance,
+                # documented re-run rule: true when the median probe ran
+                # >1.2x the pin or the probe spread exceeded 1.5 — the
+                # driver should prefer a re-run in a quieter window
+                "rerun_recommended": rerun_recommended,
                 "queries": med,
                 "sf": sf,
             }

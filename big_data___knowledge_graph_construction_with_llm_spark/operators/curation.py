@@ -379,6 +379,13 @@ def curate_resumable(
         # Column repr embeds it, deterministically for the same
         # construction); foreign_key signs name + the ref frame's plan
         # signature; unique's name already carries its full content.
+        # CAVEAT (ADVICE r10): the Column repr is ENGINE-dependent —
+        # classic PySpark and Spark Connect render the same predicate
+        # differently, so an identical pipeline re-run after switching
+        # engines (or a repr-changing Spark upgrade) fingerprint-drifts
+        # and refuses to resume. Deliberately so: the drift direction
+        # is conservative (never a silent wrong resume) — recover with
+        # force=True once per engine switch.
         parts = [r.name]
         if r.kind == "row" and r.predicate is not None:
             parts.append(repr(r.predicate))

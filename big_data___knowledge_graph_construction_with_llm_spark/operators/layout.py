@@ -459,7 +459,30 @@ def _query_bound(val, side: str, dtype: str | None, session_tz: str | None):
         t = dtype or ""
         if t.startswith("timestamp"):
             if val.tzinfo is not None:
-                return _epoch_micros(val)
+                if t != "timestamp_ntz":
+                    return _epoch_micros(val)
+                # aware predicate on an NTZ column (ADVICE r10): the
+                # residual compare casts the ntz wall through the
+                # SESSION zone while the manifest stores wall-as-UTC —
+                # cover the exact instant, the value's own wall under
+                # the write convention, and the session-zone wall; an
+                # unknown session zone can't be covered ⇒ keep
+                if not session_tz:
+                    return None
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    z = ZoneInfo(session_tz)
+                except Exception:
+                    return None
+                cands = [
+                    _epoch_micros(val),
+                    _epoch_micros(val.replace(tzinfo=_dt.timezone.utc)),
+                    _epoch_micros(
+                        val.astimezone(z).replace(tzinfo=_dt.timezone.utc)
+                    ),
+                ]
+                return min(cands) if side == "min" else max(cands)
             cands = [
                 _epoch_micros(
                     val.replace(fold=f).astimezone(_dt.timezone.utc)
@@ -520,6 +543,308 @@ def _file_stat_aggs(cols: list[str]) -> list[Column]:
     return aggs
 
 
+#: file count at or below which the footer harvest runs DRIVER-side
+#: (a handful of local footer reads beats a Spark job's latency); above
+#: it the file list distributes over executors via mapInPandas
+_FOOTER_DRIVER_MAX = 32
+
+
+def _portable_type(dtype: str) -> str:
+    """The timezone-free Arrow wire type the footer-harvest job emits
+    for a stats column of Spark ``dtype``: integers widen to bigint,
+    floats to double, timestamps travel as UTC epoch-micros LONGS and
+    everything temporal/decimal as canonical strings — so no value ever
+    round-trips through pandas timestamp semantics, and the JVM-side
+    cast back to the native type is exact."""
+    if dtype in ("tinyint", "smallint", "int", "bigint") or dtype == "timestamp":
+        return "bigint"
+    if dtype in ("float", "double"):
+        return "double"
+    if dtype == "boolean":
+        return "boolean"
+    return "string"  # string, decimal(p,s), date, timestamp_ntz
+
+
+def _portable_cast(col: Column, dtype: str) -> Column:
+    """Exact JVM-side cast from the portable wire value back to the
+    column's native Spark type (``timestamp_micros`` for timestamps —
+    a string parse would re-enter session-timezone semantics)."""
+    if dtype == "timestamp":
+        return F.timestamp_micros(col)
+    return col.cast(dtype)
+
+
+def _portable_value(v, dtype: str):
+    """Portable-encode a NATIVE min/max bound (comparisons happen in
+    the native domain first — lexicographic decimal strings would order
+    '12' < '9')."""
+    if v is None:
+        return None
+    if dtype == "timestamp":
+        return _epoch_micros(v)  # footer values are tz-aware UTC
+    if dtype == "timestamp_ntz":
+        return v.isoformat(sep=" ")
+    if dtype == "date":
+        return v.isoformat()
+    if dtype.startswith("decimal"):
+        return str(v)
+    return v
+
+
+def _native_partition_value(s: str, dtype: str, session_tz: str | None):
+    """The NATIVE value of hive partition-dir segment value ``s`` (already
+    percent-decoded) for a column of ``dtype``, mirroring Spark's own
+    partition-value parsing; ``None`` when unparseable or the hive null
+    sentinel — the file then carries no span for the column (keep)."""
+    import datetime as _dt
+    import decimal
+
+    if s == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            return int(s)
+        if dtype in ("float", "double"):
+            return float(s)
+        if dtype == "boolean":
+            return s.lower() == "true"
+        if dtype == "string":
+            return s
+        if dtype == "date":
+            return _dt.date.fromisoformat(s)
+        if dtype.startswith("decimal"):
+            return decimal.Decimal(s)
+        if dtype == "timestamp_ntz":
+            return _dt.datetime.fromisoformat(s)
+        if dtype == "timestamp":
+            # Spark parses partition timestamps in the SESSION zone
+            if not session_tz:
+                return None
+            from zoneinfo import ZoneInfo
+
+            wall = _dt.datetime.fromisoformat(s)
+            if wall.tzinfo is None:
+                wall = wall.replace(tzinfo=ZoneInfo(session_tz))
+            return wall.astimezone(_dt.timezone.utc)
+    except Exception:  # noqa: BLE001 - unparseable: no span, keep
+        return None
+    return None
+
+
+def _footer_bounds_native(st, colschema, dtype: str):
+    """NATIVE ``(min, max)`` of one row group's footer statistics for a
+    column of Spark ``dtype``, or ``None`` when the footer can't prove
+    an exact-typed span (INT96, NaN float bounds, nanos-unit timestamps
+    — pyarrow's datetime would silently truncate the max DOWN — or any
+    physical/logical shape we don't recognize). ``None`` ⇒ the file
+    keeps on every predicate: strictly conservative. String bounds may
+    be writer-truncated; parquet's BinaryTruncator keeps them OUTER
+    bounds (prefix-min ≤ min, incremented max ≥ max), so they stay
+    valid spans."""
+    import datetime as _dt
+    import decimal
+
+    if colschema.physical_type == "INT96":
+        return None  # deprecated type: statistics are unreliable
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        lo, hi = st.min_raw, st.max_raw
+        if isinstance(lo, int) and isinstance(hi, int):
+            return lo, hi
+        return None
+    if dtype in ("float", "double"):
+        lo, hi = st.min, st.max
+        if lo != lo or hi != hi:  # NaN: parquet ordering is undefined
+            return None
+        return float(lo), float(hi)
+    if dtype == "boolean":
+        return bool(st.min), bool(st.max)
+    if dtype.startswith("decimal"):
+        scale = colschema.scale
+
+        def dec(raw):
+            if isinstance(raw, bytes):
+                raw = int.from_bytes(raw, "big", signed=True)
+            if not isinstance(raw, int):
+                return None
+            return decimal.Decimal(raw).scaleb(-scale)
+
+        lo, hi = dec(st.min_raw), dec(st.max_raw)
+        if lo is None or hi is None:
+            return None
+        return lo, hi
+    if dtype == "string":
+        lo, hi = st.min, st.max
+        if isinstance(lo, str) and isinstance(hi, str):
+            return lo, hi
+        return None
+    if dtype == "date":
+        lo, hi = st.min, st.max
+        if type(lo) is _dt.date and type(hi) is _dt.date:
+            return lo, hi
+        return None
+    if dtype.startswith("timestamp"):
+        if "nanoseconds" in str(colschema.logical_type):
+            return None  # datetime truncation would NARROW the max
+        lo, hi = st.min, st.max
+        if not isinstance(lo, _dt.datetime) or not isinstance(hi, _dt.datetime):
+            return None
+        aware = lo.tzinfo is not None and hi.tzinfo is not None
+        if dtype == "timestamp":
+            return (lo, hi) if aware else None
+        return None if aware else (lo, hi)  # timestamp_ntz: wall values
+    return None
+
+
+def _footer_file_spans(
+    md, rel: str, cols: list[str], types: dict[str, str], session_tz: str | None
+) -> dict[str, tuple]:
+    """Per-column portable ``(min, max)`` spans of one parquet file from
+    its FOOTER metadata only (plus hive partition-dir values for columns
+    not stored in the file). A column missing from both, or with any
+    row group whose statistics can't prove an exact span, gets no entry
+    (⇒ keep). All-null row groups contribute nothing, matching
+    ``F.min``/``F.max`` null semantics; an all-null FILE gets no entry,
+    exactly like the scan-based writer's null aggregate."""
+    from urllib.parse import unquote
+
+    spans: dict[str, tuple] = {}
+    parts = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            parts[k] = unquote(v)
+    idx = {}
+    if md.num_row_groups:
+        rg0 = md.row_group(0)
+        idx = {rg0.column(j).path_in_schema: j for j in range(rg0.num_columns)}
+    for c in cols:
+        t = types[c]
+        if c in parts:
+            v = _native_partition_value(parts[c], t, session_tz)
+            if v is not None:
+                pv = _portable_value(v, t)
+                spans[c] = (pv, pv)
+            continue
+        j = idx.get(c)
+        if j is None:
+            continue  # absent column: no span, keep
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            cc = rgm.column(j)
+            st = cc.statistics
+            if st is None or not st.has_min_max:
+                if (
+                    st is not None
+                    and st.has_null_count
+                    and st.null_count == rgm.num_rows
+                ):
+                    continue  # all-null row group: contributes nothing
+                ok = False
+                break
+            lohi = _footer_bounds_native(st, md.schema.column(j), t)
+            if lohi is None:
+                ok = False
+                break
+            mn = lohi[0] if mn is None else min(mn, lohi[0])
+            mx = lohi[1] if mx is None else max(mx, lohi[1])
+        if ok and mn is not None:
+            spans[c] = (_portable_value(mn, t), _portable_value(mx, t))
+    return spans
+
+
+def _footer_extract_fn(cols: list[str], types: dict[str, str], session_tz):
+    """The (pickled) per-partition footer harvester: pandas frames of
+    ``(file, _full)`` in, portable per-file stat rows out. Only parquet
+    FOOTERS are read — no data pages decode. Zero-row files emit no row
+    (the scan-based writer's groupBy had no group for them either)."""
+
+    def extract(iterator):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        names = ["file", "_rows"] + [
+            f"_m{s}{i}" for i in range(len(cols)) for s in ("n", "x")
+        ]
+        for pdf in iterator:
+            out: dict[str, list] = {k: [] for k in names}
+            for rel, full in zip(pdf["file"], pdf["_full"]):
+                local = full[len("file:"):] if full.startswith("file:") else full
+                md = pq.ParquetFile(local).metadata
+                if md.num_rows == 0:
+                    continue
+                spans = _footer_file_spans(md, rel, cols, types, session_tz)
+                out["file"].append(rel)
+                out["_rows"].append(md.num_rows)
+                for i, c in enumerate(cols):
+                    s = spans.get(c)
+                    out[f"_mn{i}"].append(None if s is None else s[0])
+                    out[f"_mx{i}"].append(None if s is None else s[1])
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype=object) for k, v in out.items()}
+            )
+
+    return extract
+
+
+def _footer_file_stats(
+    spark: SparkSession,
+    data_path: str,
+    listed: list[tuple[str, int]],
+    cols: list[str],
+    types: dict[str, str],
+) -> DataFrame:
+    """The per-file stats frame (``file``, ``_rows``, native-typed
+    ``_mn{i}``/``_mx{i}``) harvested from parquet FOOTER metadata only —
+    the scan-based aggregate's drop-in replacement, without its second
+    full read of the generation (VERDICT r10 #2: 352.8s to manifest a
+    50k-file generation whose prune then saves 0.46s). Small file lists
+    harvest driver-side; larger ones distribute as one mapInPandas job
+    over the listing. Relative paths come straight from the qualified
+    listing, so no URI decode round-trip is involved."""
+    fs, p = fsutil._fs(spark, data_path)
+    root = fs.makeQualified(p).toString()
+    rels = []
+    for full, _sz in listed:
+        if not full.startswith(root):
+            raise ValueError(
+                f"listed file {full!r} outside qualified root {root!r}"
+            )
+        rels.append((full[len(root) + 1:], full))
+    session_tz = None
+    try:
+        session_tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:  # noqa: BLE001 - unset: partition ts spans drop
+        pass
+    extract = _footer_extract_fn(cols, types, session_tz)
+    portable = ", ".join(
+        f"_m{s}{i} {_portable_type(types[c])}"
+        for i, c in enumerate(cols)
+        for s in ("n", "x")
+    )
+    schema = "file string, _rows bigint" + (f", {portable}" if cols else "")
+    if len(rels) <= _FOOTER_DRIVER_MAX:
+        import pandas as pd
+
+        pdf = pd.DataFrame(rels, columns=["file", "_full"])
+        raw = spark.createDataFrame(list(extract([pdf])).pop(), schema=schema)
+    else:
+        n_tasks = max(1, min(len(rels), spark.sparkContext.defaultParallelism * 4))
+        raw = (
+            spark.createDataFrame(rels, "file string, _full string")
+            .repartition(n_tasks)
+            .mapInPandas(extract, schema)
+        )
+    exprs = [F.col("file"), F.col("_rows")]
+    for i, c in enumerate(cols):
+        for s in ("_mn", "_mx"):
+            exprs.append(
+                _portable_cast(F.col(f"{s}{i}"), types[c]).alias(f"{s}{i}")
+            )
+    return raw.select(*exprs)
+
+
 def _dirs_from_file_entries(files: list[dict], cols: list[str]) -> list[dict]:
     """O(dirs) directory aggregates from per-file manifest entries:
     a dir carries a column's span only when EVERY member file does
@@ -552,6 +877,7 @@ def _write_manifest(
     manifest_path: str,
     stats_cols: list[str] | None = None,
     inline_max: int | None = None,
+    stats_source: str = "footer",
 ) -> dict:
     """Build and write a generation's ``_MANIFEST`` (version 2): the
     root JSON carries ``{version, columns, types, n_files, total_rows,
@@ -564,14 +890,22 @@ def _write_manifest(
     collected — the per-file stats keep their NATIVE column types
     there, so the file-level prune job compares exactly). File paths
     are RELATIVE to the data dir (hive partition dirs included, so the
-    manifest survives a root move). One aggregate pass over the data
-    grouped by ``input_file_name()`` either way — the stats columns
-    decode once at write time so every later selective read can skip
-    whole directories driver-side and whole files sidecar-side.
-    Returns the root manifest dict."""
+    manifest survives a root move).
+
+    ``stats_source='footer'`` (default) harvests row counts and
+    min/max from parquet FOOTER metadata only — a tiny job over the
+    file list, no data pages decoded, so committing a manifest costs
+    O(files) metadata reads instead of a second full scan of the
+    generation (VERDICT r10 #2). ``'scan'`` keeps the original one-
+    aggregate-pass-over-the-data builder (grouped by
+    ``input_file_name()``); the two are content-identical on every
+    exactly-representable span (pinned in ``tests/test_layout.py``) —
+    footer mode conservatively omits a span only where the footer
+    can't prove one (e.g. NaN float bounds). Returns the root manifest
+    dict."""
     import json
 
-    df = spark.read.parquet(data_path)
+    df = spark.read.parquet(data_path)  # schema only: no action runs
     types = dict(df.dtypes)
     cols = (
         list(stats_cols)
@@ -587,52 +921,22 @@ def _write_manifest(
         raise ValueError(f"manifest stats_cols absent from data: {missing}")
     if inline_max is None:
         inline_max = _MANIFEST_INLINE_MAX
-    n_files = len(fsutil.list_files(spark, data_path))
-    per_file = df.groupBy(F.input_file_name().alias("_uri")).agg(
-        *_file_stat_aggs(cols)
-    )
-    manifest: dict = {
-        "version": 2,
-        "columns": cols,
-        "types": {c: types[c] for c in cols},
-        "n_files": n_files,
-    }
-    if n_files <= inline_max:
-        from urllib.parse import unquote
-
-        files = []
-        for r in per_file.collect():
-            # input_file_name() is a URI: percent-decode ONCE to
-            # recover the on-disk path (hive-escaped partition values
-            # like 'lang=pt%3ABR' appear double-encoded in the URI; a
-            # space is '%20'); the manifest must store what the
-            # filesystem can open. LAST "/data/" occurrence: the table
-            # root itself may contain "/data/", while nothing after
-            # the generation's data dir can (hive partition segments
-            # are k=v, never a bare "data")
-            full = unquote(r["_uri"])
-            anchor = full.rfind("/data/")
-            rel = full[anchor + len("/data/"):] if anchor >= 0 else full
-            stats = {}
-            for i, c in enumerate(cols):
-                mn = _json_bound(r[f"_mn{i}"], "min", types[c])
-                mx = _json_bound(r[f"_mx{i}"], "max", types[c])
-                if mn is not None and mx is not None:
-                    stats[c] = [mn, mx]
-            files.append({"file": rel, "rows": int(r["_rows"]), "stats": stats})
-        files.sort(key=lambda f: f["file"])
-        manifest["files"] = files
-        manifest["dirs"] = _dirs_from_file_entries(files, cols)
-        manifest["total_rows"] = sum(f["rows"] for f in files)
-    else:
-        # sidecar path: the per-file frame is NEVER collected. rel =
-        # percent-decoded URI after the LAST "/data/" (split takes the
-        # last element — same anchor rule as the inline path); dir =
-        # rel up to the last '/'. url_decode is FORM decoding ('+' ->
-        # space), but input_file_name URIs keep literal '+' unencoded
-        # (percent-encoding only) — re-escape it first so the decode
-        # matches Python's unquote on the inline path exactly
-        sidecar = manifest_path + "_FILES"
+    listed = fsutil.list_files(spark, data_path)
+    n_files = len(listed)
+    if stats_source == "footer":
+        per_file = _footer_file_stats(spark, data_path, listed, cols, types)
+    elif stats_source == "scan":
+        # input_file_name() is a URI: percent-decode ONCE to recover
+        # the on-disk path (hive-escaped partition values like
+        # 'lang=pt%3ABR' appear double-encoded in the URI; a space is
+        # '%20'); the manifest must store what the filesystem can
+        # open. rel = decoded URI after the LAST "/data/" occurrence:
+        # the table root itself may contain "/data/", while nothing
+        # after the generation's data dir can (hive partition segments
+        # are k=v, never a bare "data"). url_decode is FORM decoding
+        # ('+' -> space), but input_file_name URIs keep literal '+'
+        # unencoded (percent-encoding only) — re-escape it first so
+        # the decode matches Python's unquote exactly
         rel = F.element_at(
             F.split(
                 F.url_decode(F.regexp_replace(F.col("_uri"), r"\+", "%2B")),
@@ -640,7 +944,40 @@ def _write_manifest(
             ),
             -1,
         )
-        keyed = per_file.withColumn("file", rel).withColumn(
+        per_file = (
+            df.groupBy(F.input_file_name().alias("_uri"))
+            .agg(*_file_stat_aggs(cols))
+            .withColumn("file", rel)
+            .drop("_uri")
+        )
+    else:
+        raise ValueError(f"unknown stats_source {stats_source!r}")
+    manifest: dict = {
+        "version": 2,
+        "columns": cols,
+        "types": {c: types[c] for c in cols},
+        "n_files": n_files,
+    }
+    if n_files <= inline_max:
+        files = []
+        for r in per_file.collect():
+            stats = {}
+            for i, c in enumerate(cols):
+                mn = _json_bound(r[f"_mn{i}"], "min", types[c])
+                mx = _json_bound(r[f"_mx{i}"], "max", types[c])
+                if mn is not None and mx is not None:
+                    stats[c] = [mn, mx]
+            files.append(
+                {"file": r["file"], "rows": int(r["_rows"]), "stats": stats}
+            )
+        files.sort(key=lambda f: f["file"])
+        manifest["files"] = files
+        manifest["dirs"] = _dirs_from_file_entries(files, cols)
+        manifest["total_rows"] = sum(f["rows"] for f in files)
+    else:
+        # sidecar path: the per-file frame is NEVER collected
+        sidecar = manifest_path + "_FILES"
+        keyed = per_file.withColumn(
             "dir",
             F.when(
                 F.col("file").contains("/"),
@@ -667,11 +1004,17 @@ def _write_manifest(
             dir_aggs += [
                 F.min(f"_mn{i}").alias(f"_mn{i}"),
                 F.max(f"_mx{i}").alias(f"_mx{i}"),
+                # a dir carries a span only when EVERY member file does
+                # (same rule as _dirs_from_file_entries): a span-less
+                # file could hold anything the dir bound would exclude
+                F.count(f"_mn{i}").alias(f"_cn{i}"),
             ]
         dirs = []
         for r in back.groupBy("dir").agg(*dir_aggs).collect():
             stats = {}
             for i, c in enumerate(cols):
+                if r[f"_cn{i}"] != r["_nf"]:
+                    continue
                 mn = _json_bound(r[f"_mn{i}"], "min", types[c])
                 mx = _json_bound(r[f"_mx{i}"], "max", types[c])
                 if mn is not None and mx is not None:
@@ -1054,16 +1397,25 @@ def _read_generation_pruned(
             parts.append(spark.read.parquet(f"{m}/data"))
             continue
         mcols = spark.read.parquet(f"{m}/data").columns
-        if all(c in mcols for c, _op, _v in preds):
+        missing = [c for c, _op, _v in preds if c not in mcols]
+        if not missing:
             parts.append(_read_one_member_pruned(spark, root, m, where))
-        else:
-            # a pred column this member lacks — e.g. _lineage on a
-            # pre-lineage parent a delta chained onto: stamp the
-            # legacy lineage first, then the plain residual filter
+        elif missing == [_LINEAGE_COL]:
+            # _lineage on a pre-lineage parent a delta chained onto:
+            # stamp the legacy lineage first, then the residual filter
             p = spark.read.parquet(f"{m}/data")
-            if _LINEAGE_COL not in p.columns:
-                p = p.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+            p = p.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
             parts.append(p.filter(_where_column(where)))
+        else:
+            # a pred column this member truly lacks (schema-evolved
+            # chain, ADVICE r10): after the union it reads as NULL, and
+            # every supported prune op is null-rejecting, so the member
+            # provably contributes no matching rows — an empty same-
+            # schema frame keeps the union's shape without an
+            # unresolved-column error from a per-member filter
+            parts.append(
+                spark.read.parquet(f"{m}/data").filter(F.lit(False))
+            )
     # a delta chained onto a pre-lineage parent: the parent's rows ARE
     # the legacy lineage (the _ingest_frames stamp, one level down);
     # any other schema asymmetry across deltas unions as nulls
@@ -1535,15 +1887,21 @@ _LEGACY_LINEAGE = "legacy"
 
 
 def _check_lineage(lineage: str) -> str:
+    """'%' is rejected alongside '/' and '=': hive-escaped partition
+    dirs percent-encode special characters (lineage 'pt:BR' lands under
+    ``_lineage=pt%3ABR``), and :func:`_landing_batch_dirs` percent-
+    DECODES the dir back so ledger keys always equal the raw lineage
+    string users filter the ``_lineage`` column on (ADVICE r10); a raw
+    '%' would make that decoding ambiguous ('pt%3A' and 'pt:' collide)."""
     if (
         not lineage
         or lineage == _LEGACY_LINEAGE
-        or any(ch in lineage for ch in "/=")
+        or any(ch in lineage for ch in "/=%")
     ):
         raise ValueError(
             f"invalid ingest lineage {lineage!r}: must be non-empty,"
             f" not the reserved {_LEGACY_LINEAGE!r} (pre-lineage history"
-            " migrates onto it), and free of '/' and '='"
+            " migrates onto it), and free of '/', '=' and '%'"
         )
     return lineage
 
@@ -1593,8 +1951,13 @@ def _absorbed_ids(
     the range form keeps the ledger O(gaps) — a years-long ingest
     stays a handful of ranges per lineage, not one int per micro-batch
     ever absorbed). A pre-lineage ledger (bare JSON list) decodes as
-    the reserved legacy lineage."""
+    the reserved legacy lineage. Keys percent-DECODE on read: ledgers
+    written before r11 keyed the hive-ESCAPED lineage dir name
+    ('pt%3ABR'), newer ones the raw string ('pt:BR') — unquote maps
+    both onto the raw form, unambiguously because raw '%' has never
+    been a legal lineage character at append time."""
     import json
+    from urllib.parse import unquote
 
     if gen_dir is None:
         return {}
@@ -1604,7 +1967,10 @@ def _absorbed_ids(
     doc = json.loads(text)
     if isinstance(doc, list):  # pre-lineage ledger
         return {_LEGACY_LINEAGE: _decode_ranges(doc)}
-    return {lin: _decode_ranges(items) for lin, items in doc.items()}
+    out: dict[str, set[int]] = {}
+    for lin, items in doc.items():
+        out.setdefault(unquote(lin), set()).update(_decode_ranges(items))
+    return out
 
 
 def _encode_ranges(ids: set[int]) -> list:
@@ -1643,13 +2009,18 @@ def _landing_batch_dirs(
     present. Pre-lineage layouts (bare ``_batch_id=`` dirs at the
     landing root) enumerate under the reserved legacy lineage, so a
     root written by an older engine keeps reading and absorbing."""
+    from urllib.parse import unquote
+
     landing = f"{root}/landing"
     out: dict[tuple[str, int], str] = {}
     for name, _ in fsutil.list_dir(spark, landing):
         if name.startswith(f"{_BATCH_COL}="):  # pre-lineage layout
             out[(_LEGACY_LINEAGE, int(name.split("=", 1)[1]))] = name
         elif name.startswith(f"{_LINEAGE_COL}="):
-            lin = name.split("=", 1)[1]
+            # hive-escaped dir value → the RAW lineage string (what the
+            # rows' _lineage column holds and what ledgers key on);
+            # unambiguous because _check_lineage forbids raw '%'
+            lin = unquote(name.split("=", 1)[1])
             for sub, _m in fsutil.list_dir(spark, f"{landing}/{name}"):
                 if sub.startswith(f"{_BATCH_COL}="):
                     out[(lin, int(sub.split("=", 1)[1]))] = f"{name}/{sub}"
@@ -1696,17 +2067,31 @@ def _ingest_frames(
     cond = _where_column(where) if where is not None else None
     preds = _check_prune_preds(where) if where is not None else []
     parts: list[DataFrame] = []
+    def residual(frame: DataFrame) -> DataFrame:
+        """The residual filter, tolerating a leg that LACKS a predicate
+        column (schema-evolved chain/landing, ADVICE r10): every
+        supported prune op is null-rejecting, so such a leg provably
+        contributes no matching rows — an empty same-schema frame
+        instead of an unresolved-column error."""
+        if cond is None:
+            return frame
+        if any(c not in frame.columns for c, _op, _v in preds):
+            return frame.filter(F.lit(False))
+        return frame.filter(cond)
+
     if gen is not None:
         cols = spark.read.parquet(f"{gen}/data").columns
-        if where is not None and all(c in cols for c, _op, _v in preds):
+        missing = [c for c, _op, _v in preds if c not in cols]
+        if where is not None and not missing:
             g = _read_generation_pruned(spark, root, gen, where)
-        elif where is not None:
-            # a pred column the generation lacks (e.g. _lineage on a
-            # legacy generation): add it first, filter unpruned
+        elif where is not None and missing == [_LINEAGE_COL]:
+            # _lineage on a legacy generation: stamp it, filter unpruned
             g = _read_generation_pruned(spark, root, gen, None)
             if _LINEAGE_COL not in g.columns:
                 g = g.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
             g = g.filter(cond)
+        elif where is not None:
+            g = residual(_read_generation_pruned(spark, root, gen, None))
         else:
             g = _read_generation_pruned(spark, root, gen, None)
         if _LINEAGE_COL not in g.columns:
@@ -1718,14 +2103,14 @@ def _ingest_frames(
         frame = spark.read.option("basePath", landing).parquet(
             *[f"{landing}/{d}" for d in lineage_dirs]
         )
-        parts.append(frame.filter(cond) if cond is not None else frame)
+        parts.append(residual(frame))
     if legacy_dirs:
         frame = (
             spark.read.option("basePath", landing)
             .parquet(*[f"{landing}/{d}" for d in legacy_dirs])
             .withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
         )
-        parts.append(frame.filter(cond) if cond is not None else frame)
+        parts.append(residual(frame))
     return parts
 
 

@@ -53,6 +53,12 @@ def get_spark(
         # rejects; read as long and convert in the table loader
         # (plans/tables.py) — DuckDB truncates nanos→micros the same way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write TIMESTAMP(MICROS) instead of the deprecated INT96:
+        # INT96 columns carry NO footer statistics, which would blind
+        # the footer-harvested _MANIFEST (operators/layout.py) to every
+        # timestamp column; micros also halve the on-disk footprint of
+        # a timestamp at 100 TB and are what every other engine reads.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # DuckDB-oracle parity: permissive casts/overflow like the oracle
         # (the engine's own hash arithmetic is mod-p and ANSI-safe either
         # way; see operators/dedup.py).

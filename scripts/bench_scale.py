@@ -527,6 +527,17 @@ def manifest_scale_experiment(
         write_s = round(time.perf_counter() - t0, 2)
         man = read_manifest(spark, root)
         gen_dir = current_table_path(spark, root)[: -len("/data")]
+        # the manifest build alone (footer harvest, r11): re-run it
+        # against the just-written generation into a scratch path —
+        # this is the per-commit metadata cost VERDICT r10 #2 priced
+        # at 352.8s under the scan-based builder
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+            _write_manifest,
+        )
+
+        t0 = time.perf_counter()
+        _write_manifest(spark, f"{gen_dir}/data", f"{scratch}/_M_timed")
+        manifest_s = round(time.perf_counter() - t0, 2)
         root_bytes = len(fsutil.try_read_text(spark, f"{gen_dir}/_MANIFEST") or "")
         sidecar_files = fsutil.list_files(spark, f"{gen_dir}/_MANIFEST_FILES")
 
@@ -556,6 +567,7 @@ def manifest_scale_experiment(
             "n_dirs": len(man["dirs"]),
             "sharded": "files_table" in man,
             "write_s": write_s,
+            "manifest_s": manifest_s,
             "root_manifest_bytes": root_bytes,
             "sidecar_files": len(sidecar_files),
             "sidecar_bytes": sum(sz for _, sz in sidecar_files),

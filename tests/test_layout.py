@@ -1506,3 +1506,246 @@ def test_manifest_sidecar_handles_special_partition_values(
             spark, root, where=[("lang", "==", v), ("id", "<", 20)]
         )
         assert mixed.count() == 5, v
+
+
+def test_manifest_footer_pins_scan_content(spark, tmp_path):
+    """The footer-harvested manifest (r11: O(files) metadata reads, no
+    second scan of the generation) is CONTENT-IDENTICAL to the
+    scan-based builder on every exactly-representable span — all stat
+    dtypes, hive-escaped partition values, an all-null column, nulls
+    mixed in — on both the inline and the sidecar path."""
+    import datetime as dt
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _write_manifest,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("l", T.LongType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("dec", T.DecimalType(10, 2)),
+            T.StructField("bigdec", T.DecimalType(38, 10)),
+            T.StructField("s", T.StringType()),
+            T.StructField("nul", T.StringType()),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tsn", T.TimestampNTZType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    rows = [
+        (
+            k,
+            10**12 + k,
+            1.5 * k - 7,
+            decimal.Decimal(k) - decimal.Decimal("0.07"),
+            decimal.Decimal("123456789.0123456789") * k,
+            f"doc-{k:03d}",
+            None,
+            dt.date(2020, 1, 1) + dt.timedelta(days=k),
+            dt.datetime(2020, 1, 2, 3, 4, 5, 123456, tzinfo=dt.timezone.utc)
+            + dt.timedelta(hours=k),
+            dt.datetime(2021, 6, 7, 8, 9, 10, 654321) + dt.timedelta(minutes=k),
+            k % 2 == 0,
+            float(k) - 2.5,
+            ["pt:BR", "a+b c", "plain"][k % 3],
+        )
+        for k in range(40)
+    ] + [(None,) * 12 + ("pt:BR",)]
+    root = str(tmp_path / "pin")
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(4).write.partitionBy("part").parquet(f"{root}/data")
+
+    m_scan = _write_manifest(
+        spark, f"{root}/data", f"{root}/_M_scan", stats_source="scan"
+    )
+    m_foot = _write_manifest(
+        spark, f"{root}/data", f"{root}/_M_foot", stats_source="footer"
+    )
+    assert m_foot == m_scan
+    assert m_foot["total_rows"] == 41
+    # every typed column produced a span on at least one file; the
+    # all-null column produced none anywhere
+    seen = {c for f in m_foot["files"] for c in f["stats"]}
+    assert "nul" not in seen
+    assert {"i", "l", "d", "dec", "bigdec", "s", "dt", "ts", "tsn", "b", "f", "part"} <= seen
+
+    # sidecar path: same root JSON, same native-typed sidecar rows
+    m_scan2 = _write_manifest(
+        spark, f"{root}/data", f"{root}/_M2_scan", inline_max=0, stats_source="scan"
+    )
+    m_foot2 = _write_manifest(
+        spark, f"{root}/data", f"{root}/_M2_foot", inline_max=0, stats_source="footer"
+    )
+    assert m_foot2 == m_scan2
+    sc_s = spark.read.parquet(f"{root}/_M2_scan_FILES")
+    sc_f = spark.read.parquet(f"{root}/_M2_foot_FILES")
+    assert sc_s.schema == sc_f.schema
+    assert sorted(map(tuple, sc_s.collect())) == sorted(map(tuple, sc_f.collect()))
+
+
+def test_manifest_footer_distributed_path_matches_driver(spark, tmp_path, monkeypatch):
+    """Above _FOOTER_DRIVER_MAX files the harvest distributes via
+    mapInPandas; forcing the threshold to 0 must yield the identical
+    manifest the driver-side shortcut builds."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    root = str(tmp_path / "dist")
+    df = spark.range(500).selectExpr("id", "id % 5 as grp", "cast(id as string) s")
+    df.repartition(6).write.parquet(f"{root}/data")
+    m_drv = layout._write_manifest(spark, f"{root}/data", f"{root}/_Md")
+    monkeypatch.setattr(layout, "_FOOTER_DRIVER_MAX", 0)
+    m_dist = layout._write_manifest(spark, f"{root}/data", f"{root}/_Mx")
+    assert m_drv == m_dist
+
+
+def test_manifest_footer_nan_is_conservative(spark, tmp_path):
+    """A float column containing NaN gets NO footer span (parquet's
+    NaN ordering is undefined, and Spark treats NaN as the largest
+    double — a footer max below it could wrongly prune a `>` match);
+    the pruned read keeps the file and still matches the full read."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_manifest,
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "nan")
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "id long, x double"
+    )
+    write_table(df.repartition(1), root)
+    man = read_manifest(spark, root)
+    assert all("x" not in f["stats"] for f in man["files"])
+    assert all("id" in f["stats"] for f in man["files"])
+    # NaN > 100.0 is TRUE in Spark ordering: the span-less file keeps
+    got = read_table(spark, root, where=("x", ">", 100.0))
+    assert [r["id"] for r in got.collect()] == [2]
+
+
+def test_query_bound_aware_on_ntz_prunes_safely(spark, tmp_path):
+    """ADVICE r10 (medium): a tz-AWARE predicate on a timestamp_ntz
+    column under a non-UTC SESSION zone — the residual compare casts
+    the ntz wall through the session zone while the manifest stores
+    wall-as-UTC; the candidate-widened query bound must keep every
+    file whose rows match the residual, so pruned == full."""
+    import datetime as dt
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "ntz_aware")
+    base = dt.datetime(2023, 5, 1, 0, 0, 0)  # naive walls
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i)) for i in range(1_000)],
+        "id long, tsn timestamp_ntz",
+    )
+    write_table(
+        df.repartitionByRange(8, F.col("tsn")).sortWithinPartitions("tsn"),
+        root,
+    )
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        # aware bounds whose Kolkata wall lands mid-range
+        lo = dt.datetime(2023, 5, 1, 2, 0, tzinfo=dt.timezone.utc)
+        hi = dt.datetime(2023, 5, 1, 5, 0, tzinfo=dt.timezone.utc)
+        where = [("tsn", ">=", lo), ("tsn", "<", hi)]
+        pruned = read_table(spark, root, where=where)
+        full = read_table(spark, root).filter(
+            (F.col("tsn") >= F.lit(lo)) & (F.col("tsn") < F.lit(hi))
+        )
+        full_rows = sorted(r["id"] for r in full.collect())
+        assert sorted(r["id"] for r in pruned.collect()) == full_rows
+        assert len(full_rows) > 0  # the window actually selects rows
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_pruned_read_schema_evolved_chain(spark, tmp_path):
+    """ADVICE r10: a `where` naming a column a chain MEMBER lacks must
+    not raise — the member's rows provably can't match (all prune ops
+    are null-rejecting), so it contributes an empty frame and the
+    filtered read over the evolved chain returns exactly the matching
+    delta rows."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        read_table,
+        write_table,
+    )
+
+    root = str(tmp_path / "evolved")
+    parent = write_table(spark.range(10).toDF("id"), root)
+    delta = spark.createDataFrame(
+        [(100 + i, f"v{i}") for i in range(5)], "id long, tag string"
+    )
+    write_table(delta, root, parent=parent)
+    # full read unions with nulls for the parent's missing column
+    assert read_table(spark, root).count() == 15
+    got = read_table(spark, root, where=("tag", "==", "v3"))
+    rows = got.collect()
+    assert [(r["id"], r["tag"]) for r in rows] == [(103, "v3")]
+    # conjunct across both schemas: id exists everywhere, tag only in
+    # the delta — parent still contributes nothing
+    got2 = read_table(
+        spark, root, where=[("id", ">=", 100), ("tag", ">=", "v0")]
+    )
+    assert got2.count() == 5
+
+
+def test_ingest_lineage_special_chars_key_raw(spark, tmp_path):
+    """ADVICE r10: lineage 'pt:BR' lands under the hive-ESCAPED dir
+    '_lineage=pt%3ABR', but the _ABSORBED ledger and the pending map
+    key the RAW string users filter the _lineage column on; an old
+    ledger keyed by the escaped dir name migrates on read; raw '%' in
+    a lineage is rejected (it would make the decoding ambiguous)."""
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        absorb_landing,
+        landing_append,
+        read_ingest_table,
+        read_table,
+    )
+
+    root = str(tmp_path / "ingest_sp")
+    for b in range(2):
+        landing_append(
+            spark.range(b * 10, b * 10 + 10).toDF("id"), root, b, lineage="pt:BR"
+        )
+    # pending map keys the raw lineage
+    assert {k[0] for k in layout._landing_batch_dirs(spark, root)} == {"pt:BR"}
+    assert read_ingest_table(spark, root).count() == 20
+    absorb_landing(spark, root, min_batches=1)
+    gen = layout._resolve_table_generation(spark, root)
+    ledger = json.loads(fsutil.read_text(spark, f"{gen}/_ABSORBED"))
+    assert list(ledger) == ["pt:BR"]
+    # replay of an absorbed batch stays subtracted under the raw key
+    landing_append(spark.range(0, 10).toDF("id"), root, 0, lineage="pt:BR")
+    assert read_ingest_table(spark, root).count() == 20
+    assert (
+        read_table(spark, root).filter(F.col("_lineage") == "pt:BR").count()
+        == 20
+    )
+
+    # an OLD ledger keyed by the escaped dir name migrates on read:
+    # rewrite the ledger the way the r10 engine did and re-check the
+    # replay subtraction still holds
+    fsutil.write_text(
+        spark, f"{gen}/_ABSORBED", json.dumps({"pt%3ABR": [[0, 1]]})
+    )
+    assert layout._absorbed_ids(spark, gen) == {"pt:BR": {0, 1}}
+    assert read_ingest_table(spark, root).count() == 20
+
+    with pytest.raises(ValueError, match="lineage"):
+        landing_append(spark.range(1).toDF("id"), root, 9, lineage="a%3Ab")
