@@ -392,6 +392,21 @@ def main() -> None:
                 ivf_recall["append_2batch_wall_s"] = append_wall
                 ivf_recall["rebuild_wall_s"] = rebuild_wall
 
+                # measured drift state of the appended chain (r11): the
+                # signal maybe_compact_ivf gates retraining on — i.i.d.
+                # appends should sit near 1.0 (the 0.20 recall delta
+                # above is quantizer-convergence quality, NOT
+                # distribution shift; the gated path retrains on shift)
+                try:
+                    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                        ivf_drift,
+                    )
+
+                    dstate = ivf_drift(spark, apath)
+                    ivf_recall["append_drift_ratio"] = dstate["drift_ratio"]
+                except Exception as exc:
+                    print(f"bench: ivf drift state failed: {exc!r}", file=sys.stderr)
+
                 # retrain-on-fold closes the drift loop: fold the
                 # appended chain with retrain=True (one k-means over
                 # the union the fold reads anyway) and the folded
@@ -427,6 +442,71 @@ def main() -> None:
                 shutil.rmtree(scratch, ignore_errors=True)
         except Exception as exc:
             print(f"bench: ivf append recall check failed: {exc!r}", file=sys.stderr)
+
+        # gated-maintenance curve (r11): on a deliberately DRIFTING
+        # synthetic stream, maybe_compact_ivf must see drift_ratio
+        # past the threshold, retrain on fold, and recover recall —
+        # the numbers a scheduler trusts when calling it blind
+        try:
+            import shutil
+            import tempfile
+
+            from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                ivf_drift,
+                knn_ivf as _knn_ivf,
+                maybe_compact_ivf,
+                read_ivf_index,
+            )
+
+            def _dvecs(lo, hi, shift=0.0):
+                return spark.range(lo, hi).select(
+                    F.col("id").alias("vec_id"),
+                    F.array(
+                        ((F.col("id") % 2) * 10.0 + shift + (F.col("id") % 5) * 0.05).cast("double"),
+                        ((F.col("id") % 7) * 0.04).cast("double"),
+                        ((F.col("id") % 3) * 0.06).cast("double"),
+                    ).alias("embedding"),
+                )
+
+            scratch2 = tempfile.mkdtemp(prefix="ivf_gate_bench_")
+            try:
+                gpath = f"{scratch2}/gated"
+                ensure_ivf_index(spark, _dvecs(0, 2_000), gpath, k=2, iterations=2)
+                for lo in (2_000, 3_000):
+                    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                        append_ivf_index,
+                    )
+
+                    append_ivf_index(spark, _dvecs(lo, lo + 1_000, shift=50.0), gpath)
+                full = _dvecs(0, 2_000).unionByName(_dvecs(2_000, 4_000, shift=50.0))
+                gq = [50.0, 0.1, 0.1]  # a query IN the drifted region
+                truth = {r["vec_id"] for r in knn_brute_force(full, gq, 10).collect()}
+
+                def _recall(n_probe=1):
+                    ix, cs = read_ivf_index(spark, gpath)
+                    got = {
+                        r["vec_id"]
+                        for r in _knn_ivf(ix, cs, gq, 10, n_probe=n_probe).collect()
+                    }
+                    return round(len(got & truth) / 10, 3)
+
+                before = _recall()
+                dstate = ivf_drift(spark, gpath)
+                t0 = time.perf_counter()
+                rep = maybe_compact_ivf(spark, gpath, min_links=2)
+                gate_wall = round(time.perf_counter() - t0, 2)
+                after = _recall()
+                ivf_recall["gated_maintenance"] = {
+                    "drift_ratio": dstate["drift_ratio"],
+                    "retrained": bool(rep.get("retrained")),
+                    "recall_at_10_nprobe_1_before": before,
+                    "recall_at_10_nprobe_1_after": after,
+                    "fold_wall_s": gate_wall,
+                }
+            finally:
+                shutil.rmtree(scratch2, ignore_errors=True)
+        except Exception as exc:
+            print(f"bench: gated maintenance check failed: {exc!r}", file=sys.stderr)
 
         try:
             dim = corpus.select(F.size("embedding")).first()[0]

@@ -1907,7 +1907,11 @@ def _check_lineage(lineage: str) -> str:
 
 
 def landing_append(
-    batch: DataFrame, root: str, batch_id: int, lineage: str = "default"
+    batch: DataFrame,
+    root: str,
+    batch_id: int,
+    lineage: str = "default",
+    manifest: bool = True,
 ) -> None:
     """``foreachBatch`` emit body landing one micro-batch as ONE
     ``_lineage=<l>/_batch_id=<id>`` partition under ``root/landing`` —
@@ -1920,7 +1924,18 @@ def landing_append(
     restart at 0 — under the old lineage they would dynamic-overwrite
     absorbed history) or run a SECOND stream into the same root. Pair
     with :func:`read_ingest_table` (readers) and :func:`absorb_landing`
-    (maintenance)."""
+    (maintenance).
+
+    ``manifest=True`` (default) also writes a per-batch ``_MANIFEST``
+    inside the partition dir (footer harvest — batch-sized metadata,
+    VERDICT r10 #5), so a selective :func:`read_ingest_table` can skip
+    whole landing batches, not just generation files. Crash-safe by
+    construction: dynamic partition overwrite deletes the ENTIRE
+    partition dir contents — the old manifest included (probed) — so a
+    replay can never leave a manifest describing vanished files; the
+    only failure mode is a MISSING manifest (crash between data and
+    manifest write, or an older writer), which readers fall back to an
+    unpruned read of that one batch."""
     _check_lineage(lineage)
     (
         batch.withColumn(_LINEAGE_COL, F.lit(lineage))
@@ -1930,6 +1945,12 @@ def landing_append(
         .mode("overwrite")
         .parquet(f"{root}/landing")
     )
+    if manifest:
+        spark = batch.sparkSession
+        rel = _landing_batch_dirs(spark, root).get((lineage, int(batch_id)))
+        if rel is not None:
+            bdir = f"{root}/landing/{rel}"
+            _write_manifest(spark, bdir, f"{bdir}/_MANIFEST")
 
 
 def _decode_ranges(items: list) -> set[int]:
@@ -2100,10 +2121,49 @@ def _ingest_frames(
     lineage_dirs = sorted(d for d in pending.values() if "/" in d)
     legacy_dirs = sorted(d for d in pending.values() if "/" not in d)
     if lineage_dirs:
-        frame = spark.read.option("basePath", landing).parquet(
-            *[f"{landing}/{d}" for d in lineage_dirs]
-        )
-        parts.append(residual(frame))
+        # per-batch landing prune (VERDICT r10 #5): each pending batch
+        # dir carries its own footer-harvested _MANIFEST — a selective
+        # live read opens only batches whose spans may match, falling
+        # back to the whole dir where a manifest is absent (crash
+        # window / older writer). Batch manifests are inline (a micro-
+        # batch is one partition's files); anything else keeps whole.
+        paths: list[str] = []
+        if preds:
+            import json
+
+            tz = None
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+            except Exception:  # noqa: BLE001 - unset: naive ts keeps
+                pass
+            for d in lineage_dirs:
+                text = fsutil.try_read_text(spark, f"{landing}/{d}/_MANIFEST")
+                man = None
+                if text:
+                    try:
+                        man = json.loads(text)
+                    except ValueError:
+                        man = None
+                if not man or "files" not in man:
+                    paths.append(f"{landing}/{d}")
+                    continue
+                kept = prune_manifest_files(man, where, session_tz=tz)
+                if len(kept) >= man.get("n_files", 0):
+                    paths.append(f"{landing}/{d}")
+                else:
+                    paths += [f"{landing}/{d}/{f}" for f in kept]
+        else:
+            paths = [f"{landing}/{d}" for d in lineage_dirs]
+        if paths:
+            frame = spark.read.option("basePath", landing).parquet(*paths)
+            parts.append(residual(frame))
+        else:
+            # every pending batch provably excluded: an empty frame
+            # keeps the union's schema (and the view non-empty-safe)
+            frame = spark.read.option("basePath", landing).parquet(
+                f"{landing}/{lineage_dirs[0]}"
+            )
+            parts.append(frame.filter(F.lit(False)))
     if legacy_dirs:
         frame = (
             spark.read.option("basePath", landing)

@@ -244,3 +244,27 @@ def test_excise_and_ngram_leaks_stay_jvm_side(spark):
         assert "BatchEvalPython" not in p
         assert "PythonUDF" not in p
         assert "CartesianProduct" not in p
+
+
+def test_exact_dedup_group_strategy_single_exchange(spark):
+    """The default full-pass dedup shape (VERDICT r10 #3): ONE hash
+    exchange keyed by the fingerprint, min_by aggregation, NO join —
+    shuffle stays ≈ input at every scale instead of cliffing 280x when
+    AQE's broadcast threshold is crossed. The 'semi' strategy keeps the
+    broadcast-join shape for small corpora; both return identical rows."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        exact_dedup_by_hash,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    g = exact_dedup_by_hash(d, "text", "doc_id")
+    p = plan_text(g, mode="simple")
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+    assert "Aggregate" in p  # partial-aggregated: map-side combine
+
+    s = exact_dedup_by_hash(d, "text", "doc_id", strategy="semi")
+    assert sorted(r["doc_id"] for r in g.collect()) == sorted(
+        r["doc_id"] for r in s.collect()
+    )
