@@ -117,13 +117,43 @@ def list_dir(spark: SparkSession, path: str) -> list[tuple[str, int]]:
 
 def list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """RECURSIVE leaf-file listing as ``(full_path, size_bytes)`` pairs,
-    ``[]`` if absent. Hidden/metadata entries (``_SUCCESS``, ``.crc``)
-    are skipped at every level — the callers (``operators.layout``)
-    want the data files a scan would actually open."""
+    ``[]`` if absent. Hidden/metadata FILES (``_SUCCESS``, ``.crc``)
+    are skipped — the callers (``operators.layout``) want the data
+    files a scan would actually open.
+
+    ``file:`` paths walk in pure Python: the Hadoop ``RemoteIterator``
+    costs ~3 py4j round-trips PER FILE (~5 ms each — measured 48 s to
+    list a 10k-file generation, which made the engine's own listing
+    the metadata wall the manifest exists to remove). Remote
+    filesystems (hdfs://, s3a://) keep the iterator — their round
+    trips are the filesystem's own and a cluster deployment fronts
+    big listings with the manifest anyway."""
+    import os
+
     fs, p = _fs(spark, path)
     if not fs.exists(p):
         return []
-    out: list[tuple[str, int]] = []
+    qualified = fs.makeQualified(p).toString()
+    if qualified.startswith("file:"):
+        local = qualified[len("file:"):]
+        out: list[tuple[str, int]] = []
+        if os.path.isfile(local):
+            name = os.path.basename(local)
+            if not name.startswith(("_", ".")):
+                out.append((qualified, int(os.path.getsize(local))))
+            return out
+        for root, _dirs, names in os.walk(local):
+            for n in names:
+                if n.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, n)
+                try:
+                    sz = os.path.getsize(full)
+                except OSError:  # raced with a concurrent delete
+                    continue
+                out.append((f"file:{full}", int(sz)))
+        return out
+    out = []
     it = fs.listFiles(p, True)
     while it.hasNext():
         s = it.next()

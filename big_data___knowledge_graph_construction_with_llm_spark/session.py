@@ -29,6 +29,20 @@ def get_spark(
     Defaults are read from ``SPARK_GRAFT_CPUS`` when present so the
     driver's bench harness controls parallelism.
     """
+    # Make the engine package importable in PYTHON WORKERS regardless
+    # of the driver's cwd: functions shipped to executors (mapInPandas
+    # closures) reference module helpers BY NAME (cloudpickle), so the
+    # worker interpreter must be able to import the package. Local-mode
+    # workers inherit the driver env at JVM start — set it BEFORE the
+    # context builds. On a real cluster ship the package instead
+    # (pip install on the image, or --py-files); see DEPLOYMENT.md.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"
