@@ -425,11 +425,13 @@ def test_compact_table_recluster_restores_skipping(spark, tmp_path):
 
 
 def test_string_order_key_property_unicode(spark):
-    """Hypothesis sweep: wherever two strings differ inside their
-    first 7 UTF-8 bytes, the numeric key orders them exactly as
-    Spark's binary string comparison does (which is what parquet's
+    """Hypothesis sweep of the key's TRUE contract: the numeric key
+    never INVERTS Spark's binary string order (which is what parquet's
     unsigned footer stats use) — including multi-byte code points
-    split mid-sequence by the 7-byte cut."""
+    split mid-sequence by the 7-byte cut — and collides ONLY where two
+    strings' first 7 bytes differ by trailing NULs alone (zero-padding
+    can't distinguish '' from '\\x00'; a collision merely co-buckets
+    the pair, footer stats stay on the original strings)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -449,10 +451,10 @@ def test_string_order_key_property_unicode(spark):
     def check(a, b):
         ka, kb = py_key(a), py_key(b)
         ba, bb = a.encode("utf-8"), b.encode("utf-8")
-        if ba[:7] != bb[:7]:
+        if ka != kb:  # ordered keys must agree with byte order exactly
             assert (ka < kb) == (ba < bb)
-        else:
-            assert ka == kb
+        else:  # collisions: identical first-7 bytes up to trailing NULs
+            assert ba[:7].rstrip(b"\x00") == bb[:7].rstrip(b"\x00")
 
     check()
 

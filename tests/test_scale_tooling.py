@@ -172,3 +172,23 @@ def test_bench_median_aggregation():
     assert med == {"a": 2.0, "b": 7.0, "c": 5.0, "d": -1.0}
     assert mod._median([4.0]) == 4.0
     assert mod._median([1.0, 2.0, 10.0, 20.0]) == 6.0
+
+
+def test_bench_interleaved_calibration_constants():
+    """The r11 calibration design (VERDICT r10 #1): probes interleave
+    every PROBE_EVERY queries, each query normalizes against its own
+    window's probe, and the emitted JSON carries load_variance plus a
+    documented rerun rule. Pin the knobs and the window-normalization
+    arithmetic (pure: no Spark)."""
+    mod = _bench_mod()
+    assert mod.PROBE_EVERY == 10
+    assert mod.OVERLOAD_RERUN_FACTOR == 1.2
+    assert mod.LOAD_VARIANCE_MAX == 1.5
+    # a 2x-loaded window doubles both its queries and its probe: the
+    # normalized time equals the quiet-window time
+    base = mod.CALIBRATION_BASELINE_S
+    quiet_probe, loaded_probe = base, 2 * base
+    quiet_t, loaded_t = 1.0, 2.0
+    assert round(quiet_t * base / quiet_probe, 3) == round(
+        loaded_t * base / loaded_probe, 3
+    )
