@@ -458,28 +458,36 @@ def main() -> None:
                 read_ivf_index,
             )
 
-            def _dvecs(lo, hi, shift=0.0):
+            # near-unit vectors clustered on coordinate AXES, so the
+            # L2 quantizer geometry and knn's cosine ranking agree
+            # (magnitude-shifted clusters would divorce the two): the
+            # base stream lives on axes 0/1, the drifted stream on
+            # axis 2 — far from every frozen centroid in L2 AND a
+            # distinct direction in cosine
+            def _dvecs(lo, hi, axis=None):
+                a = F.lit(axis) if axis is not None else (F.col("id") % 2)
+                comp = lambda i, m, s: F.when(  # noqa: E731
+                    a == i, F.lit(1.0)
+                ).otherwise(((F.col("id") % m) * s).cast("double"))
                 return spark.range(lo, hi).select(
                     F.col("id").alias("vec_id"),
                     F.array(
-                        ((F.col("id") % 2) * 10.0 + shift + (F.col("id") % 5) * 0.05).cast("double"),
-                        ((F.col("id") % 7) * 0.04).cast("double"),
-                        ((F.col("id") % 3) * 0.06).cast("double"),
+                        comp(0, 5, 0.02), comp(1, 7, 0.02), comp(2, 3, 0.02)
                     ).alias("embedding"),
                 )
 
             scratch2 = tempfile.mkdtemp(prefix="ivf_gate_bench_")
             try:
                 gpath = f"{scratch2}/gated"
-                ensure_ivf_index(spark, _dvecs(0, 2_000), gpath, k=2, iterations=2)
+                ensure_ivf_index(spark, _dvecs(0, 2_000), gpath, k=2, iterations=3)
                 for lo in (2_000, 3_000):
                     from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
                         append_ivf_index,
                     )
 
-                    append_ivf_index(spark, _dvecs(lo, lo + 1_000, shift=50.0), gpath)
-                full = _dvecs(0, 2_000).unionByName(_dvecs(2_000, 4_000, shift=50.0))
-                gq = [50.0, 0.1, 0.1]  # a query IN the drifted region
+                    append_ivf_index(spark, _dvecs(lo, lo + 1_000, axis=2), gpath)
+                full = _dvecs(0, 2_000).unionByName(_dvecs(2_000, 4_000, axis=2))
+                gq = [0.02, 0.02, 1.0]  # a query IN the drifted direction
                 truth = {r["vec_id"] for r in knn_brute_force(full, gq, 10).collect()}
 
                 def _recall(n_probe=1):
@@ -493,7 +501,9 @@ def main() -> None:
                 before = _recall()
                 dstate = ivf_drift(spark, gpath)
                 t0 = time.perf_counter()
-                rep = maybe_compact_ivf(spark, gpath, min_links=2)
+                # k=3: the drifted stream added a third mode — the
+                # gated fold may re-size the quantizer when retraining
+                rep = maybe_compact_ivf(spark, gpath, min_links=2, k=3, iterations=3)
                 gate_wall = round(time.perf_counter() - t0, 2)
                 after = _recall()
                 ivf_recall["gated_maintenance"] = {

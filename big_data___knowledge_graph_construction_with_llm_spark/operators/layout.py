@@ -220,7 +220,11 @@ def _string_order_key(col: Column) -> Column:
     correctly) and read as one unsigned number — fits a long, and
     preserves Spark's binary string ordering, which matches parquet's
     UNSIGNED byte-wise string stats order, so footer min/max on the
-    original string column stay meaningful after clustering. Strings
+    original string column stay meaningful after clustering. The key
+    never INVERTS the binary order; it can only COLLIDE — strings
+    whose first 7 bytes differ by trailing NULs alone ('' vs '\\x00')
+    share a key, since zero-padding can't encode length — which merely
+    co-buckets the pair. Strings
     sharing a 7-byte prefix collapse into one bucket —
     :func:`with_zorder` strips the column-wide common prefix first
     (URLs all starting ``https://``, zero-padded ids) so the 7 bytes
@@ -624,7 +628,12 @@ def _native_partition_value(s: str, dtype: str, session_tz: str | None):
 
             wall = _dt.datetime.fromisoformat(s)
             if wall.tzinfo is None:
-                wall = wall.replace(tzinfo=ZoneInfo(session_tz))
+                z = ZoneInfo(session_tz)
+                a = wall.replace(tzinfo=z, fold=0)
+                b = wall.replace(tzinfo=z, fold=1)
+                if a.utcoffset() != b.utcoffset():
+                    return None  # DST-ambiguous wall: keep, don't guess
+                wall = a
             return wall.astimezone(_dt.timezone.utc)
     except Exception:  # noqa: BLE001 - unparseable: no span, keep
         return None
