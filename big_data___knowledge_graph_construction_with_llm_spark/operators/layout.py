@@ -15,6 +15,12 @@ them — they decide how many bytes every later scan has to touch:
    → :func:`write_clustered` (range-cluster on the filter column) and
    :func:`with_zorder` (multi-column interleaved clustering, so
    filters on ANY prefix-free subset of the clustered columns skip).
+   Point lookups on HIGH-CARDINALITY columns (doc ids, content
+   fingerprints) defeat both spans and clustering — a random value
+   falls inside nearly every file's min/max — so generations can
+   carry per-file BLOOM filters (``write_table(bloom_cols=)`` /
+   :func:`add_manifest_blooms`): a ``_MANIFEST_BLOOM`` sidecar the
+   pruned read consults to open only files that may hold the value.
 3. **Verification.** Footer-stats truth, not vibes:
    :func:`clustering_stats` reads the parquet footers and reports the
    per-file min/max spans and how much they overlap.
@@ -540,6 +546,27 @@ def _dir_of(rel: str) -> str:
     return rel[:i] if i >= 0 else ""
 
 
+def _rel_from_uri(uri: Column) -> Column:
+    """Path relative to the generation data dir from an
+    ``input_file_name()``-style URI: percent-decode ONCE to recover the
+    on-disk path (hive-escaped partition values like ``lang=pt%3ABR``
+    appear double-encoded in the URI; a space is ``%20``) — the result
+    must be what the filesystem can open. rel = decoded URI after the
+    LAST ``/data/`` occurrence: the table root itself may contain
+    ``/data/``, while nothing after the generation's data dir can
+    (hive partition segments are ``k=v``, never a bare ``data``).
+    ``url_decode`` is FORM decoding (``+`` → space), but these URIs
+    keep literal ``+`` unencoded (percent-encoding only) — re-escape
+    it first so the decode matches Python's ``unquote`` exactly."""
+    return F.element_at(
+        F.split(
+            F.url_decode(F.regexp_replace(uri, r"\+", "%2B")),
+            "/data/",
+        ),
+        -1,
+    )
+
+
 def _file_stat_aggs(cols: list[str]) -> list[Column]:
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for i, c in enumerate(cols):
@@ -935,28 +962,10 @@ def _write_manifest(
     if stats_source == "footer":
         per_file = _footer_file_stats(spark, data_path, listed, cols, types)
     elif stats_source == "scan":
-        # input_file_name() is a URI: percent-decode ONCE to recover
-        # the on-disk path (hive-escaped partition values like
-        # 'lang=pt%3ABR' appear double-encoded in the URI; a space is
-        # '%20'); the manifest must store what the filesystem can
-        # open. rel = decoded URI after the LAST "/data/" occurrence:
-        # the table root itself may contain "/data/", while nothing
-        # after the generation's data dir can (hive partition segments
-        # are k=v, never a bare "data"). url_decode is FORM decoding
-        # ('+' -> space), but input_file_name URIs keep literal '+'
-        # unencoded (percent-encoding only) — re-escape it first so
-        # the decode matches Python's unquote exactly
-        rel = F.element_at(
-            F.split(
-                F.url_decode(F.regexp_replace(F.col("_uri"), r"\+", "%2B")),
-                "/data/",
-            ),
-            -1,
-        )
         per_file = (
             df.groupBy(F.input_file_name().alias("_uri"))
             .agg(*_file_stat_aggs(cols))
-            .withColumn("file", rel)
+            .withColumn("file", _rel_from_uri(F.col("_uri")))
             .drop("_uri")
         )
     else:
@@ -1042,6 +1051,296 @@ def _write_manifest(
         manifest["files_table"] = "_MANIFEST_FILES"
     fsutil.write_text(spark, manifest_path, json.dumps(manifest))
     return manifest
+
+
+#: sidecar parquet holding per-(file, column) bloom bitsets — the one
+#: manifest artifact footer stats CANNOT supply: min/max spans are
+#: useless against a point lookup on a high-cardinality column (a
+#: random doc id or content fingerprint falls inside nearly every
+#: file's span), while a per-file bloom excludes every file that
+#: provably lacks the value before a single LIST or footer read
+_BLOOM_TABLE = "_MANIFEST_BLOOM"
+
+#: hard cap on one file's bloom size in BITS (2 MiB of bitset). A
+#: 128 MB parquet file holds ~10^6-10^7 short rows; at the default 1%
+#: fpp that is ~1.2-12 MB of bloom — past the cap the filter keeps
+#: working but its false-positive rate degrades. Never a correctness
+#: knob: a bloom can only KEEP extra files, the residual filter still
+#: decides rows
+_BLOOM_MAX_BITS = 1 << 24
+
+#: Spark dtypes a manifest bloom can index: types with an exact
+#: canonical byte form on both the executor build side and the driver
+#: query side. Floats/timestamps/decimals are excluded — equality on
+#: them is repr-unstable or timezone-entangled, and a near-miss hash
+#: would silently never prune
+_BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "binary")
+
+
+def _bloom_sizing(max_rows: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for the GENERATION-UNIFORM bloom, sized for
+    the largest file's footer row count (distinct values ≤ rows, so the
+    realized fpp is at most the target everywhere), m rounded up to
+    whole 64-bit words so the bitset stores as ``array<bigint>``.
+    Uniform (m, k) is what keeps the query side all-JVM: the driver
+    hashes the predicate value ONCE into static (word, mask) tests
+    instead of re-deriving positions per file."""
+    n = max(1, int(max_rows))
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = min(max(m, 64), _BLOOM_MAX_BITS)
+    m = (m + 63) // 64 * 64
+    k = max(1, min(30, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_bytes(v, dtype: str):
+    """Canonical bytes of a value for bloom hashing, or ``None`` when
+    the value has no EXACT canonical form for the column type (the
+    bloom is skipped for that predicate; span pruning still applies).
+    Build and query MUST agree byte-for-byte: integers as decimal
+    ASCII, strings as UTF-8, binary raw."""
+    if v is None:
+        return None
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        if isinstance(v, bool):  # bool is an int subclass, not a match
+            return None
+        try:
+            i = int(v)
+        except (TypeError, ValueError):
+            return None
+        if i != v or not -(1 << 63) <= i < (1 << 63):
+            return None
+        return str(i).encode("ascii")
+    if dtype == "string":
+        return v.encode("utf-8") if isinstance(v, str) else None
+    if dtype == "binary":
+        return bytes(v) if isinstance(v, (bytes, bytearray)) else None
+    return None
+
+
+def _bloom_positions(data: bytes, m: int, k: int) -> list[int]:
+    """The k bit positions of one value: double hashing over the md5
+    digest's first two little-endian 32-bit words (h2 forced odd so the
+    stride cycles all residues). Executors run this while building;
+    the driver runs it once per predicate value while pruning."""
+    import hashlib
+
+    d = hashlib.md5(data).digest()
+    h1 = int.from_bytes(d[:4], "little")
+    h2 = int.from_bytes(d[4:8], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _to_i64(u: int) -> int:
+    """Reinterpret an unsigned 64-bit word as the signed long Spark's
+    ``bigint`` stores (bit patterns identical)."""
+    return u - (1 << 64) if u >= 1 << 63 else u
+
+
+def _bloom_word_masks(data: bytes, m: int, k: int) -> dict[int, int]:
+    """{word index: signed 64-bit mask} of the bits a member value must
+    have set — k positions fold into ≤ k (word, mask) equality tests."""
+    masks: dict[int, int] = {}
+    for p in _bloom_positions(data, m, k):
+        masks[p // 64] = masks.get(p // 64, 0) | 1 << p % 64
+    return {w: _to_i64(u) for w, u in masks.items()}
+
+
+def _bloom_build_fn(cols: list[str], types: dict[str, str], m: int, k: int):
+    """The (pickled) per-file bloom builder for ``applyInPandas``: one
+    input group = one data file's rows (bloomed columns only, column-
+    pruned at the scan), one output row per column with the file's
+    bitset as signed 64-bit words. Values dedupe through
+    ``pd.unique`` first so repeated values hash once."""
+
+    def build(pdf):
+        import pandas as pd
+
+        words = m // 64
+        out: dict[str, list] = {"dir": [], "file": [], "col": [], "bits": []}
+        rel = pdf["_file"].iloc[0]
+        d = _dir_of(rel)
+        for c in cols:
+            bits = [0] * words
+            t = types[c]
+            for v in pd.unique(pdf[c].dropna()):
+                b = _bloom_bytes(v, t)
+                if b is None:
+                    continue
+                for p in _bloom_positions(b, m, k):
+                    bits[p // 64] |= 1 << p % 64
+            out["dir"].append(d)
+            out["file"].append(rel)
+            out["col"].append(c)
+            out["bits"].append([_to_i64(w) for w in bits])
+        return pd.DataFrame(out)
+
+    return build
+
+
+def _write_manifest_blooms(
+    spark: SparkSession,
+    gen_dir: str,
+    cols: list[str],
+    fpp: float,
+    manifest: dict,
+) -> dict:
+    """Build and write a generation's ``_MANIFEST_BLOOM`` sidecar;
+    returns the root-manifest ``blooms`` entry ``{col: {m, k, fpp,
+    dtype, table}}``. Costs one COLUMN-PRUNED scan of the bloomed
+    columns — unlike min/max spans, membership cannot come from parquet
+    footers, so this is an explicit opt-in priced at O(bloomed-column
+    bytes), not O(table). Sizing is generation-uniform from the largest
+    file's footer row count (already in the manifest — no extra pass)."""
+    data = f"{gen_dir}/data"
+    df = spark.read.parquet(data)
+    all_types = dict(df.dtypes)
+    bad = {c: all_types.get(c) for c in cols if all_types.get(c) not in _BLOOM_TYPES}
+    if bad:
+        raise ValueError(
+            f"bloom columns must be integral/string/binary; got {bad}"
+        )
+    if "files" in manifest:
+        max_rows = max((f["rows"] for f in manifest["files"]), default=1)
+    else:
+        sidecar = f"{gen_dir}/{manifest['files_table']}"
+        max_rows = (
+            spark.read.parquet(sidecar).agg(F.max("rows")).collect()[0][0]
+            or 1
+        )
+    m, k = _bloom_sizing(max_rows, fpp)
+    types = {c: all_types[c] for c in cols}
+    n_out = max(1, -(-manifest["n_files"] // 250_000))
+    (
+        df.select(_rel_from_uri(F.input_file_name()).alias("_file"), *cols)
+        .groupBy("_file")
+        .applyInPandas(
+            _bloom_build_fn(cols, types, m, k),
+            "dir string, file string, col string, bits array<bigint>",
+        )
+        .repartition(n_out, "col")
+        .sortWithinPartitions("col", "dir", "file")
+        .write.mode("overwrite")
+        .parquet(f"{gen_dir}/{_BLOOM_TABLE}")
+    )
+    return {
+        c: {
+            "m": m,
+            "k": k,
+            "fpp": fpp,
+            "dtype": types[c],
+            "table": _BLOOM_TABLE,
+        }
+        for c in cols
+    }
+
+
+def add_manifest_blooms(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    generation: str | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Retrofit bloom filters onto a COMMITTED generation (current by
+    default): writes the ``_MANIFEST_BLOOM`` sidecar, then re-writes
+    the root ``_MANIFEST`` with the ``blooms`` entry — readers racing
+    the retrofit see either the old manifest (no blooms: span-only
+    prune, conservative) or the new one with its sidecar already on
+    disk. Requires the generation to carry a manifest. Prefer
+    ``write_table(bloom_cols=)`` for new generations — there the
+    sidecar lands before ``_COMPLETE`` and is covered by the same
+    commit point."""
+    import json
+
+    gen = (
+        f"{root}/{generation}"
+        if generation is not None
+        else _resolve_table_generation(spark, root)
+    )
+    if gen is None or not fsutil.exists(spark, f"{gen}/_COMPLETE"):
+        raise ValueError(f"no committed generation to bloom under {root!r}")
+    name = gen.rsplit("/", 1)[-1]
+    manifest = read_manifest(spark, root, generation=name)
+    if manifest is None:
+        raise ValueError(
+            "bloom filters hang off the _MANIFEST; this generation was"
+            " written with manifest=False"
+        )
+    blooms = _write_manifest_blooms(spark, gen, list(cols), fpp, manifest)
+    manifest["blooms"] = {**(manifest.get("blooms") or {}), **blooms}
+    fsutil.write_text(spark, f"{gen}/_MANIFEST", json.dumps(manifest))
+    return manifest["blooms"]
+
+
+def _bloom_pred_masks(preds: list[tuple], manifest: dict) -> list[tuple]:
+    """``[(col, [word-mask dict per value])]`` for the predicates a
+    manifest bloom can evaluate: equality/IN on a bloomed column whose
+    every query value canonicalizes exactly (one non-canonical value —
+    e.g. a float against an int column — could match rows a bloom
+    test would wrongly exclude, so such predicates skip whole)."""
+    blooms = manifest.get("blooms") or {}
+    out = []
+    for col, op, val in preds:
+        ent = blooms.get(col)
+        if ent is None or op not in ("==", "=", "in"):
+            continue
+        vals = list(val) if op == "in" else [val]
+        if not vals:
+            continue  # empty IN: the span test already excludes all
+        bs = [_bloom_bytes(v, ent["dtype"]) for v in vals]
+        if any(b is None for b in bs):
+            continue
+        out.append(
+            (col, [_bloom_word_masks(b, ent["m"], ent["k"]) for b in bs])
+        )
+    return out
+
+
+def _bloom_fail_cond(col: str, masks_per_value: list[dict]) -> Column:
+    """Filter over the bloom sidecar selecting rows whose bitset
+    PROVABLY excludes the predicate (no value passes all its word-mask
+    tests). A null or too-short ``bits`` array makes the test NULL ⇒
+    the row is NOT selected as failing ⇒ the file conservatively
+    keeps (``F.get`` is 0-based and yields null out of range)."""
+    any_pass = F.lit(False)
+    for masks in masks_per_value:
+        ok = F.lit(True)
+        for w, mask in sorted(masks.items()):
+            word = F.get(F.col("bits"), F.lit(w))
+            ok = ok & (word.bitwiseAND(F.lit(mask)) == F.lit(mask))
+        any_pass = any_pass | ok
+    return (F.col("col") == F.lit(col)) & ~any_pass
+
+
+def _bloom_excluded(
+    spark: SparkSession, gen_dir: str, manifest: dict, preds: list[tuple]
+) -> DataFrame | None:
+    """The ``(dir, file)`` frame of files a manifest bloom PROVABLY
+    excludes for ``preds``, or ``None`` when no predicate is bloom-
+    evaluable (or the sidecar is unreadable — conservative keep). The
+    job scans only the sidecar (KBs per file), never data."""
+    from functools import reduce
+    from operator import or_
+
+    marked = _bloom_pred_masks(preds, manifest)
+    if not marked:
+        return None
+    tables = {manifest["blooms"][c]["table"] for c, _ in marked}
+    frames = []
+    for t in sorted(tables):
+        try:
+            b = spark.read.parquet(f"{gen_dir}/{t}")
+        except Exception:  # noqa: BLE001 - sidecar gone: keep all
+            return None
+        conds = [
+            _bloom_fail_cond(c, mv)
+            for c, mv in marked
+            if manifest["blooms"][c]["table"] == t
+        ]
+        frames.append(b.filter(reduce(or_, conds)).select("dir", "file"))
+    out = reduce(lambda a, x: a.unionByName(x), frames)
+    return out.distinct()
 
 
 def read_manifest(
@@ -1228,13 +1527,27 @@ def _prune_plan(
         return {"all": False, "dirs": [], "files": [], "kept_files": 0}
     nf = {d["dir"]: d["n_files"] for d in kept_dirs}
 
+    # bloom exclusions (point lookups on high-cardinality columns the
+    # span test can't prune): files the _MANIFEST_BLOOM sidecar proves
+    # free of every equality value — None when no pred is bloomable
+    excluded = _bloom_excluded(spark, gen_dir, manifest, preds)
+
     # file-level survivors per surviving dir
     by_dir: dict[str, list[str]] = {}
     if "files" in manifest:
+        bloom_fail = (
+            {r["file"] for r in excluded.collect()}
+            if excluded is not None
+            else set()
+        )
         in_kept = set(nf)
         for f in manifest["files"]:
             d = _dir_of(f["file"])
-            if d in in_kept and keep(f["stats"]):
+            if (
+                d in in_kept
+                and f["file"] not in bloom_fail
+                and keep(f["stats"])
+            ):
                 by_dir.setdefault(d, []).append(f["file"])
     else:
         sdf = spark.read.parquet(f"{gen_dir}/{manifest['files_table']}")
@@ -1243,6 +1556,8 @@ def _prune_plan(
         surv = sdf.filter(
             _sidecar_prune_cond(preds, manifest["columns"])
         ).select("dir", "file")
+        if excluded is not None:
+            surv = surv.join(excluded, ["dir", "file"], "left_anti")
         surv = surv.persist()
         try:
             counts = {
@@ -1465,6 +1780,8 @@ def write_table(
     stats_cols: list[str] | None = None,
     extra_files: dict[str, str] | None = None,
     parent: str | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> str:
     """Write ``df`` as a NEW generation of the table at ``root`` and
     commit it MARKER-LAST: the generation dir
@@ -1495,6 +1812,18 @@ def write_table(
     not collide with the protocol's own (``_COMPLETE``/``_MANIFEST``)
     or land under ``data``.
 
+    ``bloom_cols`` additionally writes per-file BLOOM filters for those
+    columns into a ``_MANIFEST_BLOOM`` sidecar (integral/string/binary
+    columns only; ``bloom_fpp`` is the per-file false-positive target,
+    sized to the largest file). Min/max spans cannot prune a point
+    lookup on a high-cardinality column — a random doc id or content
+    fingerprint falls inside nearly every file's span — while the bloom
+    lets ``read_table(where=("doc_id", "==", k))`` open only the files
+    that may hold the value. Costs one column-pruned scan of the
+    bloomed columns (membership can't come from footers); covered by
+    the same ``_COMPLETE`` commit point as the manifest. Retrofit onto
+    an existing generation with :func:`add_manifest_blooms`.
+
     ``parent`` (a COMPLETE generation name under the same root) makes
     this a DELTA generation: its ``data`` holds only the new rows and
     a ``_PARENT`` file links the rest of the table — readers
@@ -1519,12 +1848,24 @@ def write_table(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bloom_cols and not manifest:
+        raise ValueError("bloom_cols requires manifest=True")
     writer.parquet(f"{base}/data")
     if manifest:
-        _write_manifest(spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols)
+        man = _write_manifest(
+            spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols
+        )
+        if bloom_cols:
+            import json
+
+            man["blooms"] = _write_manifest_blooms(
+                spark, base, list(bloom_cols), bloom_fpp, man
+            )
+            fsutil.write_text(spark, f"{base}/_MANIFEST", json.dumps(man))
     for fname, content in (extra_files or {}).items():
         if fname in (
-            "_COMPLETE", "_MANIFEST", "_MANIFEST_FILES", "_PARENT", "data"
+            "_COMPLETE", "_MANIFEST", "_MANIFEST_FILES", "_MANIFEST_BLOOM",
+            "_PARENT", "data",
         ) or "/" in fname:
             raise ValueError(f"extra_files name {fname!r} collides with the protocol")
         fsutil.write_text(spark, f"{base}/{fname}", content)
@@ -1563,6 +1904,8 @@ def compact_table(
     verify: bool = True,
     manifest: bool = True,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | str | None = "inherit",
+    bloom_fpp: float = 0.01,
 ) -> dict:
     """:func:`compact_small_files` without the rename window: rewrite
     the CURRENT generation of the table at ``root`` into
@@ -1638,6 +1981,28 @@ def compact_table(
         man = _write_manifest(
             spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols
         )
+        # bloom_cols="inherit" (default): a compaction must not strip
+        # the point-lookup skipping the source generation had — rebuild
+        # blooms for the HEAD manifest's bloomed columns (new files,
+        # new bitsets); pass a list to change the set, None to drop
+        src_man = read_manifest(
+            spark, root, generation=gen_head.rsplit("/", 1)[-1]
+        )
+        if bloom_cols == "inherit":
+            src_blooms = (src_man or {}).get("blooms") or {}
+            bcols = sorted(src_blooms)
+            fpp = min(
+                (e["fpp"] for e in src_blooms.values()), default=bloom_fpp
+            )
+        else:
+            bcols, fpp = list(bloom_cols or []), bloom_fpp
+        if bcols:
+            import json
+
+            man["blooms"] = _write_manifest_blooms(
+                spark, base, bcols, fpp, man
+            )
+            fsutil.write_text(spark, f"{base}/_MANIFEST", json.dumps(man))
     if verify:
         n0 = df.count()
         n1 = (

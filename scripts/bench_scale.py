@@ -514,15 +514,20 @@ def manifest_scale_experiment(
             F.col("id"),
             (F.col("id") % n_dirs).alias("bucket"),
             F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("fp"),
         )
         # each range task holds a disjoint k slice x all buckets ->
-        # ~files_per_dir files per dir, disjoint k spans within a dir
+        # ~files_per_dir files per dir, disjoint k spans within a dir.
+        # fp is a scattered fingerprint: no span stats recorded for it
+        # (you wouldn't min/max a random hash), so the bloom leg below
+        # isolates what blooms add over spans for point lookups
         t0 = time.perf_counter()
         write_table(
             df.repartitionByRange(files_per_dir, F.col("k"))
             .sortWithinPartitions("k"),
             root,
             partition_by=["bucket"],
+            stats_cols=["id", "bucket", "k"],
         )
         write_s = round(time.perf_counter() - t0, 2)
         man = read_manifest(spark, root)
@@ -562,7 +567,46 @@ def manifest_scale_experiment(
         t0 = time.perf_counter()
         plan_b = _prune_plan(spark, man, ("bucket", "==", 3), gen_dir)
         prune_b_s = round(time.perf_counter() - t0, 3)
+
+        # bloom leg (r11): a point lookup on the scattered fingerprint
+        # column. Span-only control first (no fp stats -> the prune
+        # keeps every file), then build blooms and measure the same
+        # lookup opening ~1 file of n_files
+        import hashlib
+
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+            add_manifest_blooms,
+        )
+
+        probe_id = n_rows // 2
+        probe_fp = hashlib.md5(str(probe_id).encode()).hexdigest()
+        plan_span = _prune_plan(spark, man, ("fp", "==", probe_fp), gen_dir)
+        t0 = time.perf_counter()
+        add_manifest_blooms(spark, root, ["fp"], fpp=0.001)
+        bloom_build_s = round(time.perf_counter() - t0, 2)
+        man2 = read_manifest(spark, root)
+        t0 = time.perf_counter()
+        plan_fp = _prune_plan(spark, man2, ("fp", "==", probe_fp), gen_dir)
+        bloom_prune_s = round(time.perf_counter() - t0, 3)
+        hit = read_table(spark, root, where=("fp", "==", probe_fp))
+        bloom_opened = len(hit.select("id").inputFiles())
+        hit_ids = [r["id"] for r in hit.select("id").collect()]
+        plan_miss = _prune_plan(
+            spark, man2, ("fp", "==", "0" * 32), gen_dir
+        )
+        bloom_files = fsutil.list_files(spark, f"{gen_dir}/_MANIFEST_BLOOM")
+        bloom = {
+            "build_s": bloom_build_s,
+            "sidecar_bytes": sum(sz for _, sz in bloom_files),
+            "span_only_kept_files": plan_span["kept_files"],
+            "kept_files": plan_fp["kept_files"],
+            "prune_s": bloom_prune_s,
+            "files_opened": bloom_opened,
+            "row_found": hit_ids == [probe_id],
+            "miss_kept_files": plan_miss["kept_files"],
+        }
         return {
+            "bloom": bloom,
             "n_files": man["n_files"],
             "n_dirs": len(man["dirs"]),
             "sharded": "files_table" in man,
