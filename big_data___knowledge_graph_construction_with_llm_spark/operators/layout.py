@@ -1703,6 +1703,17 @@ def _read_one_member_pruned(
     return reader.parquet(*paths).filter(cond)
 
 
+def _tombstone_frame(
+    spark: SparkSession, gen_dir: str
+) -> tuple[str, DataFrame] | None:
+    """A generation's tombstone set — ``(key column, keys frame)`` —
+    or ``None`` when the generation carries no deletes."""
+    col = fsutil.try_read_text(spark, f"{gen_dir}/_TOMBSTONE_KEY")
+    if not col:
+        return None
+    return col.strip(), spark.read.parquet(f"{gen_dir}/tombstones")
+
+
 def _read_generation_pruned(
     spark: SparkSession, root: str, base: str, where
 ) -> DataFrame:
@@ -1710,35 +1721,62 @@ def _read_generation_pruned(
     chain — :func:`read_table` mechanics, shared with the ingest live
     view's generation leg. ``where=None`` reads every member whole;
     otherwise each member prunes through its OWN manifest and carries
-    the residual filter."""
+    the residual filter.
+
+    TOMBSTONES (:func:`delete_from_table` / :func:`upsert_table`): the
+    chain walks newest-first, so each member anti-joins against the
+    keys every DESCENDANT deleted — a tombstone hides rows that
+    predate it, never rows written by its own generation (that is the
+    upsert: new rows land WITH the tombstones that retire their old
+    versions) or later ones (re-adding a deleted key is new data).
+    Tombstone sets are small by design (GDPR lists, upsert batches)
+    and broadcast; a chain with no tombstones pays nothing."""
     from functools import reduce
 
     chain = _gen_chain(spark, root, base)
     preds = _check_prune_preds(where) if where is not None else []
     parts = []
+    tomb_col: str | None = None
+    tomb_accum: DataFrame | None = None
     for m in chain:
         if where is None:
-            parts.append(spark.read.parquet(f"{m}/data"))
-            continue
-        mcols = spark.read.parquet(f"{m}/data").columns
-        missing = [c for c, _op, _v in preds if c not in mcols]
-        if not missing:
-            parts.append(_read_one_member_pruned(spark, root, m, where))
-        elif missing == [_LINEAGE_COL]:
-            # _lineage on a pre-lineage parent a delta chained onto:
-            # stamp the legacy lineage first, then the residual filter
-            p = spark.read.parquet(f"{m}/data")
-            p = p.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
-            parts.append(p.filter(_where_column(where)))
+            frame = spark.read.parquet(f"{m}/data")
         else:
-            # a pred column this member truly lacks (schema-evolved
-            # chain, ADVICE r10): after the union it reads as NULL, and
-            # every supported prune op is null-rejecting, so the member
-            # provably contributes no matching rows — an empty same-
-            # schema frame keeps the union's shape without an
-            # unresolved-column error from a per-member filter
-            parts.append(
-                spark.read.parquet(f"{m}/data").filter(F.lit(False))
+            mcols = spark.read.parquet(f"{m}/data").columns
+            missing = [c for c, _op, _v in preds if c not in mcols]
+            if not missing:
+                frame = _read_one_member_pruned(spark, root, m, where)
+            elif missing == [_LINEAGE_COL]:
+                # _lineage on a pre-lineage parent a delta chained onto:
+                # stamp the legacy lineage first, then the residual filter
+                p = spark.read.parquet(f"{m}/data")
+                p = p.withColumn(_LINEAGE_COL, F.lit(_LEGACY_LINEAGE))
+                frame = p.filter(_where_column(where))
+            else:
+                # a pred column this member truly lacks (schema-evolved
+                # chain, ADVICE r10): after the union it reads as NULL,
+                # and every supported prune op is null-rejecting, so the
+                # member provably contributes no matching rows — an
+                # empty same-schema frame keeps the union's shape
+                # without an unresolved-column error
+                frame = spark.read.parquet(f"{m}/data").filter(F.lit(False))
+        if tomb_accum is not None and tomb_col in frame.columns:
+            # rows a NEWER generation deleted; a member lacking the key
+            # column unions it as NULL, which no deleted key equals
+            frame = frame.join(F.broadcast(tomb_accum), tomb_col, "left_anti")
+        parts.append(frame)
+        tk = _tombstone_frame(spark, m)
+        if tk is not None:
+            col, keys = tk
+            if tomb_col is None:
+                tomb_col = col
+            elif col != tomb_col:
+                raise ValueError(
+                    f"mixed tombstone key columns in one chain under"
+                    f" {root!r}: {tomb_col!r} vs {col!r} at {m!r}"
+                )
+            tomb_accum = (
+                keys if tomb_accum is None else tomb_accum.unionByName(keys)
             )
     # a delta chained onto a pre-lineage parent: the parent's rows ARE
     # the legacy lineage (the _ingest_frames stamp, one level down);
@@ -1753,6 +1791,146 @@ def _read_generation_pruned(
     return reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
     )
+
+
+def _check_tombstone_key(
+    spark: SparkSession, root: str, gen_dir: str, key_col: str
+) -> None:
+    """One table, ONE tombstone key column: mixing keys would make the
+    anti-join semantics ambiguous (which identity does a delete
+    retire?). Raises when any chain member already tombstones a
+    different column."""
+    for m in _gen_chain(spark, root, gen_dir):
+        existing = fsutil.try_read_text(spark, f"{m}/_TOMBSTONE_KEY")
+        if existing and existing.strip() != key_col:
+            raise ValueError(
+                f"table {root!r} already tombstones on"
+                f" {existing.strip()!r}; cannot also delete by {key_col!r}"
+            )
+
+
+def delete_from_table(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    keys=None,
+    where=None,
+) -> dict:
+    """Row-level DELETE without rewriting the table: commit a DELTA
+    generation whose ``tombstones/`` holds the deleted keys (and whose
+    ``data`` is an empty schema-bearing file). Readers
+    (:func:`read_table`, the ingest live view) anti-join every OLDER
+    generation against the keys — at 100 TB a GDPR takedown of a few
+    thousand doc ids is a small parquet write plus one broadcast
+    anti-join per read, not a 100 TB rewrite. :func:`compact_table`
+    MATERIALIZES the deletes (its source read applies tombstones, the
+    rewrite carries none), after which :func:`gc_table_generations`
+    eventually sweeps the tombstone delta — until then, pinned time
+    travel to pre-delete generations still sees the rows, so size the
+    GC age threshold to your retention obligations.
+
+    ``keys`` is a DataFrame carrying ``key_col`` or a plain value
+    list; ``where`` instead derives the keys from a (manifest+bloom)
+    PRUNED read — ``delete_from_table(spark, root, "doc_id",
+    where=("fp", "==", h))`` touches only the files that may hold the
+    fingerprint. Rows added AFTER the delete (landing batches, later
+    deltas) are new data and stay visible, which is also what makes
+    :func:`upsert_table` exact. Like absorb/compact, serialize deletes
+    per table root (DEPLOYMENT.md): concurrent marker flips are
+    last-writer-wins and a lost delete is silent.
+
+    Returns ``{"generation", "n_keys"}``; a provably-empty key set
+    commits nothing and returns ``generation=None``."""
+    if (keys is None) == (where is None):
+        raise ValueError("exactly one of keys / where selects the rows")
+    cur = _resolve_table_generation(spark, root)
+    if cur is None:
+        raise ValueError(f"no committed table generation under {root!r}")
+    _check_tombstone_key(spark, root, cur, key_col)
+    table = _read_generation_pruned(spark, root, cur, None)
+    if key_col not in table.columns:
+        raise ValueError(f"key column {key_col!r} absent from {root!r}")
+    if where is not None:
+        keys_df = read_table(spark, root, where=where).select(key_col)
+    elif isinstance(keys, DataFrame):
+        keys_df = keys.select(key_col)
+    else:
+        field = [f for f in table.schema.fields if f.name == key_col]
+        from pyspark.sql.types import StructType
+
+        keys_df = spark.createDataFrame(
+            [(v,) for v in keys if v is not None], schema=StructType(field)
+        )
+    keys_df = keys_df.where(F.col(key_col).isNotNull()).distinct()
+    n = keys_df.count()
+    if n == 0:
+        return {"generation": None, "n_keys": 0}
+    empty = table.limit(0).coalesce(1)
+    name = write_table(
+        empty,
+        root,
+        parent=cur.rsplit("/", 1)[-1],
+        tombstones=keys_df,
+        tombstone_col=key_col,
+    )
+    return {"generation": name, "n_keys": n}
+
+
+def upsert_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key_col: str,
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
+) -> str:
+    """MERGE-by-key without rewriting the table: commit ``df`` as a
+    DELTA generation that also tombstones its own keys — older versions
+    of every upserted row disappear from reads the instant the marker
+    flips, the new rows land in the same commit, and untouched rows
+    never move. The delta's manifest prunes like any other member;
+    ``bloom_cols`` carries point-lookup skipping onto the new files.
+    :func:`compact_table` folds the chain back to one parentless
+    generation with the final row versions. Serialize with other
+    writers per root (see :func:`delete_from_table`). Returns the
+    generation name."""
+    cur = _resolve_table_generation(spark, root)
+    if cur is None:
+        raise ValueError(f"no committed table generation under {root!r}")
+    _check_tombstone_key(spark, root, cur, key_col)
+    if key_col not in df.columns:
+        raise ValueError(f"key column {key_col!r} absent from the upsert frame")
+    return write_table(
+        df,
+        root,
+        parent=cur.rsplit("/", 1)[-1],
+        tombstones=df,
+        tombstone_col=key_col,
+        bloom_cols=bloom_cols,
+        bloom_fpp=bloom_fpp,
+    )
+
+
+def table_tombstones(spark: SparkSession, root: str) -> list[dict]:
+    """Census of the current chain's tombstone sets, newest first:
+    ``{generation, key_col, n_keys}`` per carrying member — what a
+    compaction would materialize."""
+    cur = _resolve_table_generation(spark, root)
+    if cur is None:
+        raise ValueError(f"no committed table generation under {root!r}")
+    out = []
+    for m in _gen_chain(spark, root, cur):
+        tk = _tombstone_frame(spark, m)
+        if tk is not None:
+            col, keys = tk
+            out.append(
+                {
+                    "generation": m.rsplit("/", 1)[-1],
+                    "key_col": col,
+                    "n_keys": keys.count(),
+                }
+            )
+    return out
 
 
 def list_table_generations(spark: SparkSession, root: str) -> list[dict]:
@@ -1782,6 +1960,8 @@ def write_table(
     parent: str | None = None,
     bloom_cols: list[str] | None = None,
     bloom_fpp: float = 0.01,
+    tombstones: DataFrame | None = None,
+    tombstone_col: str | None = None,
 ) -> str:
     """Write ``df`` as a NEW generation of the table at ``root`` and
     commit it MARKER-LAST: the generation dir
@@ -1824,6 +2004,15 @@ def write_table(
     the same ``_COMPLETE`` commit point as the manifest. Retrofit onto
     an existing generation with :func:`add_manifest_blooms`.
 
+    ``tombstones`` + ``tombstone_col`` attach a row-level DELETE set to
+    the generation: the distinct non-null values of ``tombstone_col``
+    land in a ``tombstones/`` parquet dir (plus a ``_TOMBSTONE_KEY``
+    marker naming the column), and chain readers hide matching rows in
+    every ANCESTOR generation — this generation's own rows and later
+    ones are untouched. Use through :func:`delete_from_table` /
+    :func:`upsert_table`; covered by the same ``_COMPLETE`` commit
+    point as the data.
+
     ``parent`` (a COMPLETE generation name under the same root) makes
     this a DELTA generation: its ``data`` holds only the new rows and
     a ``_PARENT`` file links the rest of the table — readers
@@ -1850,6 +2039,13 @@ def write_table(
         writer = writer.partitionBy(*partition_by)
     if bloom_cols and not manifest:
         raise ValueError("bloom_cols requires manifest=True")
+    if (tombstones is None) != (tombstone_col is None):
+        raise ValueError("tombstones and tombstone_col come together")
+    if tombstones is not None and tombstone_col not in tombstones.columns:
+        raise ValueError(
+            f"tombstone_col {tombstone_col!r} absent from the tombstones"
+            f" frame (columns: {tombstones.columns})"
+        )
     writer.parquet(f"{base}/data")
     if manifest:
         man = _write_manifest(
@@ -1865,10 +2061,20 @@ def write_table(
     for fname, content in (extra_files or {}).items():
         if fname in (
             "_COMPLETE", "_MANIFEST", "_MANIFEST_FILES", "_MANIFEST_BLOOM",
-            "_PARENT", "data",
+            "_PARENT", "_TOMBSTONE_KEY", "tombstones", "data",
         ) or "/" in fname:
             raise ValueError(f"extra_files name {fname!r} collides with the protocol")
         fsutil.write_text(spark, f"{base}/{fname}", content)
+    if tombstones is not None:
+        (
+            tombstones.select(tombstone_col)
+            .where(F.col(tombstone_col).isNotNull())
+            .distinct()
+            .coalesce(8)
+            .write.mode("overwrite")
+            .parquet(f"{base}/tombstones")
+        )
+        fsutil.write_text(spark, f"{base}/_TOMBSTONE_KEY", tombstone_col)
     if parent is not None:
         fsutil.write_text(spark, f"{base}/_PARENT", parent)
     fsutil.write_text(spark, f"{base}/_COMPLETE", "")
@@ -2587,7 +2793,10 @@ def read_ingest_table(
         raise ValueError(f"ingest table {root!r} has no generation and no landing data")
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        # a write_table-seeded (or schema-evolved) generation lacks
+        # _batch_id / later columns: union them as nulls, the chain
+        # reader's rule (same contract as _read_generation_pruned)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 

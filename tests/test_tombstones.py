@@ -1,0 +1,192 @@
+"""Row-level deletes (key tombstones) and upserts over generational
+tables: a delete is a small delta commit, never a table rewrite;
+readers hide ancestor rows by broadcast anti-join; compaction
+materializes; rows landed AFTER a delete are new data and stay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+from big_data___knowledge_graph_construction_with_llm_spark.operators import (
+    layout,
+)
+
+
+def _seed(spark, root, n=100):
+    df = spark.range(n).select(
+        F.col("id"),
+        F.lit(0).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("fp"),
+    )
+    return layout.write_table(df.repartition(4), root)
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_delete_hides_rows_time_travel_keeps_them(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    gen0 = _seed(spark, root)
+    rep = layout.delete_from_table(spark, root, "id", keys=[3, 5, 5, None])
+    assert rep["n_keys"] == 2 and rep["generation"]
+    got = layout.read_table(spark, root)
+    assert got.count() == 98
+    assert not {3, 5} & set(_ids(got))
+    # pinned time travel to the pre-delete generation still sees them
+    old = layout.read_table(spark, root, generation=gen0)
+    assert old.count() == 100
+    census = layout.table_tombstones(spark, root)
+    assert [(c["key_col"], c["n_keys"]) for c in census] == [("id", 2)]
+
+
+def test_delete_where_uses_pruned_read(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    rep = layout.delete_from_table(spark, root, "id", where=("id", "<", 10))
+    assert rep["n_keys"] == 10
+    got = layout.read_table(spark, root)
+    assert got.count() == 90 and min(_ids(got)) == 10
+    # stacked second delete composes
+    layout.delete_from_table(spark, root, "id", keys=[10, 11])
+    assert layout.read_table(spark, root).count() == 88
+
+
+def test_delete_keys_dataframe_input(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    keys = spark.range(4).select(
+        (F.col("id") * 2).alias("id"), F.lit("x").alias("junk")
+    )
+    rep = layout.delete_from_table(spark, root, "id", keys=keys)
+    assert rep["n_keys"] == 4
+    assert layout.read_table(spark, root).count() == 96
+
+
+def test_delete_empty_keys_commits_nothing(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    gen0 = _seed(spark, root)
+    rep = layout.delete_from_table(spark, root, "id", keys=[None])
+    assert rep == {"generation": None, "n_keys": 0}
+    cur = layout._resolve_table_generation(spark, root)
+    assert cur.rsplit("/", 1)[-1] == gen0
+
+
+def test_upsert_replaces_and_adds(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    up = spark.createDataFrame(
+        [(5, 1, "h5"), (6, 1, "h6"), (200, 1, "h200")], "id long, v int, fp string"
+    )
+    layout.upsert_table(spark, root, up, "id")
+    got = layout.read_table(spark, root)
+    assert got.count() == 101  # 100 - 2 replaced + 3 (2 replace, 1 new)
+    vs = {r["id"]: r["v"] for r in got.select("id", "v").collect()}
+    assert vs[5] == 1 and vs[6] == 1 and vs[200] == 1 and vs[7] == 0
+    # exactly one version of each upserted key survives
+    assert got.filter(F.col("id").isin([5, 6, 200])).count() == 3
+
+
+def test_readd_after_delete_is_visible(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    layout.delete_from_table(spark, root, "id", keys=[7])
+    assert layout.read_table(spark, root).filter(F.col("id") == 7).count() == 0
+    # a LATER delta re-adds key 7: new data, the older tombstone does
+    # not reach forward
+    cur = layout._resolve_table_generation(spark, root).rsplit("/", 1)[-1]
+    readd = spark.createDataFrame([(7, 9, "new")], "id long, v int, fp string")
+    layout.write_table(readd, root, parent=cur)
+    got = layout.read_table(spark, root).filter(F.col("id") == 7).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(7, 9)]
+
+
+def test_pruned_read_parity_with_tombstones(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    layout.delete_from_table(spark, root, "id", where=("id", ">=", 80))
+    up = spark.createDataFrame([(40, 7, "h")], "id long, v int, fp string")
+    layout.upsert_table(spark, root, up, "id")
+    where = [("id", ">=", 30), ("id", "<", 60)]
+    pruned = layout.read_table(spark, root, where=where)
+    full = layout.read_table(spark, root).filter(
+        (F.col("id") >= 30) & (F.col("id") < 60)
+    )
+    assert _ids(pruned) == _ids(full)
+    assert pruned.filter(F.col("id") == 40).collect()[0]["v"] == 7
+
+
+def test_compact_materializes_tombstones(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    layout.delete_from_table(spark, root, "id", keys=[1, 2, 3])
+    up = spark.createDataFrame([(4, 1, "h")], "id long, v int, fp string")
+    layout.upsert_table(spark, root, up, "id")
+    before = _ids(layout.read_table(spark, root))
+    rep = layout.compact_table(spark, root, target_file_bytes=1 << 30)
+    assert rep["committed"]
+    after_df = layout.read_table(spark, root)
+    assert _ids(after_df) == before
+    assert after_df.filter(F.col("id") == 4).collect()[0]["v"] == 1
+    assert layout.table_tombstones(spark, root) == []
+    gen = layout._resolve_table_generation(spark, root)
+    assert not fsutil.exists(spark, f"{gen}/_TOMBSTONE_KEY")
+    # physically gone: the new generation's own data lacks the rows
+    assert 1 not in _ids(
+        spark.read.parquet(f"{gen}/data")
+    )
+
+
+def test_mixed_tombstone_key_cols_raise(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    layout.delete_from_table(spark, root, "id", keys=[1])
+    with pytest.raises(ValueError, match="already tombstones"):
+        layout.delete_from_table(spark, root, "fp", keys=["x"])
+    with pytest.raises(ValueError, match="already tombstones"):
+        layout.upsert_table(
+            spark,
+            root,
+            spark.createDataFrame([(1, 1, "h")], "id long, v int, fp string"),
+            "fp",
+        )
+
+
+def test_delete_arg_validation(spark, tmp_path):
+    root = f"{tmp_path}/t"
+    _seed(spark, root)
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.delete_from_table(spark, root, "id")
+    with pytest.raises(ValueError, match="exactly one"):
+        layout.delete_from_table(
+            spark, root, "id", keys=[1], where=("id", "==", 1)
+        )
+    with pytest.raises(ValueError, match="absent"):
+        layout.delete_from_table(spark, root, "nope", keys=[1])
+
+
+def test_ingest_view_respects_tombstones(spark, tmp_path):
+    """The live view's GENERATION leg hides deleted keys; LANDING rows
+    are newer than any generation and stay visible even when they
+    share a deleted key (re-adding is new data)."""
+    root = f"{tmp_path}/ing"
+    base = spark.range(50).select(
+        F.col("id"), F.lit("base").alias("src")
+    )
+    layout.write_table(base.repartition(2), root)
+    layout.delete_from_table(spark, root, "id", keys=[10, 11])
+    batch = spark.createDataFrame(
+        [(10, "landed"), (500, "landed")], "id long, src string"
+    )
+    layout.landing_append(batch, root, batch_id=1)
+    got = layout.read_ingest_table(spark, root)
+    rows = {(r["id"], r["src"]) for r in got.collect()}
+    assert (11, "base") not in rows and (10, "base") not in rows
+    assert (10, "landed") in rows and (500, "landed") in rows
+    assert got.count() == 50 - 2 + 2
+    # absorbing keeps the same answer
+    layout.absorb_landing(spark, root, min_batches=1, incremental=True)
+    got2 = layout.read_ingest_table(spark, root)
+    assert {(r["id"], r["src"]) for r in got2.collect()} == rows
