@@ -2809,6 +2809,7 @@ def absorb_landing(
     stats_cols: list[str] | None = None,
     delete_absorbed: bool = True,
     incremental: bool = False,
+    upsert_key: str | None = None,
 ) -> dict:
     """Fold landed micro-batches into the ingest table's NEXT
     generation: new generation = current generation ∪ the SNAPSHOTTED
@@ -2842,6 +2843,20 @@ def absorb_landing(
     large tables; the default rewrite keeps small tables
     self-contained in one generation.
 
+    ``upsert_key`` makes the absorb CDC-shaped (requires
+    ``incremental=True``): the delta keeps the LATEST landed version
+    per key — ordered by ``(_batch_id, _lineage)`` descending; updates
+    to one key WITHIN a single micro-batch have no defined order, the
+    standard CDC caveat absent a sequence column — and tombstones the
+    landed keys (:func:`upsert_table` mechanics), so ``read_table``
+    serves exactly one current version per key the moment the marker
+    flips. NULL-key rows pass through as plain appends. The live
+    view's LANDING leg stays append-shaped until the absorb folds it —
+    batch consumers wanting upsert semantics read ``read_table`` (as
+    of the last absorb). Rewrite-mode upsert is deliberately absent:
+    run the incremental absorb, then :func:`compact_table` (which
+    materializes the tombstones into one physical version per key).
+
     Absorbed partitions delete ONLY when the commit is demonstrably
     visible — the re-resolved CURRENT generation's ledger must cover
     the snapshot. A marker write that failed-but-was-swallowed (a
@@ -2854,9 +2869,16 @@ def absorb_landing(
     required when long-lived lazy readers may still be scanning a
     just-absorbed partition (see :func:`read_ingest_table`'s TOCTOU
     note). Returns the absorb report."""
+    if upsert_key is not None and not incremental:
+        raise ValueError(
+            "upsert_key requires incremental=True — rewrite-mode upsert"
+            " is an incremental absorb followed by compact_table"
+        )
     landing = f"{root}/landing"
     gen, pending = _ingest_pending(spark, root)
     absorbed = _absorbed_ids(spark, gen)
+    if upsert_key is not None and gen:
+        _check_tombstone_key(spark, root, gen, upsert_key)
     if len(pending) < min_batches:
         return {"absorbed": False, "pending_batches": len(pending)}
     # incremental: the new generation holds ONLY the landed batches and
@@ -2881,6 +2903,27 @@ def absorb_landing(
     n_out = max(
         1, -(-sum(sz for _, sz in census) // target_file_bytes)
     )
+    tomb_kw = {}
+    if upsert_key is not None:
+        if upsert_key not in merged.columns:
+            raise ValueError(
+                f"upsert_key {upsert_key!r} absent from landed rows"
+                f" (columns: {merged.columns})"
+            )
+        from pyspark.sql import Window
+
+        # latest landed version per key; NULL keys are plain appends
+        w = Window.partitionBy(upsert_key).orderBy(
+            F.col(_BATCH_COL).desc(), F.col(_LINEAGE_COL).desc()
+        )
+        keyed = (
+            merged.filter(F.col(upsert_key).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merged = keyed.unionByName(merged.filter(F.col(upsert_key).isNull()))
+        tomb_kw = {"tombstones": keyed, "tombstone_col": upsert_key}
     ledger = {lin: set(ids) for lin, ids in absorbed.items()}
     for lin, b in pending:
         ledger.setdefault(lin, set()).add(b)
@@ -2892,6 +2935,7 @@ def absorb_landing(
             stats_cols=stats_cols,
             extra_files={"_ABSORBED": _encode_ledger(ledger)},
             parent=parent,
+            **tomb_kw,
         )
     except Exception:
         # a concurrent absorb that won and deleted its absorbed landing

@@ -190,3 +190,62 @@ def test_ingest_view_respects_tombstones(spark, tmp_path):
     layout.absorb_landing(spark, root, min_batches=1, incremental=True)
     got2 = layout.read_ingest_table(spark, root)
     assert {(r["id"], r["src"]) for r in got2.collect()} == rows
+
+
+def test_absorb_upsert_latest_per_key(spark, tmp_path):
+    """CDC-shaped absorb: the delta keeps the latest landed version
+    per key and tombstones the rest — read_table serves exactly one
+    current row per key the moment the marker flips."""
+    root = f"{tmp_path}/cdc"
+    base = spark.range(10).select(F.col("id"), F.lit(0).alias("v"))
+    layout.write_table(base.repartition(2), root)
+    b1 = spark.createDataFrame([(3, 1), (4, 1)], "id long, v int")
+    b2 = spark.createDataFrame([(3, 2), (100, 9)], "id long, v int")
+    layout.landing_append(b1, root, batch_id=1)
+    layout.landing_append(b2, root, batch_id=2)
+    rep = layout.absorb_landing(
+        spark, root, min_batches=1, incremental=True, upsert_key="id"
+    )
+    assert rep["absorbed"] and rep["committed"]
+    got = layout.read_table(spark, root)
+    vs = {r["id"]: r["v"] for r in got.select("id", "v").collect()}
+    assert got.count() == 11  # 10 base - 2 replaced + 2 latest + 1 new
+    assert vs[3] == 2 and vs[4] == 1 and vs[100] == 9 and vs[5] == 0
+    # a second round of updates stacks: the newer delta's tombstones
+    # retire the first delta's versions too
+    b3 = spark.createDataFrame([(3, 7)], "id long, v int")
+    layout.landing_append(b3, root, batch_id=3)
+    layout.absorb_landing(
+        spark, root, min_batches=1, incremental=True, upsert_key="id"
+    )
+    got2 = layout.read_table(spark, root)
+    assert got2.count() == 11
+    assert got2.filter(F.col("id") == 3).collect()[0]["v"] == 7
+    # compaction materializes one physical version per key
+    rep2 = layout.compact_table(spark, root, target_file_bytes=1 << 30)
+    assert rep2["committed"]
+    gen = layout._resolve_table_generation(spark, root)
+    phys = spark.read.parquet(f"{gen}/data")
+    assert phys.filter(F.col("id") == 3).count() == 1
+    assert phys.count() == 11
+    assert layout.table_tombstones(spark, root) == []
+
+
+def test_absorb_upsert_null_keys_append(spark, tmp_path):
+    root = f"{tmp_path}/cdc"
+    base = spark.createDataFrame([(1, 0)], "id long, v int")
+    layout.write_table(base, root)
+    b = spark.createDataFrame([(None, 5), (None, 6)], "id long, v int")
+    layout.landing_append(b, root, batch_id=1)
+    layout.absorb_landing(
+        spark, root, min_batches=1, incremental=True, upsert_key="id"
+    )
+    got = layout.read_table(spark, root)
+    assert got.count() == 3  # both null-key rows appended, base kept
+
+
+def test_absorb_upsert_requires_incremental(spark, tmp_path):
+    root = f"{tmp_path}/cdc"
+    layout.write_table(spark.range(3).select("id"), root)
+    with pytest.raises(ValueError, match="incremental=True"):
+        layout.absorb_landing(spark, root, min_batches=1, upsert_key="id")
