@@ -268,3 +268,31 @@ def test_exact_dedup_group_strategy_single_exchange(spark):
     assert sorted(r["doc_id"] for r in g.collect()) == sorted(
         r["doc_id"] for r in s.collect()
     )
+
+
+def test_tombstone_read_is_broadcast_antijoin(spark, tmp_path):
+    """The tombstone anti-join must broadcast the (small) key set —
+    never sort-merge the table — and a chain WITHOUT tombstones must
+    not add any join at all."""
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import (
+        layout,
+    )
+
+    root = f"{tmp_path}/t"
+    layout.write_table(
+        spark.range(2000).select(F.col("id"), F.lit(0).alias("v")), root
+    )
+    clean = layout.read_table(spark, root)
+    assert "Join" not in clean._jdf.queryExecution().executedPlan().toString()
+
+    layout.delete_from_table(spark, root, "id", keys=[1, 2, 3])
+    p = (
+        layout.read_table(spark, root)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
