@@ -2001,8 +2001,12 @@ def write_table(
     lets ``read_table(where=("doc_id", "==", k))`` open only the files
     that may hold the value. Costs one column-pruned scan of the
     bloomed columns (membership can't come from footers); covered by
-    the same ``_COMPLETE`` commit point as the manifest. Retrofit onto
-    an existing generation with :func:`add_manifest_blooms`.
+    the same ``_COMPLETE`` commit point as the manifest. The data
+    write also enables parquet-NATIVE blooms (adaptive-sized) on the
+    same columns, so pushed equality filters row-group-skip INSIDE
+    the files the manifest bloom decides to open. Retrofit onto an
+    existing generation with :func:`add_manifest_blooms` (manifest
+    sidecar only — native blooms exist only when written).
 
     ``tombstones`` + ``tombstone_col`` attach a row-level DELETE set to
     the generation: the distinct non-null values of ``tombstone_col``
@@ -2046,6 +2050,15 @@ def write_table(
             f"tombstone_col {tombstone_col!r} absent from the tombstones"
             f" frame (columns: {tombstones.columns})"
         )
+    if bloom_cols:
+        # parquet-NATIVE blooms on the same columns: row-group skipping
+        # INSIDE the files the manifest bloom decides to open (the
+        # parquet reader applies them to pushed equality filters).
+        # Adaptive sizing fits the actual per-chunk NDV instead of the
+        # 1 MB-per-chunk default (probed: +65 KB vs +1 MB at 5k rows)
+        writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+        for c in bloom_cols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.parquet(f"{base}/data")
     if manifest:
         man = _write_manifest(
@@ -2176,9 +2189,29 @@ def compact_table(
 
     name = f"gen-{uuid.uuid4().hex[:12]}"
     base = f"{root}/{name}"
+    # bloom_cols="inherit" (default): a compaction must not strip the
+    # point-lookup skipping the source generation had — rebuild blooms
+    # for the HEAD manifest's bloomed columns (new files, new bitsets);
+    # pass a list to change the set, None to drop. Resolved BEFORE the
+    # data write so the parquet-native row-group blooms ride it too.
+    if bloom_cols == "inherit":
+        src_man = read_manifest(
+            spark, root, generation=gen_head.rsplit("/", 1)[-1]
+        )
+        src_blooms = (src_man or {}).get("blooms") or {}
+        bcols = sorted(src_blooms)
+        fpp = min(
+            (e["fpp"] for e in src_blooms.values()), default=bloom_fpp
+        )
+    else:
+        bcols, fpp = list(bloom_cols or []), bloom_fpp
     writer = out.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if bcols and manifest:
+        writer = writer.option("parquet.bloom.filter.adaptive.enabled", "true")
+        for c in bcols:
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
     writer.parquet(f"{base}/data")
     man = None
     if manifest:
@@ -2187,21 +2220,6 @@ def compact_table(
         man = _write_manifest(
             spark, f"{base}/data", f"{base}/_MANIFEST", stats_cols
         )
-        # bloom_cols="inherit" (default): a compaction must not strip
-        # the point-lookup skipping the source generation had — rebuild
-        # blooms for the HEAD manifest's bloomed columns (new files,
-        # new bitsets); pass a list to change the set, None to drop
-        src_man = read_manifest(
-            spark, root, generation=gen_head.rsplit("/", 1)[-1]
-        )
-        if bloom_cols == "inherit":
-            src_blooms = (src_man or {}).get("blooms") or {}
-            bcols = sorted(src_blooms)
-            fpp = min(
-                (e["fpp"] for e in src_blooms.values()), default=bloom_fpp
-            )
-        else:
-            bcols, fpp = list(bloom_cols or []), bloom_fpp
         if bcols:
             import json
 

@@ -271,3 +271,33 @@ def test_bloom_masks_python_jvm_parity(spark):
     assert not fails & set(vals)  # no false negative, ever
     # misses overwhelmingly fail (fpp 1%: expect ~2 of 200 stragglers)
     assert len(fails) >= 190
+
+
+def test_bloom_cols_write_parquet_native_blooms(spark, tmp_path):
+    """write_table(bloom_cols=) also turns on parquet-NATIVE blooms
+    (adaptive-sized) so pushed equality filters row-group-skip inside
+    opened files — provable by the data bytes growing vs the same
+    frame written without blooms."""
+    df = spark.range(5000).select(
+        F.md5(F.col("id").cast("string")).alias("key"), F.col("id")
+    ).coalesce(1)
+    layout.write_table(df, f"{tmp_path}/plain")
+    layout.write_table(df, f"{tmp_path}/bloomed", bloom_cols=["key"])
+
+    def data_bytes(root):
+        gen = layout._resolve_table_generation(spark, root)
+        return sum(
+            sz for _, sz in fsutil.list_files(spark, f"{gen}/data")
+        )
+
+    plain, bloomed = data_bytes(f"{tmp_path}/plain"), data_bytes(
+        f"{tmp_path}/bloomed"
+    )
+    # adaptive native bloom: tens of KB at 5k distinct, never the 1 MB
+    # default — present but bounded
+    assert plain + 10_000 < bloomed < plain + 500_000
+    # compact_table(bloom_cols="inherit") keeps them on the rewrite
+    layout.compact_table(
+        spark, f"{tmp_path}/bloomed", target_file_bytes=1 << 30
+    )
+    assert data_bytes(f"{tmp_path}/bloomed") > plain + 10_000
