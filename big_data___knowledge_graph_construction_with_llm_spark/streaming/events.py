@@ -357,19 +357,37 @@ def _legacy_partition_dirs(spark, store_path: str) -> list[str]:
 
 def _store_read_frames(spark, store_path: str, store_schema) -> list:
     """The schema-pinned frames a fingerprint-store read unions: the
-    committed generation's data (if a ``_CURRENT`` marker resolves, with
+    committed generation (if a ``_CURRENT`` marker resolves, with
     lineage/batch_id as physical columns), the landing area (partition
     columns), and legacy pre-generational flat partitions at the root
-    (enumerated explicitly, read under ``basePath``)."""
+    (enumerated explicitly, read under ``basePath``).
+
+    The generation leg reads the full ``_PARENT`` CHAIN with tombstones
+    applied (``layout._read_generation_pruned``): the store's own
+    compactor only ever writes parentless generations, but the store
+    root speaks the generic table protocol — so a GDPR retraction is
+    just ``layout.delete_from_table(spark, store_path, id_col,
+    keys=...)``, after which re-arriving content of the deleted docs is
+    KEPT again (the original no longer exists) instead of silently
+    suppressed forever by orphaned fingerprints."""
     from big_data___knowledge_graph_construction_with_llm_spark import fsutil
     from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _read_generation_pruned,
         _resolve_table_generation,
     )
 
     out = []
     gen = _resolve_table_generation(spark, store_path, retries=1)
     if gen is not None:
-        out.append(spark.read.schema(store_schema).parquet(f"{gen}/data"))
+        g = _read_generation_pruned(spark, store_path, gen, None)
+        out.append(
+            g.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in store_schema.fields
+                ]
+            )
+        )
     landing = _store_landing(store_path)
     if fsutil.exists(spark, landing):
         out.append(spark.read.schema(store_schema).parquet(landing))
@@ -418,6 +436,8 @@ def compact_fingerprint_store(
     after, and the generation name, or ``{"compacted": False, ...}``."""
     from big_data___knowledge_graph_construction_with_llm_spark import fsutil
     from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _gen_chain,
+        _read_generation_pruned,
         _resolve_table_generation,
         write_table,
     )
@@ -434,7 +454,11 @@ def compact_fingerprint_store(
     gen = _resolve_table_generation(spark, store_path)
     parts = []
     if gen is not None:
-        parts.append(spark.read.parquet(f"{gen}/data"))
+        # full chain with tombstones applied: a compaction after a
+        # GDPR retraction (layout.delete_from_table on the store root)
+        # MATERIALIZES the retraction instead of reading only the
+        # delta's empty head
+        parts.append(_read_generation_pruned(spark, store_path, gen, None))
     if absorbed:
         parts.append(
             spark.read.option("basePath", landing).parquet(
@@ -450,9 +474,10 @@ def compact_fingerprint_store(
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)
-    census = fsutil.list_files(spark, landing) + (
-        fsutil.list_files(spark, f"{gen}/data") if gen else []
-    )
+    census = fsutil.list_files(spark, landing)
+    if gen:
+        for member in _gen_chain(spark, store_path, gen):
+            census += fsutil.list_files(spark, f"{member}/data")
     for p in legacy:
         census += fsutil.list_files(spark, f"{store_path}/{p}")
     files_before = len(census)

@@ -1203,3 +1203,63 @@ def test_compact_fingerprint_store_invisible_commit_deletes_nothing(
     assert compact_fingerprint_store(spark, store, min_batches=1)["compacted"]
     sink(spark.createDataFrame([(6, "gamma"), (7, "delta")], "doc_id long, text string"), 3)
     assert emitted[3] == [7]
+
+
+def test_fingerprint_store_gdpr_retraction(spark, tmp_path):
+    """The store root speaks the generic table protocol, so a GDPR
+    retraction is layout.delete_from_table on it: re-arriving content
+    of the deleted doc is KEPT again (the original no longer exists)
+    while other history keeps suppressing; the next compaction
+    materializes the retraction physically."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.layout import (
+        _resolve_table_generation,
+        delete_from_table,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        bootstrap_fingerprint_store,
+        compact_fingerprint_store,
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-store")
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    corpus = spark.createDataFrame(
+        [(100, "omega"), (101, "rho")], "doc_id long, text string"
+    )
+    bootstrap_fingerprint_store(corpus, store, "text", "doc_id")
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="r1")
+    sink(
+        spark.createDataFrame([(1, "alpha")], "doc_id long, text string"), 0
+    )
+    assert emitted[0] == [1]
+    # fold landing into a committed generation, then RETRACT doc 100
+    rep = compact_fingerprint_store(spark, store, min_batches=1)
+    assert rep["compacted"]
+    assert delete_from_table(spark, store, "doc_id", keys=[100])["n_keys"] == 1
+    # omega re-arrives: kept (its fingerprint was retracted with the
+    # doc); rho and alpha history still suppress
+    sink(
+        spark.createDataFrame(
+            [(7, "omega"), (8, "rho"), (9, "alpha")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert emitted[1] == [7]
+    # compaction after the retraction materializes it: the folded
+    # generation's own data no longer holds doc 100, and the new omega
+    # keeper (7) is in
+    rep2 = compact_fingerprint_store(spark, store, min_batches=1)
+    assert rep2["compacted"]
+    gen = _resolve_table_generation(spark, store)
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{gen}/data").select("doc_id").collect()
+    )
+    assert ids == [1, 7, 101]
