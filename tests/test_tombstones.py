@@ -249,3 +249,69 @@ def test_absorb_upsert_requires_incremental(spark, tmp_path):
     layout.write_table(spark.range(3).select("id"), root)
     with pytest.raises(ValueError, match="incremental=True"):
         layout.absorb_landing(spark, root, min_batches=1, upsert_key="id")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_KEYS = st.integers(min_value=0, max_value=9)
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(_KEYS, min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.lists(_KEYS, min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), st.lists(_KEYS, min_size=1, max_size=3)),
+        st.tuples(st.just("compact"), st.just([])),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(ops=_OPS)
+def test_tombstone_semantics_match_model(spark, tmp_path_factory, ops):
+    """Model-based check of the delete/upsert/append/compact algebra:
+    a Python multiset oracle applies the documented semantics — a
+    delete removes CURRENT rows with the key, an upsert replaces them
+    with its own rows (dup keys inside one upsert all land), an append
+    adds rows regardless of past deletes, compaction changes nothing —
+    and read_table must agree after every operation."""
+    root = f"{tmp_path_factory.mktemp('prop')}/t"
+    seq = 1000
+    # seed: keys 0..4, version 0
+    layout.write_table(
+        spark.createDataFrame([(k, 0) for k in range(5)], "id long, v long"),
+        root,
+    )
+    model: list[tuple[int, int]] = [(k, 0) for k in range(5)]
+    for op, keys in ops:
+        if op == "append":
+            rows = [(k, seq) for k in keys]
+            seq += 1
+            cur = layout._resolve_table_generation(spark, root)
+            layout.write_table(
+                spark.createDataFrame(rows, "id long, v long"),
+                root,
+                parent=cur.rsplit("/", 1)[-1],
+            )
+            model += rows
+        elif op == "delete":
+            layout.delete_from_table(spark, root, "id", keys=list(keys))
+            model = [(k, v) for k, v in model if k not in set(keys)]
+        elif op == "upsert":
+            rows = [(k, seq) for k in keys]
+            seq += 1
+            layout.upsert_table(
+                spark,
+                root,
+                spark.createDataFrame(rows, "id long, v long"),
+                "id",
+            )
+            model = [(k, v) for k, v in model if k not in set(keys)] + rows
+        else:  # compact: materializes, must not change the answer
+            layout.compact_table(spark, root, target_file_bytes=1 << 30)
+        got = sorted(
+            (r["id"], r["v"])
+            for r in layout.read_table(spark, root).collect()
+        )
+        assert got == sorted(model), (op, keys, got, sorted(model))
