@@ -1151,7 +1151,16 @@ def _bloom_build_fn(cols: list[str], types: dict[str, str], m: int, k: int):
     input group = one data file's rows (bloomed columns only, column-
     pruned at the scan), one output row per column with the file's
     bitset as signed 64-bit words. Values dedupe through
-    ``pd.unique`` first so repeated values hash once."""
+    ``pd.unique`` first so repeated values hash once.
+
+    ``types`` holds the TRANSPORT dtype of each column as it arrives
+    here — integral columns are cast to their canonical decimal string
+    on the JVM side BEFORE this function runs (see
+    :func:`_write_manifest_blooms`), so an int64 column never rides
+    pandas' nullable-int → float64 coercion, which silently rounds
+    magnitudes above 2^53 and would build a bitset missing the true
+    value's bits (a false NEGATIVE on read — the one thing a bloom
+    must never do)."""
 
     def build(pdf):
         import pandas as pd
@@ -1184,14 +1193,25 @@ def _write_manifest_blooms(
     cols: list[str],
     fpp: float,
     manifest: dict,
+    table: str = _BLOOM_TABLE,
 ) -> dict:
-    """Build and write a generation's ``_MANIFEST_BLOOM`` sidecar;
-    returns the root-manifest ``blooms`` entry ``{col: {m, k, fpp,
-    dtype, table}}``. Costs one COLUMN-PRUNED scan of the bloomed
-    columns — unlike min/max spans, membership cannot come from parquet
-    footers, so this is an explicit opt-in priced at O(bloomed-column
-    bytes), not O(table). Sizing is generation-uniform from the largest
-    file's footer row count (already in the manifest — no extra pass)."""
+    """Build and write a generation's bloom sidecar under ``table``
+    (``_MANIFEST_BLOOM`` by default); returns the root-manifest
+    ``blooms`` entry ``{col: {m, k, fpp, dtype, table}}``. Costs one
+    COLUMN-PRUNED scan of the bloomed columns — unlike min/max spans,
+    membership cannot come from parquet footers, so this is an
+    explicit opt-in priced at O(bloomed-column bytes), not O(table).
+    Sizing is generation-uniform from the largest file's footer row
+    count (already in the manifest — no extra pass).
+
+    Integral columns are canonicalized JVM-side (``cast('string')`` —
+    exact decimal, byte-identical to the read side's
+    ``str(int(v)).encode()``) before crossing into pandas: Arrow hands
+    an int64 column containing ANY null to pandas as float64, which
+    rounds magnitudes above 2^53 — and 64-bit hash fingerprints, the
+    feature's stated use case, routinely exceed 2^53. Hashing the
+    mangled value would produce a bitset that provably-excludes a file
+    containing the TRUE value: silent missing rows."""
     data = f"{gen_dir}/data"
     df = spark.read.parquet(data)
     all_types = dict(df.dtypes)
@@ -1210,18 +1230,26 @@ def _write_manifest_blooms(
         )
     m, k = _bloom_sizing(max_rows, fpp)
     types = {c: all_types[c] for c in cols}
+    _ints = ("tinyint", "smallint", "int", "bigint")
+    proj = [
+        (F.col(c).cast("string") if types[c] in _ints else F.col(c)).alias(c)
+        for c in cols
+    ]
+    transport = {
+        c: ("string" if types[c] in _ints else types[c]) for c in cols
+    }
     n_out = max(1, -(-manifest["n_files"] // 250_000))
     (
-        df.select(_rel_from_uri(F.input_file_name()).alias("_file"), *cols)
+        df.select(_rel_from_uri(F.input_file_name()).alias("_file"), *proj)
         .groupBy("_file")
         .applyInPandas(
-            _bloom_build_fn(cols, types, m, k),
+            _bloom_build_fn(cols, transport, m, k),
             "dir string, file string, col string, bits array<bigint>",
         )
         .repartition(n_out, "col")
         .sortWithinPartitions("col", "dir", "file")
         .write.mode("overwrite")
-        .parquet(f"{gen_dir}/{_BLOOM_TABLE}")
+        .parquet(f"{gen_dir}/{table}")
     )
     return {
         c: {
@@ -1229,7 +1257,7 @@ def _write_manifest_blooms(
             "k": k,
             "fpp": fpp,
             "dtype": types[c],
-            "table": _BLOOM_TABLE,
+            "table": table,
         }
         for c in cols
     }
@@ -1250,7 +1278,17 @@ def add_manifest_blooms(
     disk. Requires the generation to carry a manifest. Prefer
     ``write_table(bloom_cols=)`` for new generations — there the
     sidecar lands before ``_COMPLETE`` and is covered by the same
-    commit point."""
+    commit point.
+
+    Repeated retrofits compose: each call writes its sidecar to a
+    FRESH table name (``_MANIFEST_BLOOM``, ``_MANIFEST_BLOOM_1``, …)
+    rather than overwriting — the per-column ``table`` pointer in the
+    manifest routes each column's reads to its own sidecar, so a
+    second retrofit for a different column cannot delete the first
+    column's bitsets out from under a manifest that still advertises
+    them (reads would stay CORRECT — a missing sidecar conservatively
+    keeps files — but the first column would silently lose all its
+    point-lookup pruning)."""
     import json
 
     gen = (
@@ -1267,8 +1305,16 @@ def add_manifest_blooms(
             "bloom filters hang off the _MANIFEST; this generation was"
             " written with manifest=False"
         )
-    blooms = _write_manifest_blooms(spark, gen, list(cols), fpp, manifest)
-    manifest["blooms"] = {**(manifest.get("blooms") or {}), **blooms}
+    existing = manifest.get("blooms") or {}
+    used = {e["table"] for e in existing.values()}
+    table, n = _BLOOM_TABLE, 0
+    while table in used:
+        n += 1
+        table = f"{_BLOOM_TABLE}_{n}"
+    blooms = _write_manifest_blooms(
+        spark, gen, list(cols), fpp, manifest, table=table
+    )
+    manifest["blooms"] = {**existing, **blooms}
     fsutil.write_text(spark, f"{gen}/_MANIFEST", json.dumps(manifest))
     return manifest["blooms"]
 
@@ -2828,6 +2874,7 @@ def absorb_landing(
     delete_absorbed: bool = True,
     incremental: bool = False,
     upsert_key: str | None = None,
+    order_col: str | None = None,
 ) -> dict:
     """Fold landed micro-batches into the ingest table's NEXT
     generation: new generation = current generation ∪ the SNAPSHOTTED
@@ -2863,12 +2910,21 @@ def absorb_landing(
 
     ``upsert_key`` makes the absorb CDC-shaped (requires
     ``incremental=True``): the delta keeps the LATEST landed version
-    per key — ordered by ``(_batch_id, _lineage)`` descending; updates
-    to one key WITHIN a single micro-batch have no defined order, the
-    standard CDC caveat absent a sequence column — and tombstones the
-    landed keys (:func:`upsert_table` mechanics), so ``read_table``
-    serves exactly one current version per key the moment the marker
-    flips. NULL-key rows pass through as plain appends. The live
+    per key and tombstones the landed keys (:func:`upsert_table`
+    mechanics), so ``read_table`` serves one current version per key.
+    "Latest" is well-defined only per source: ``_batch_id`` is an
+    independent monotone counter PER LINEAGE, so ordering by
+    ``(_batch_id desc, _lineage desc)`` is meaningful within one
+    lineage but arbitrary across lineages (batch 7 of lineage A would
+    beat batch 3 of a later-arriving lineage B, lexicographic
+    tiebreak). The absorb therefore REFUSES a keyed fold over pending
+    batches spanning >1 lineage unless ``order_col`` names an explicit
+    event/sequence column — then the winner per key is max
+    ``(order_col, _batch_id, _lineage)`` and cross-lineage folds are
+    well-ordered by the data itself. Updates to one key WITHIN a
+    single micro-batch (same order_col value, if any) keep the
+    standard CDC caveat: no defined order absent a finer sequence
+    number. NULL-key rows pass through as plain appends. The live
     view's LANDING leg stays append-shaped until the absorb folds it —
     batch consumers wanting upsert semantics read ``read_table`` (as
     of the last absorb). Rewrite-mode upsert is deliberately absent:
@@ -2928,12 +2984,30 @@ def absorb_landing(
                 f"upsert_key {upsert_key!r} absent from landed rows"
                 f" (columns: {merged.columns})"
             )
+        if order_col is not None and order_col not in merged.columns:
+            raise ValueError(
+                f"order_col {order_col!r} absent from landed rows"
+                f" (columns: {merged.columns})"
+            )
+        lineages = {lin for lin, _b in pending}
+        if order_col is None and len(lineages) > 1:
+            # batch ids are independent per-lineage counters — a keyed
+            # fold across lineages has no defensible "latest" without
+            # an explicit sequence column (ADVICE r11)
+            raise ValueError(
+                "upsert_key absorb over pending batches from"
+                f" {len(lineages)} lineages ({sorted(lineages)}) is not"
+                " well-ordered: _batch_id counts independently per"
+                " lineage. Pass order_col=<event/sequence column> or"
+                " absorb each lineage's stream into its own table root"
+            )
         from pyspark.sql import Window
 
         # latest landed version per key; NULL keys are plain appends
-        w = Window.partitionBy(upsert_key).orderBy(
-            F.col(_BATCH_COL).desc(), F.col(_LINEAGE_COL).desc()
-        )
+        order = [F.col(_BATCH_COL).desc(), F.col(_LINEAGE_COL).desc()]
+        if order_col is not None:
+            order.insert(0, F.col(order_col).desc_nulls_last())
+        w = Window.partitionBy(upsert_key).orderBy(*order)
         keyed = (
             merged.filter(F.col(upsert_key).isNotNull())
             .withColumn("_rn", F.row_number().over(w))

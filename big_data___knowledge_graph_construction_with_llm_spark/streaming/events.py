@@ -380,10 +380,19 @@ def _store_read_frames(spark, store_path: str, store_schema) -> list:
     gen = _resolve_table_generation(spark, store_path, retries=1)
     if gen is not None:
         g = _read_generation_pruned(spark, store_path, gen, None)
+        # null-fill fields absent from an older/drifted generation,
+        # mirroring spark.read.schema()'s tolerance — a committed
+        # generation missing one store_schema field must union as
+        # nulls, not fail the whole store read (ADVICE r11)
+        have = set(g.columns)
         out.append(
             g.select(
                 *[
-                    F.col(f.name).cast(f.dataType)
+                    (
+                        F.col(f.name) if f.name in have else F.lit(None)
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
                     for f in store_schema.fields
                 ]
             )

@@ -301,3 +301,104 @@ def test_bloom_cols_write_parquet_native_blooms(spark, tmp_path):
         spark, f"{tmp_path}/bloomed", target_file_bytes=1 << 30
     )
     assert data_bytes(f"{tmp_path}/bloomed") > plain + 10_000
+
+
+def test_bloom_bigint_beyond_2_53_with_nulls_no_false_negative(
+    spark, tmp_path
+):
+    """ADVICE r11 (high): an int64 column holding ANY null crosses
+    into pandas as float64, which rounds magnitudes above 2^53 — the
+    old builder hashed the MANGLED value, so the bitset lacked the
+    true value's bits and a point lookup provably-excluded the file
+    that held it (silent missing rows). Build values are all odd and
+    above 2^62 (no odd integer there is float64-representable), with a
+    null in every file to force the coercion; the canonical JVM-side
+    cast must keep every lookup exact."""
+    root = f"{tmp_path}/big"
+    df = (
+        spark.range(2000)
+        .select(
+            F.col("id"),
+            F.when(
+                F.col("id") % 125 == 0, F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.lit(1 << 62) + F.col("id") * 2 + F.lit(1)
+            )
+            .alias("fp64"),
+        )
+        .repartitionByRange(N_FILES, "id")
+    )
+    layout.write_table(df, root, bloom_cols=["fp64"], bloom_fpp=0.001)
+    man = layout.read_manifest(spark, root)
+    assert man["blooms"]["fp64"]["dtype"] == "bigint"
+    for doc_id in (1, 777, 1999):
+        want = (1 << 62) + doc_id * 2 + 1
+        got = layout.read_table(spark, root, where=("fp64", "==", want))
+        assert [r["id"] for r in got.collect()] == [doc_id]
+        assert len(got.select("id").inputFiles()) <= 3
+    # build/probe byte parity, asserted against the raw sidecar: every
+    # word mask of the canonical value is set in its file's bitset
+    gen = layout._resolve_table_generation(spark, root)
+    ent = man["blooms"]["fp64"]
+    side = {
+        r["file"]: r["bits"]
+        for r in spark.read.parquet(f"{gen}/{ent['table']}").collect()
+    }
+    f1999 = (
+        layout.read_table(spark, root)
+        .filter(F.col("id") == 1999)
+        .select(F.input_file_name().alias("f"))
+        .collect()[0]["f"]
+    )
+    rel = "/".join(f1999.split("/")[-1:])
+    bits = side[rel]
+    masks = layout._bloom_word_masks(
+        layout._bloom_bytes((1 << 62) + 1999 * 2 + 1, "bigint"),
+        ent["m"],
+        ent["k"],
+    )
+    for w, mask in masks.items():
+        assert bits[w] & mask == mask
+    # the null rows themselves: IS NULL predicates are span/bloom
+    # no-ops, the residual filter answers
+    nulls = layout.read_table(spark, root).filter(F.col("fp64").isNull())
+    assert nulls.count() == 16
+
+
+def test_bloom_retrofit_second_column_keeps_first(spark, tmp_path):
+    """ADVICE r11 (medium): retrofitting a SECOND column must not
+    overwrite the first column's sidecar — each add_manifest_blooms
+    writes a fresh table name and the per-column pointer routes reads,
+    so both columns keep their point-lookup pruning."""
+    root = f"{tmp_path}/t"
+    _write(spark, root, bloom_cols=None)
+    layout.add_manifest_blooms(spark, root, ["key"], fpp=0.001)
+    layout.add_manifest_blooms(spark, root, ["scr"], fpp=0.001)
+    man = layout.read_manifest(spark, root)
+    assert set(man["blooms"]) == {"key", "scr"}
+    t_key = man["blooms"]["key"]["table"]
+    t_scr = man["blooms"]["scr"]["table"]
+    assert t_key != t_scr
+    gen = layout._resolve_table_generation(spark, root)
+    # both sidecars exist and still carry their column's bitsets
+    for t, c in ((t_key, "key"), (t_scr, "scr")):
+        side = spark.read.parquet(f"{gen}/{t}")
+        assert side.filter(F.col("col") == c).count() == N_FILES
+    # and both columns actually prune
+    want = _key_of(spark, root, 1234)
+    hit_key = layout.read_table(spark, root, where=("key", "==", want["key"]))
+    assert [r["id"] for r in hit_key.collect()] == [1234]
+    assert len(hit_key.select("id").inputFiles()) <= 3
+    hit_scr = layout.read_table(spark, root, where=("scr", "==", want["scr"]))
+    assert 1234 in [r["id"] for r in hit_scr.collect()]
+    assert len(hit_scr.select("id").inputFiles()) <= 3
+    # a third retrofit re-blooming an existing column repoints it
+    # without disturbing the other
+    layout.add_manifest_blooms(spark, root, ["key"], fpp=0.01)
+    man2 = layout.read_manifest(spark, root)
+    assert man2["blooms"]["key"]["table"] not in (t_key, t_scr)
+    assert man2["blooms"]["scr"]["table"] == t_scr
+    again = layout.read_table(spark, root, where=("scr", "==", want["scr"]))
+    assert 1234 in [r["id"] for r in again.collect()]
+    assert len(again.select("id").inputFiles()) <= 3

@@ -1263,3 +1263,49 @@ def test_fingerprint_store_gdpr_retraction(spark, tmp_path):
         for r in spark.read.parquet(f"{gen}/data").select("doc_id").collect()
     )
     assert ids == [1, 7, 101]
+
+
+def test_fingerprint_store_tolerates_drifted_generation_schema(
+    spark, tmp_path
+):
+    """ADVICE r11: a committed generation written before a store-schema
+    field existed (here: no ``_h128``) must union into the store read
+    with that field null-filled — the schema-pinned behavior the chain-
+    aware read replaced — not fail the whole read with an unresolved-
+    column error. Dedup against such rows degrades gracefully (a null
+    ``_h128`` matches nothing) while every complete row keeps working."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import (
+        layout,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.streaming.events import (
+        incremental_dedup_sink,
+    )
+
+    store = str(tmp_path / "fp-drift")
+    # an old-writer generation: fingerprints without _h128
+    old = spark.createDataFrame(
+        [(1, 7777777777, "old", 0)],
+        "doc_id long, _h64 long, lineage string, batch_id long",
+    )
+    layout.write_table(old, store)
+    emitted: dict[int, list[int]] = {}
+
+    def emit(df, batch_id):
+        emitted.setdefault(batch_id, []).extend(
+            sorted(r["doc_id"] for r in df.collect())
+        )
+
+    sink = incremental_dedup_sink(store, "text", "doc_id", emit, lineage="new")
+    sink(
+        spark.createDataFrame(
+            [(2, "fresh"), (3, "fresh")], "doc_id long, text string"
+        ),
+        0,
+    )
+    # the read did not fail; within-batch dedup still works, and the
+    # drifted history row neither crashes nor phantom-matches
+    assert emitted[0] == [2]
+    sink(
+        spark.createDataFrame([(4, "fresh")], "doc_id long, text string"), 1
+    )
+    assert emitted[1] == []  # dup of batch 0's surviving fingerprint

@@ -315,3 +315,84 @@ def test_tombstone_semantics_match_model(spark, tmp_path_factory, ops):
             for r in layout.read_table(spark, root).collect()
         )
         assert got == sorted(model), (op, keys, got, sorted(model))
+
+
+def test_absorb_upsert_multi_lineage_requires_order_col(spark, tmp_path):
+    """ADVICE r11: _batch_id counts independently per lineage, so a
+    keyed fold across lineages has no defensible "latest" — batch 7 of
+    lineage A would beat batch 3 of a later-arriving lineage B. The
+    absorb must refuse rather than pick an arbitrary winner."""
+    root = f"{tmp_path}/cdc"
+    layout.write_table(
+        spark.createDataFrame([(1, 0)], "id long, v int"), root
+    )
+    a = spark.createDataFrame([(1, 10)], "id long, v int")
+    b = spark.createDataFrame([(1, 20)], "id long, v int")
+    layout.landing_append(a, root, batch_id=7, lineage="runA")
+    layout.landing_append(b, root, batch_id=3, lineage="runB")
+    with pytest.raises(ValueError, match="not well-ordered"):
+        layout.absorb_landing(
+            spark, root, min_batches=1, incremental=True, upsert_key="id"
+        )
+    # nothing was folded; the landing partitions are untouched
+    assert layout.read_ingest_table(spark, root).count() == 3
+
+
+def test_absorb_upsert_order_col_decides_across_lineages(spark, tmp_path):
+    """With an explicit event/sequence column the cross-lineage fold
+    is well-ordered by the data itself: the higher seq wins even from
+    the lower batch id of a lexicographically-earlier lineage."""
+    root = f"{tmp_path}/cdc"
+    layout.write_table(
+        spark.createDataFrame([(1, 0, 0), (2, 0, 0)], "id long, v int, seq long"),
+        root,
+    )
+    a = spark.createDataFrame([(1, 10, 100)], "id long, v int, seq long")
+    b = spark.createDataFrame(
+        [(1, 20, 200), (2, 5, 50)], "id long, v int, seq long"
+    )
+    layout.landing_append(a, root, batch_id=7, lineage="runA")
+    layout.landing_append(b, root, batch_id=3, lineage="runB")
+    rep = layout.absorb_landing(
+        spark,
+        root,
+        min_batches=1,
+        incremental=True,
+        upsert_key="id",
+        order_col="seq",
+    )
+    assert rep["absorbed"] and rep["committed"]
+    vs = {
+        r["id"]: (r["v"], r["seq"])
+        for r in layout.read_table(spark, root).collect()
+    }
+    assert vs == {1: (20, 200), 2: (5, 50)}
+    # single lineage + order_col: seq outranks batch id there too
+    c = spark.createDataFrame([(1, 30, 150)], "id long, v int, seq long")
+    layout.landing_append(c, root, batch_id=8, lineage="runB")
+    d = spark.createDataFrame([(1, 40, 300)], "id long, v int, seq long")
+    layout.landing_append(d, root, batch_id=9, lineage="runB")
+    layout.absorb_landing(
+        spark,
+        root,
+        min_batches=1,
+        incremental=True,
+        upsert_key="id",
+        order_col="seq",
+    )
+    got = layout.read_table(spark, root)
+    assert got.filter(F.col("id") == 1).collect()[0]["v"] == 40
+    with pytest.raises(ValueError, match="order_col"):
+        layout.landing_append(
+            spark.createDataFrame([(9, 1, 1)], "id long, v int, seq long"),
+            root,
+            batch_id=10,
+            lineage="runB",
+        ) or layout.absorb_landing(
+            spark,
+            root,
+            min_batches=1,
+            incremental=True,
+            upsert_key="id",
+            order_col="nope",
+        )
