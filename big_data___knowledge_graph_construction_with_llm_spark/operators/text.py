@@ -215,6 +215,147 @@ def tfidf_top_terms(
     )
 
 
+def text_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The at-rest posting-list table ``(term, id, tf, dl)`` behind
+    :func:`bm25_topk_indexed` — lowercase whitespace terms, per-doc
+    term frequency, and the doc's total token count ``dl`` denormalized
+    onto every posting so query-time scoring never joins back to the
+    corpus.
+
+    Scale shape: one explode → one ``(id, term)``-keyed aggregation
+    (partial map-side combine; shuffle rows carry terms and counts,
+    never text). Write it with ``layout.write_clustered(...,
+    cluster_cols=["term"])`` and ``bloom_cols=["term"]`` and a BM25
+    query becomes a few point lookups that file-skip to the probed
+    terms' postings — the retrieval twin of the fingerprint store.
+    Corpus stats (``n_docs``, ``avgdl``) are one tiny aggregate over
+    the distinct ``(id, dl)`` pairs; persist them next to the index or
+    let :func:`bm25_topk_indexed` recompute them."""
+    terms = F.transform(tokens(text_col), F.lower)
+    per_doc = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(terms).alias("term"),
+        F.size(terms).alias("dl"),
+    )
+    return per_doc.groupBy("term", "id", "dl").agg(
+        F.count("*").alias("tf")
+    ).select("term", "id", "tf", "dl")
+
+
+def _bm25_terms(query: str) -> list[str]:
+    return sorted({t for t in query.lower().split() if t})
+
+
+def bm25_topk_indexed(
+    index: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25 over a
+    :func:`text_index` posting table: ``(id, score)`` with score =
+    Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) · tf·(k1+1) / (tf + k1·(1 −
+    b + b·dl/avgdl)) (the Lucene-shaped always-positive idf), rounded
+    to 4 dp with ties broken by id so results reproduce across engines
+    and partitionings.
+
+    Scale shape: the probed terms filter FIRST — against a clustered +
+    bloomed at-rest index that is a file-skipping point lookup, so
+    query cost is O(postings of the query's terms), not O(index).
+    Per-term document frequencies come from the surviving postings
+    (``tf`` is unique per ``(term, id)``, so ``count(*)`` IS df) and
+    broadcast into the scoring join; the final top-k is a
+    ``TakeOrdered``, never a global sort. ``n_docs``/``avgdl`` are
+    corpus constants — pass the stored values at steady state (the
+    one-aggregate fallback here re-derives them from the index, which
+    is only free for an in-memory index)."""
+    terms = _bm25_terms(query)
+    if not terms:
+        raise ValueError("empty query: no whitespace terms to score")
+    if n_docs is None or avgdl is None:
+        stats = (
+            index.select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs = n_docs if n_docs is not None else stats["n"]
+        avgdl = avgdl if avgdl is not None else float(stats["avgdl"])
+    hits = index.filter(F.col("term").isin(terms))
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    return (
+        hits.join(F.broadcast(dfreq), "term")
+        .groupBy("id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """One-shot BM25 retrieval: :func:`text_index` built inline (the
+    probed-term filter rides BEFORE the ``(id, term)`` aggregation, so
+    even the inline build shuffles only the query's terms) +
+    :func:`bm25_topk_indexed` with corpus stats computed in the same
+    pass. For repeated queries, build the index once and go through
+    the indexed form against a clustered/bloomed at-rest table."""
+    terms = _bm25_terms(query)
+    if not terms:
+        raise ValueError("empty query: no whitespace terms to score")
+    toks = F.transform(tokens(text_col), F.lower)
+    dl = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.size(toks).alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    hits = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(toks).alias("term"),
+            F.size(toks).alias("dl"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", "id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    return bm25_topk_indexed(
+        hits,
+        query,
+        k=k,
+        k1=k1,
+        b=b,
+        n_docs=stats["n"],
+        avgdl=float(stats["avgdl"]),
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -336,6 +336,35 @@ SPARK_SQL_TWINS["q_ngram_topk"] = f"""
     ORDER BY n DESC, g LIMIT 20
 """
 
+SPARK_SQL_TWINS["q_bm25_search"] = r"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM documents LATERAL VIEW explode(split(trim(text), '\\s+')) AS t
+      WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ) AS raw
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS score FROM scored
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
 SPARK_SQL_TWINS["q_pipeline_e2e"] = """
     SELECT CAST(doc_id AS STRING) AS subject,
            'Record' AS subject_type,

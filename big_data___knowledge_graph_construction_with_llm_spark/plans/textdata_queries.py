@@ -959,6 +959,57 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_bm25_search",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lower(t) AS term
+      FROM documents, unnest(string_split_regex(trim(text), '\s+')) AS u(t)
+      WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ) AS raw
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(raw, 4) AS score FROM scored
+    ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 retrieval for a 3-term query over the document
+    corpus — the search/decontamination-by-retrieval staple. The plan
+    filters to the probed terms BEFORE any aggregation (only the
+    query's terms ever shuffle), per-term document frequencies
+    broadcast into the scoring join, and the top-k is a TakeOrdered.
+    At steady state the same scoring runs against an at-rest
+    ``text_index`` posting table written clustered + bloomed on
+    ``term``, making a query a file-skipping point lookup
+    (``operators/text.py:bm25_topk_indexed``; EXT — the reference has
+    no retrieval surface, nearest analog is its LLM context assembly
+    `Art-Knowledge-Graph-Local/LLM/pipeline.py`)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import bm25_topk
+
+    d = load(spark, sf, "documents")
+    return bm25_topk(d, "doc_id", "text", "vector join stream", k=10).select(
+        F.col("id").alias("doc_id"), "score"
+    )
+
+
+@query(
     "q_dataset_split",
     oracle="""
     WITH b AS (

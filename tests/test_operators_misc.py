@@ -1527,3 +1527,79 @@ def test_scrub_repeated_spans_single_span_explode(spark):
     assert plan.count("slice(split(") == 0
     assert plan.count("posexplode") == 1
     assert plan.count("LogicalRDD") >= 3  # pos_spans reused + covered + hits
+
+
+def test_bm25_hand_computed(spark):
+    """Hand-computed BM25 (Lucene-shaped idf, k1=1.2, b=0.75) on a
+    3-doc corpus; deterministic id tiebreak."""
+    import math
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "spark spark joins"), (2, "spark sql"), (3, "python pandas")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["id"], r["score"])
+        for r in bm25_topk(df, "doc_id", "text", "spark joins", k=3).collect()
+    ]
+    n, avgdl = 3, 7 / 3
+    idf_s = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+    idf_j = math.log(1 + (n - 1 + 0.5) / (1 + 0.5))
+
+    def tfn(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    d1 = round(idf_s * tfn(2, 3) + idf_j * tfn(1, 3), 4)
+    d2 = round(idf_s * tfn(1, 2), 4)
+    assert got == [(1, d1), (2, d2)]
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_topk(df, "doc_id", "text", "   ")
+
+
+def test_bm25_indexed_at_rest_point_lookup(spark, tmp_path):
+    """The steady-state retrieval shape: a text_index posting table
+    written clustered + bloomed on term serves a BM25 query as a
+    file-skipping point lookup — same answer as the one-shot corpus
+    scan, opening a fraction of the index's files."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        text_index,
+    )
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("term"),
+            (F.col("id") / 4).cast("int").cast("string"),
+            F.lit(" common filler"),
+        ).alias("text"),
+    )
+    idx = text_index(docs, "doc_id", "text")
+    root = f"{tmp_path}/bm25idx"
+    layout.write_table(
+        idx.repartitionByRange(8, "term").sortWithinPartitions("term"),
+        root,
+        bloom_cols=["term"],
+        bloom_fpp=0.001,
+    )
+    postings = layout.read_table(
+        spark, root, where=("term", "in", ["term3", "term77"])
+    )
+    got = bm25_topk_indexed(
+        postings, "term3 term77", k=5, n_docs=400, avgdl=3.0
+    )
+    direct = bm25_topk(docs, "doc_id", "text", "term3 term77", k=5)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    # the lookup opened only the files bloom/spans kept, not the index
+    assert 0 < len(postings.inputFiles()) <= 3
+    # auto-derived stats path (in-memory index): same scores
+    auto = bm25_topk_indexed(idx, "term3 term77", k=5)
+    assert [tuple(r) for r in auto.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
