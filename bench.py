@@ -54,12 +54,23 @@ def best_of(run1: dict[str, float], run2: dict[str, float]) -> dict[str, float]:
 
 
 #: pinned wall (seconds) of the calibration probe on THIS host in a
-#: quiet window (2026-08-15, local[32], median of 5 warm runs at 1B
-#: rows). The probe's PLAN must never change round-over-round — it is
-#: the fixed ruler that converts "this round's host was 2x loaded"
-#: into a normalized, comparable headline. Do not retune the constant
-#: when the host is merely busy; only re-pin if the hardware changes.
-CALIBRATION_BASELINE_S = 0.95
+#: quiet window. The probe's PLAN must never change round-over-round —
+#: it is the fixed ruler that converts "this round's host was 2x
+#: loaded" into a normalized, comparable headline. Do not retune the
+#: constant when the host is merely busy; only re-pin if the hardware
+#: changes. RE-PINNED 2026-08-16 (round 12): the original 0.95 was
+#: measured 2026-08-15, but no later session ever reproduced it even
+#: idle — round-11's four runs probed 1.16-1.31 (graded run median
+#: 1.185), and a round-12 measurement with nothing else on the host
+#: (load from our own just-finished suite only) gave warm probes
+#: 1.295-1.474, median 1.373. The container generation is ~1.3x slower
+#: than where 0.95 was pinned, which made rerun_recommended fire on
+#: every run including quiet ones. New pin 1.20 ≈ the best observed
+#: quiet-window median; the emitted JSON also carries the prior-pin
+#: normalization (normalized_total_pin095) for one-round-over-round
+#: continuity: new-pin number = old-pin number x (1.20 / 0.95).
+CALIBRATION_BASELINE_S = 1.20
+CALIBRATION_BASELINE_PREV_S = 0.95
 
 #: queries between interleaved calibration probes. One probe per PASS
 #: (r10 and earlier) corrected the pass's average load but was blind to
@@ -216,6 +227,13 @@ def main() -> None:
     norm_med = _agg_passes(norm_runs, _median)
     normalized_total = round(
         sum(t for t in norm_med.values() if t >= 0), 3
+    )
+    # the same number under the pre-round-12 pin (see the re-pin note
+    # on CALIBRATION_BASELINE_S): normalization is linear in the pin,
+    # so continuity with BENCH_r11 and earlier is one multiply
+    normalized_total_prev_pin = round(
+        normalized_total * CALIBRATION_BASELINE_PREV_S / CALIBRATION_BASELINE_S,
+        3,
     )
     # within-suite load spread: >LOAD_VARIANCE_MAX means the host load
     # CHANGED while the suite ran — the normalized number corrects it
@@ -593,6 +611,15 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: layout experiment failed: {exc!r}", file=sys.stderr)
 
+    # retrieval contract (untimed): BM25 over the at-rest clustered +
+    # bloomed posting index vs the one-shot corpus scan — per-query
+    # walls, files opened, and exact parity (operators/text.py)
+    retrieval: dict = {}
+    try:
+        retrieval = _bs.retrieval_experiment(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench: retrieval experiment failed: {exc!r}", file=sys.stderr)
+
     # tokenizer + validation contracts (untimed): train/encode wall at
     # REALISTIC distinct-word cardinality (lineitem-derived corpus,
     # ~1M distinct words at sf0.1 — the frequency-split encode's tail
@@ -629,6 +656,7 @@ def main() -> None:
                 "calibration_probes": probe_segments,
                 "calibration_baseline_s": CALIBRATION_BASELINE_S,
                 "normalized_total": normalized_total,
+                "normalized_total_pin095": normalized_total_prev_pin,
                 "queries_normalized": norm_med,
                 "load_variance": load_variance,
                 "rerun_recommended": rerun_recommended,
@@ -638,6 +666,7 @@ def main() -> None:
                 "pq_recall": pq_recall,
                 "skew_join": skew_join,
                 "layout": layout,
+                "retrieval": retrieval,
                 "bpe": bpe_block,
                 "validation": validation,
             },
@@ -670,6 +699,9 @@ def main() -> None:
                 "calibration_baseline_s": CALIBRATION_BASELINE_S,
                 "calibration_passes": calibration,
                 "normalized_total": normalized_total,
+                # continuity with BENCH_r11 and earlier (pin was 0.95;
+                # see the re-pin note on CALIBRATION_BASELINE_S)
+                "normalized_total_pin095": normalized_total_prev_pin,
                 # max/min probe across the whole run: the within-suite
                 # load swing the interleaving corrected for
                 "load_variance": load_variance,

@@ -477,6 +477,110 @@ def layout_experiment(spark, sf_dir: str) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def retrieval_experiment(spark, sf_dir: str) -> dict:
+    """BM25 retrieval: the at-rest posting index vs the one-shot
+    corpus scan (``operators/text.py``). Builds ``text_index`` over
+    the documents table, writes it term-clustered + term-bloomed
+    through the table protocol, then runs the same queries both ways —
+    measuring index build wall, per-query walls, the files the indexed
+    point lookup opened vs the index's file count, and exact result
+    parity. The steady-state claim being priced: a query pays
+    O(postings of its terms), not O(corpus) — and the one-time index
+    build is what buys it."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import (
+        layout,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        text_index,
+    )
+
+    # amplify the corpus 10x (planted copies, distinct ids) so the
+    # scan-vs-index gap measures corpus-bound work, not fixed overhead
+    copies = 10
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scratch = tempfile.mkdtemp(prefix="bm25_bench_")
+    root = f"{scratch}/idx"
+    try:
+        # materialize the amplified corpus so the scan path really
+        # reads 10x the bytes (not a re-derived explode)
+        (
+            base.withColumn(
+                "_c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+            )
+            .select(
+                (F.col("doc_id") * copies + F.col("_c")).alias("doc_id"),
+                "text",
+            )
+            .repartition(8)
+            .write.parquet(f"{scratch}/corpus")
+        )
+        docs = spark.read.parquet(f"{scratch}/corpus")
+        out: dict = {"corpus_docs": docs.count()}
+        t0 = time.perf_counter()
+        idx = text_index(docs, "doc_id", "text")
+        layout.write_table(
+            idx.repartitionByRange(16, "term").sortWithinPartitions("term"),
+            root,
+            bloom_cols=["term"],
+        )
+        out["index_build_s"] = round(time.perf_counter() - t0, 3)
+        gen = layout._resolve_table_generation(spark, root)
+        out["index_files"] = len(fsutil.list_files(spark, f"{gen}/data"))
+        t0 = time.perf_counter()
+        stats = (
+            layout.read_table(spark, root)
+            .select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        out["stats_s"] = round(time.perf_counter() - t0, 3)
+        n_docs, avgdl = stats["n"], float(stats["avgdl"])
+        queries = [
+            "vector join stream",
+            "customer filter",
+            "hash merge sort window",
+        ]
+        scan_w, idx_w, opened, parity = [], [], [], True
+        for q in queries:
+            t0 = time.perf_counter()
+            direct = bm25_topk(docs, "doc_id", "text", q, k=10).collect()
+            scan_w.append(round(time.perf_counter() - t0, 3))
+            terms = sorted({t for t in q.lower().split() if t})
+            t0 = time.perf_counter()
+            postings = layout.read_table(
+                spark, root, where=("term", "in", terms)
+            )
+            got = bm25_topk_indexed(
+                postings, q, k=10, n_docs=n_docs, avgdl=avgdl
+            ).collect()
+            idx_w.append(round(time.perf_counter() - t0, 3))
+            opened.append(len(postings.inputFiles()))
+            parity = parity and (
+                [tuple(r) for r in got] == [tuple(r) for r in direct]
+            )
+        out.update(
+            {
+                "scan_query_s": scan_w,
+                "indexed_query_s": idx_w,
+                "files_opened": opened,
+                "parity": parity,
+            }
+        )
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def manifest_scale_experiment(
     spark, n_files: int = 50_000, n_dirs: int = 64
 ) -> dict:

@@ -192,3 +192,21 @@ def test_bench_interleaved_calibration_constants():
     assert round(quiet_t * base / quiet_probe, 3) == round(
         loaded_t * base / loaded_probe, 3
     )
+
+
+def test_bench_calibration_repin_continuity():
+    """Round-12 re-pin (quiet-host probes never reproduced the 0.95
+    pin — see the constant's note): the emitted JSON must carry BOTH
+    normalizations, and the prior-pin number must be a pure rescale so
+    BENCH_r11-and-earlier comparisons stay one multiply away."""
+    mod = _bench_mod()
+    assert mod.CALIBRATION_BASELINE_S == 1.20
+    assert mod.CALIBRATION_BASELINE_PREV_S == 0.95
+    # rescale arithmetic: prev-pin = new-pin * 0.95 / 1.20
+    new_pin_total = 60.0
+    assert round(
+        new_pin_total
+        * mod.CALIBRATION_BASELINE_PREV_S
+        / mod.CALIBRATION_BASELINE_S,
+        3,
+    ) == 47.5
