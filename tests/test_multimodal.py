@@ -317,3 +317,98 @@ def test_decode_audio_soundfile_gated(spark):
             decode_audio_soundfile(wav)
         pytest.skip("soundfile not installed; lazy-import error path verified")
     assert decode_audio_soundfile(wav) == decode_audio_wav(wav) == (22050, 1, 2205)
+
+
+def _wds_frame(spark, n=40, offset=0):
+    return spark.range(offset, offset + n).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("key"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("label"),
+        F.unhex(F.md5(F.col("id").cast("string"))).alias("payload"),
+    )
+
+
+def test_webdataset_round_trip_and_manifest(spark, tmp_path):
+    """Export → tar shards → read back: every sample survives with its
+    key, JSON meta, and payload bytes; the report counts match; hash
+    sharding balances."""
+    import json as _json
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
+        read_webdataset_shards,
+        webdataset_manifest,
+        write_webdataset_shards,
+    )
+
+    out = str(tmp_path / "wds")
+    df = _wds_frame(spark, n=40)
+    report = write_webdataset_shards(
+        df, out, "key", "payload", meta_cols=["doc_id", "label"], n_shards=4
+    )
+    man = webdataset_manifest(report)
+    assert man["n_shards"] == 4 and man["samples"] == 40
+    assert man["balance"] < 4  # hash sharding: no empty/hot shard
+    back = read_webdataset_shards(spark, out)
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 40
+    src = {r["key"]: r for r in df.collect()}
+    for k, r in rows.items():
+        assert bytes(r["payload"]) == bytes(src[k]["payload"])
+        meta = _json.loads(r["meta"])
+        assert meta["doc_id"] == src[k]["doc_id"]
+        assert meta["label"] == src[k]["label"]
+
+
+def test_webdataset_deterministic_and_stable_membership(spark, tmp_path):
+    """Shard bytes are a pure function of the rows (re-export ⇒
+    byte-identical tars), and membership is content-addressed: a key's
+    shard never changes when other rows are added."""
+    import hashlib
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    def tar_hashes(d):
+        return {
+            p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+            for p in sorted(d.iterdir())
+        }
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    df = _wds_frame(spark, n=30)
+    write_webdataset_shards(df, str(a), "key", "payload", n_shards=3)
+    write_webdataset_shards(df, str(b), "key", "payload", n_shards=3)
+    assert tar_hashes(a) == tar_hashes(b)  # byte-identical re-export
+    # export a superset: the original keys stay in their shards
+    c = tmp_path / "c"
+    write_webdataset_shards(
+        _wds_frame(spark, n=60), str(c), "key", "payload", n_shards=3
+    )
+    of = {
+        r["key"]: r["shard"]
+        for r in read_webdataset_shards(spark, str(a)).collect()
+    }
+    nf = {
+        r["key"]: r["shard"]
+        for r in read_webdataset_shards(spark, str(c)).collect()
+    }
+    assert len(nf) == 60
+    assert all(nf[k] == s for k, s in of.items())
+
+
+def test_webdataset_duplicate_key_refused(spark, tmp_path):
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", b"\x01"), ("k1", b"\x02")], "key string, payload binary"
+    )
+    with pytest.raises(Exception, match="duplicate sample key"):
+        write_webdataset_shards(
+            df, str(tmp_path / "dup"), "key", "payload", n_shards=2
+        )
