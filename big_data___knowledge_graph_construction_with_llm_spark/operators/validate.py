@@ -272,3 +272,110 @@ def assert_valid(df: DataFrame, rules: list[Rule]) -> DataFrame:
         detail = ", ".join(f"{r['rule']}={r['violations']}" for r in bad)
         raise ValueError(f"validation failed: {detail}")
     return report
+
+
+#: dtypes profiled with numeric moments (mean/stddev)
+_NUMERIC_TYPES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+)
+
+#: dtypes whose min/max are meaningful and cheaply stringified
+_ORDERABLE_TYPES = _NUMERIC_TYPES + ("string", "date", "timestamp", "boolean")
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, rsd: float = 0.05
+) -> DataFrame:
+    """One-pass column profile — the audit a curation run records
+    before writing expectations: per column ``(column, dtype, n,
+    nulls, null_frac, approx_distinct, min, max, mean, stddev)``, with
+    min/max stringified for a uniform schema and mean/stddev null for
+    non-numerics.
+
+    Everything folds into ONE ``agg`` over one scan (the same
+    discipline as :func:`validate`): null counters are
+    ``count(when(isnull))``, distincts are ``approx_count_distinct``
+    (HLL, ``rsd`` relative error — an exact count-distinct per column
+    would be one shuffle EACH), moments are partial-aggregated. The
+    wide single row reshapes to one row per column on the driver —
+    O(columns), not O(rows). Complex types (arrays/maps/structs/
+    binary) profile counts and distincts only (distinct over their
+    canonical string form)."""
+    names = list(cols) if cols is not None else df.columns
+    types = dict(df.dtypes)
+    unknown = [c for c in names if c not in types]
+    if unknown:
+        raise ValueError(f"no such columns: {unknown} (have {df.columns})")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(names):
+        t = types[c]
+        base = t.split("(")[0]
+        col = F.col(c)
+        orderable = base in _ORDERABLE_TYPES
+        numeric = base in _NUMERIC_TYPES
+        # distinct over a canonical string for non-orderable types so
+        # HLL has a hashable scalar (arrays/structs stringify stably)
+        dcol = col if orderable else F.to_json(F.struct(col))
+        aggs += [
+            F.count(F.when(col.isNull(), 1)).alias(f"_null_{i}"),
+            F.approx_count_distinct(dcol, rsd).alias(f"_dist_{i}"),
+            (F.min(col).cast("string") if orderable else F.lit(None)).alias(
+                f"_min_{i}"
+            ),
+            (F.max(col).cast("string") if orderable else F.lit(None)).alias(
+                f"_max_{i}"
+            ),
+            (
+                # decimal columns avg to decimal: normalize to double
+                F.avg(col).cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias(f"_mean_{i}"),
+            (
+                F.stddev(col).cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias(f"_std_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"]
+    out = [
+        (
+            c,
+            types[c],
+            n,
+            row[f"_null_{i}"],
+            round(row[f"_null_{i}"] / n, 6) if n else None,
+            row[f"_dist_{i}"],
+            row[f"_min_{i}"],
+            row[f"_max_{i}"],
+            row[f"_mean_{i}"],
+            row[f"_std_{i}"],
+        )
+        for i, c in enumerate(names)
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n bigint, nulls bigint,"
+        " null_frac double, approx_distinct bigint, min string,"
+        " max string, mean double, stddev double",
+    )
+
+
+def top_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
+    """The ``k`` most frequent values of one column (the drill-down a
+    profile's low-distinct columns get): ``(value, n)`` stringified,
+    nulls included as a real row. One keyed aggregation + TakeOrdered;
+    ties break by value for a deterministic report."""
+    return (
+        df.groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("value").asc_nulls_last())
+        .limit(k)
+    )

