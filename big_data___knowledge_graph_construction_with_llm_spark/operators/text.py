@@ -254,6 +254,7 @@ def bm25_topk_indexed(
     b: float = 0.75,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-``k`` documents for ``query`` by BM25 over a
     :func:`text_index` posting table: ``(id, score)`` with score =
@@ -271,7 +272,17 @@ def bm25_topk_indexed(
     ``TakeOrdered``, never a global sort. ``n_docs``/``avgdl`` are
     corpus constants — pass the stored values at steady state (the
     one-aggregate fallback here re-derives them from the index, which
-    is only free for an in-memory index)."""
+    is only free for an in-memory index).
+
+    ``max_df_frac`` is the hot-term guard: a query containing a
+    stopword-grade term ("the") would otherwise pull a posting list
+    the size of the corpus through the scoring join for a term whose
+    idf contributes ~nothing. Terms whose document frequency exceeds
+    ``max_df_frac * n_docs`` are dropped from scoring AFTER the (tiny)
+    df aggregate and BEFORE the posting join — the df pass reads only
+    ``(term, id)`` pairs, so the bound is exact, not a heuristic. A
+    query of ONLY hot terms raises rather than silently returning
+    nothing."""
     terms = _bm25_terms(query)
     if not terms:
         raise ValueError("empty query: no whitespace terms to score")
@@ -286,6 +297,22 @@ def bm25_topk_indexed(
         avgdl = avgdl if avgdl is not None else float(stats["avgdl"])
     hits = index.filter(F.col("term").isin(terms))
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        cap = max_df_frac * n_docs
+        kept = [
+            r["term"]
+            for r in dfreq.filter(F.col("df") <= cap).collect()
+        ]
+        if not kept:
+            raise ValueError(
+                f"every query term exceeds max_df_frac={max_df_frac}"
+                f" (df cap {cap:.0f} of {n_docs} docs): refusing a"
+                " scoring pass that would read the whole corpus for"
+                " ~zero-idf terms"
+            )
+        if set(kept) != set(terms):
+            hits = hits.filter(F.col("term").isin(kept))
+            dfreq = dfreq.filter(F.col("df") <= cap)
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -317,6 +344,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """One-shot BM25 retrieval: :func:`text_index` built inline (the
     probed-term filter rides BEFORE the ``(id, term)`` aggregation, so
@@ -353,6 +381,7 @@ def bm25_topk(
         b=b,
         n_docs=stats["n"],
         avgdl=float(stats["avgdl"]),
+        max_df_frac=max_df_frac,
     )
 
 

@@ -379,3 +379,50 @@ def top_values(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("value").asc_nulls_last())
         .limit(k)
     )
+
+
+def suggest_expectations(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    set_max_distinct: int = 20,
+    unique_min_ratio: float = 0.98,
+) -> list[Rule]:
+    """Starter expectations derived from a :func:`profile_table` pass —
+    the profile→rules→gate loop: columns with zero observed nulls get
+    ``not_null``, numerics get ``in_range`` over the observed span,
+    low-cardinality strings (≤ ``set_max_distinct`` distinct) get
+    ``in_set`` over the observed values (one extra bounded-distinct
+    job), and columns whose approximate distinct count is ≥
+    ``unique_min_ratio`` of the rows get ``unique``.
+
+    These are SUGGESTIONS pinned to the profiled sample: the observed
+    span/set is necessary, not sufficient (tomorrow's legitimate value
+    may fall outside), and the uniqueness hint rides an HLL estimate —
+    review before wiring into :func:`assert_valid`, exactly like a
+    human would review Deequ's suggestion output. Deterministic: same
+    data ⇒ same rules, ordered by column then rule kind."""
+    prof = profile_table(df, cols=cols).collect()
+    rules: list[Rule] = []
+    for r in sorted(prof, key=lambda x: x["column"]):
+        c, base = r["column"], r["dtype"].split("(")[0]
+        if r["n"] and r["nulls"] == 0:
+            rules.append(not_null(c))
+        if base in _NUMERIC_TYPES and r["min"] is not None:
+            lo = float(r["min"]) if "." in r["min"] or base in ("float", "double") else int(r["min"])
+            hi = float(r["max"]) if "." in r["max"] or base in ("float", "double") else int(r["max"])
+            rules.append(in_range(c, lo, hi))
+        if (
+            base == "string"
+            and 0 < r["approx_distinct"] <= set_max_distinct
+        ):
+            vals = sorted(
+                x[0]
+                for x in df.select(c).filter(F.col(c).isNotNull())
+                .distinct()
+                .limit(set_max_distinct * 2)
+                .collect()
+            )
+            rules.append(in_set(c, vals))
+        if r["n"] and r["approx_distinct"] >= unique_min_ratio * r["n"]:
+            rules.append(unique(c))
+    return rules

@@ -1603,3 +1603,85 @@ def test_bm25_indexed_at_rest_point_lookup(spark, tmp_path):
     assert [tuple(r) for r in auto.collect()] == [
         tuple(r) for r in direct.collect()
     ]
+
+
+def test_bm25_max_df_hot_term_guard(spark):
+    """max_df_frac drops stopword-grade terms from scoring (same
+    result as querying without them) and refuses an all-hot query."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import bm25_topk
+
+    rows = [(i, f"the filler{i} common") for i in range(20)]
+    rows.append((99, "the rare common"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'the' df = 21/21 docs; 'rare' df = 1 — capping at 0.5 removes
+    # exactly the hot term's contribution
+    capped = bm25_topk(df, "doc_id", "text", "the rare", max_df_frac=0.5)
+    only_rare = bm25_topk(df, "doc_id", "text", "rare")
+    assert [tuple(r) for r in capped.collect()] == [
+        tuple(r) for r in only_rare.collect()
+    ]
+    with pytest.raises(ValueError, match="max_df_frac"):
+        bm25_topk(df, "doc_id", "text", "the common", max_df_frac=0.5)
+
+
+def test_bm25_index_maintained_through_ingest_absorb(spark, tmp_path):
+    """The DEPLOYMENT recipe pinned: maintain the posting index like
+    any ingest table — land new docs' postings with landing_append,
+    absorb incrementally, and bm25 over the live view (with stats
+    recomputed at absorb time) equals a from-scratch rebuild."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        text_index,
+    )
+
+    root = f"{tmp_path}/idx"
+    corpus0 = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("term"),
+            (F.col("id") / 4).cast("int").cast("string"),
+            F.lit(" common filler"),
+        ).alias("text"),
+    )
+    layout.write_table(text_index(corpus0, "doc_id", "text"), root)
+    # two later batches land new docs' postings
+    batches = [
+        spark.range(200, 260).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("term"),
+                (F.col("id") / 4).cast("int").cast("string"),
+                F.lit(" common filler extra"),
+            ).alias("text"),
+        ),
+        spark.range(260, 300).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("term3 bonus "), F.lit("filler")).alias("text"),
+        ),
+    ]
+    for i, b in enumerate(batches):
+        layout.landing_append(text_index(b, "doc_id", "text"), root, batch_id=i)
+    layout.absorb_landing(spark, root, min_batches=1, incremental=True)
+    live = layout.read_ingest_table(spark, root).select(
+        "term", "id", "tf", "dl"
+    )
+    stats = (
+        live.select("id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    got = bm25_topk_indexed(
+        live.filter(F.col("term").isin(["term3", "bonus"])),
+        "term3 bonus",
+        k=8,
+        n_docs=stats["n"],
+        avgdl=float(stats["avgdl"]),
+    )
+    full = corpus0.unionByName(batches[0]).unionByName(batches[1])
+    want = bm25_topk(full, "doc_id", "text", "term3 bonus", k=8)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]

