@@ -1360,12 +1360,19 @@ def _bloom_fail_cond(col: str, masks_per_value: list[dict]) -> Column:
 
 
 def _bloom_excluded(
-    spark: SparkSession, gen_dir: str, manifest: dict, preds: list[tuple]
+    spark: SparkSession,
+    gen_dir: str,
+    manifest: dict,
+    preds: list[tuple],
+    cache: dict | None = None,
 ) -> DataFrame | None:
     """The ``(dir, file)`` frame of files a manifest bloom PROVABLY
     excludes for ``preds``, or ``None`` when no predicate is bloom-
     evaluable (or the sidecar is unreadable — conservative keep). The
-    job scans only the sidecar (KBs per file), never data."""
+    job scans only the sidecar (KBs per file), never data. With an
+    :func:`open_table` ``cache``, each sidecar frame is Spark-cached
+    on first use so repeated point lookups re-scan memory, not
+    files."""
     from functools import reduce
     from operator import or_
 
@@ -1376,7 +1383,15 @@ def _bloom_excluded(
     frames = []
     for t in sorted(tables):
         try:
-            b = spark.read.parquet(f"{gen_dir}/{t}")
+            if cache is not None:
+                key = ("bloom", gen_dir, t)
+                if key not in cache["bloom_frames"]:
+                    cache["bloom_frames"][key] = spark.read.parquet(
+                        f"{gen_dir}/{t}"
+                    ).cache()
+                b = cache["bloom_frames"][key]
+            else:
+                b = spark.read.parquet(f"{gen_dir}/{t}")
         except Exception:  # noqa: BLE001 - sidecar gone: keep all
             return None
         conds = [
@@ -1534,6 +1549,7 @@ def _prune_plan(
     where,
     gen_dir: str,
     session_tz: str | None = None,
+    cache: dict | None = None,
 ) -> dict:
     """The structured prune a selective :func:`read_table` executes:
     DIRECTORY-level spans (O(dirs), always driver-side) first, then
@@ -1576,7 +1592,7 @@ def _prune_plan(
     # bloom exclusions (point lookups on high-cardinality columns the
     # span test can't prune): files the _MANIFEST_BLOOM sidecar proves
     # free of every equality value — None when no pred is bloomable
-    excluded = _bloom_excluded(spark, gen_dir, manifest, preds)
+    excluded = _bloom_excluded(spark, gen_dir, manifest, preds, cache=cache)
 
     # file-level survivors per surviving dir
     by_dir: dict[str, list[str]] = {}
@@ -1717,16 +1733,93 @@ def read_table(
     return _read_generation_pruned(spark, root, base, where)
 
 
+class TableReader:
+    """A snapshot-pinned serving handle over one table generation (and
+    its ``_PARENT`` chain): :func:`open_table` resolves the marker,
+    walks the chain, and loads every per-member constant ONCE — the
+    manifest dicts, the data schemas, the tombstone frames — and
+    Spark-caches each bloom sidecar on first use. ``read(where=)``
+    then answers like :func:`read_table` with zero re-resolution: the
+    point-lookup server shape (a BM25 query, a fingerprint probe),
+    where per-call marker reads, manifest parses, and sidecar file
+    scans would otherwise dominate the microseconds of actual data.
+
+    The handle is a SNAPSHOT: writes committed after :func:`open_table`
+    are not visible (re-open to advance), and the GC TOCTOU note on
+    :func:`read_table`'s ``generation=`` applies — hold a handle only
+    as long as the sweep's age threshold protects its generation.
+    ``close()`` unpersists the cached sidecar frames."""
+
+    def __init__(self, spark: SparkSession, root: str, base: str):
+        self._spark, self._root, self._base = spark, root, base
+        chain = _gen_chain(spark, root, base)
+        self._cache: dict = {
+            "chain": chain,
+            "cols": {
+                m: spark.read.parquet(f"{m}/data").columns for m in chain
+            },
+            "manifest": {
+                m: read_manifest(spark, root, generation=m.rsplit("/", 1)[-1])
+                for m in chain
+            },
+            "tomb": {m: _tombstone_frame(spark, m) for m in chain},
+            "bloom_frames": {},
+        }
+
+    @property
+    def generation(self) -> str:
+        return self._base.rsplit("/", 1)[-1]
+
+    def read(self, where=None) -> DataFrame:
+        return _read_generation_pruned(
+            self._spark, self._root, self._base, where, cache=self._cache
+        )
+
+    def close(self) -> None:
+        for b in self._cache["bloom_frames"].values():
+            try:
+                b.unpersist()
+            except Exception:  # noqa: BLE001 - best-effort cache release
+                pass
+        self._cache["bloom_frames"] = {}
+
+
+def open_table(
+    spark: SparkSession, root: str, generation: str | None = None
+) -> TableReader:
+    """Open a :class:`TableReader` on the committed generation (or a
+    pinned one). See the class docstring for the snapshot/GC
+    contract."""
+    if generation is not None:
+        base = f"{root}/{generation}"
+        if not fsutil.exists(spark, f"{base}/_COMPLETE"):
+            raise ValueError(
+                f"generation {generation!r} under {root!r} is absent or"
+                " incomplete (GC'd, in-flight, or never committed)"
+            )
+    else:
+        gen = _resolve_table_generation(spark, root)
+        if gen is None:
+            raise ValueError(f"no committed table generation under {root!r}")
+        base = gen
+    return TableReader(spark, root, base)
+
+
 def _read_one_member_pruned(
-    spark: SparkSession, root: str, base: str, where
+    spark: SparkSession, root: str, base: str, where, cache: dict | None = None
 ) -> DataFrame:
     """The manifest-pruned + residual-filtered read of ONE generation
-    dir (no chain)."""
+    dir (no chain). ``cache`` is an :func:`open_table` handle's state:
+    when present, the manifest comes from it instead of a re-read and
+    the bloom sidecar frames persist across calls."""
     data = f"{base}/data"
     cond = _where_column(where)
-    manifest = read_manifest(
-        spark, root, generation=base.rsplit("/", 1)[-1]
-    )
+    if cache is not None:
+        manifest = cache["manifest"].get(base)
+    else:
+        manifest = read_manifest(
+            spark, root, generation=base.rsplit("/", 1)[-1]
+        )
     if manifest is None:  # pre-manifest generation: full read + filter
         return spark.read.parquet(data).filter(cond)
     plan = _prune_plan(
@@ -1735,6 +1828,7 @@ def _read_one_member_pruned(
         where,
         gen_dir=base,
         session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+        cache=cache,
     )
     if not plan["dirs"] and not plan["files"]:
         # no file can match: an empty frame with the table's schema
@@ -1761,7 +1855,11 @@ def _tombstone_frame(
 
 
 def _read_generation_pruned(
-    spark: SparkSession, root: str, base: str, where
+    spark: SparkSession,
+    root: str,
+    base: str,
+    where,
+    cache: dict | None = None,
 ) -> DataFrame:
     """The full read of a generation INCLUDING its ``_PARENT`` delta
     chain — :func:`read_table` mechanics, shared with the ingest live
@@ -1779,7 +1877,7 @@ def _read_generation_pruned(
     and broadcast; a chain with no tombstones pays nothing."""
     from functools import reduce
 
-    chain = _gen_chain(spark, root, base)
+    chain = cache["chain"] if cache is not None else _gen_chain(spark, root, base)
     preds = _check_prune_preds(where) if where is not None else []
     parts = []
     tomb_col: str | None = None
@@ -1788,10 +1886,16 @@ def _read_generation_pruned(
         if where is None:
             frame = spark.read.parquet(f"{m}/data")
         else:
-            mcols = spark.read.parquet(f"{m}/data").columns
+            mcols = (
+                cache["cols"][m]
+                if cache is not None
+                else spark.read.parquet(f"{m}/data").columns
+            )
             missing = [c for c, _op, _v in preds if c not in mcols]
             if not missing:
-                frame = _read_one_member_pruned(spark, root, m, where)
+                frame = _read_one_member_pruned(
+                    spark, root, m, where, cache=cache
+                )
             elif missing == [_LINEAGE_COL]:
                 # _lineage on a pre-lineage parent a delta chained onto:
                 # stamp the legacy lineage first, then the residual filter
@@ -1811,7 +1915,11 @@ def _read_generation_pruned(
             # column unions it as NULL, which no deleted key equals
             frame = frame.join(F.broadcast(tomb_accum), tomb_col, "left_anti")
         parts.append(frame)
-        tk = _tombstone_frame(spark, m)
+        tk = (
+            cache["tomb"][m]
+            if cache is not None
+            else _tombstone_frame(spark, m)
+        )
         if tk is not None:
             col, keys = tk
             if tomb_col is None:

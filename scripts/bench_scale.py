@@ -550,7 +550,8 @@ def retrieval_experiment(spark, sf_dir: str) -> dict:
             "customer filter",
             "hash merge sort window",
         ]
-        scan_w, idx_w, opened, parity = [], [], [], True
+        scan_w, idx_w, handle_w, opened, parity = [], [], [], [], True
+        handle = layout.open_table(spark, root)
         for q in queries:
             t0 = time.perf_counter()
             direct = bm25_topk(docs, "doc_id", "text", q, k=10).collect()
@@ -568,10 +569,24 @@ def retrieval_experiment(spark, sf_dir: str) -> dict:
             parity = parity and (
                 [tuple(r) for r in got] == [tuple(r) for r in direct]
             )
+            # the serving shape: same lookup through the snapshot-
+            # pinned open_table handle (no per-call marker/manifest/
+            # sidecar re-reads; bloom sidecar Spark-cached)
+            t0 = time.perf_counter()
+            hp = handle.read(where=("term", "in", terms))
+            hgot = bm25_topk_indexed(
+                hp, q, k=10, n_docs=n_docs, avgdl=avgdl
+            ).collect()
+            handle_w.append(round(time.perf_counter() - t0, 3))
+            parity = parity and (
+                [tuple(r) for r in hgot] == [tuple(r) for r in direct]
+            )
+        handle.close()
         out.update(
             {
                 "scan_query_s": scan_w,
                 "indexed_query_s": idx_w,
+                "handle_query_s": handle_w,
                 "files_opened": opened,
                 "parity": parity,
             }

@@ -402,3 +402,54 @@ def test_bloom_retrofit_second_column_keeps_first(spark, tmp_path):
     again = layout.read_table(spark, root, where=("scr", "==", want["scr"]))
     assert 1234 in [r["id"] for r in again.collect()]
     assert len(again.select("id").inputFiles()) <= 3
+
+
+def test_open_table_handle_parity_and_reuse(spark, tmp_path):
+    """open_table serves repeated point lookups from cached state with
+    answers identical to read_table — across blooms, tombstones, and a
+    delta chain — and measurably fewer per-call steps (the bloom
+    sidecar is Spark-cached after the first probe)."""
+    import time
+
+    root = f"{tmp_path}/served"
+    df, _ = _write(spark, root, bloom_cols=["key"], bloom_fpp=0.001)
+    layout.delete_from_table(spark, root, "id", keys=[7])
+    h = layout.open_table(spark, root)
+    probes = [1234, 7, 999, 42]
+    for doc_id in probes:
+        want = (
+            layout.read_table(spark, root)
+            .filter(F.col("id") == doc_id)
+            .collect()
+        )
+        key = want[0]["key"] if want else None
+        if key is None:
+            # deleted id: probe its (still known) key via the source df
+            key = df.filter(F.col("id") == doc_id).collect()[0]["key"]
+        got = h.read(where=("key", "==", key)).collect()
+        ref = layout.read_table(spark, root, where=("key", "==", key)).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, ref))
+        if doc_id == 7:
+            assert got == []  # tombstone honored through the handle
+    # the handle is a snapshot: a delete AFTER open is not visible
+    victim = df.filter(F.col("id") == 1234).collect()[0]["key"]
+    layout.delete_from_table(spark, root, "id", keys=[1234])
+    assert len(h.read(where=("key", "==", victim)).collect()) == 1
+    assert layout.read_table(spark, root, where=("key", "==", victim)).count() == 0
+    # re-open advances; close releases the cached sidecars
+    h.close()
+    h2 = layout.open_table(spark, root)
+    assert h2.read(where=("key", "==", victim)).count() == 0
+    # warm handle lookups beat cold read_table on wall (loose 2x bound:
+    # the cached path skips marker/manifest/sidecar re-reads)
+    k2 = df.filter(F.col("id") == 100).collect()[0]["key"]
+    h2.read(where=("key", "==", k2)).collect()  # warm the sidecar cache
+    t0 = time.perf_counter()
+    for _ in range(3):
+        h2.read(where=("key", "==", k2)).collect()
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        layout.read_table(spark, root, where=("key", "==", k2)).collect()
+    cold = time.perf_counter() - t0
+    assert warm < cold
