@@ -330,16 +330,15 @@ SPARK_SQL_TWINS["q_ngram_topk"] = f"""
       SELECT {_shingles(2)} AS g
       FROM tok
       WHERE size(t) >= 2
-    )
-    SELECT g AS bigram, count(*) AS n
-    FROM bg GROUP BY g
-    ORDER BY n DESC, g LIMIT 20
-"""
-
-SPARK_SQL_TWINS["q_bm25_search"] = r"""
-    WITH toks AS (
-      SELECT doc_id, lower(t) AS term
-      FROM documents LATERAL VIEW explode(split(trim(text), '\\s+')) AS t
+    ),
+    bigram_top AS (
+      SELECT g, count(*) AS n
+      FROM bg GROUP BY g
+      ORDER BY n DESC, g LIMIT 20
+    ),
+    toks AS (
+      SELECT doc_id, lower(t2) AS term
+      FROM documents LATERAL VIEW explode(split(trim(text), '\\\\s+')) AS t2
       WHERE text IS NOT NULL
     ),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
@@ -360,9 +359,16 @@ SPARK_SQL_TWINS["q_bm25_search"] = r"""
       JOIN dl USING (doc_id)
       CROSS JOIN stats s
       GROUP BY tf.doc_id
+    ),
+    bm25_top AS (
+      SELECT doc_id, round(raw, 4) AS score FROM scored
+      ORDER BY score DESC, doc_id LIMIT 10
     )
-    SELECT doc_id, round(raw, 4) AS score FROM scored
-    ORDER BY score DESC, doc_id LIMIT 10
+    SELECT 'bigram' AS kind, g AS item, CAST(n AS DOUBLE) AS score
+    FROM bigram_top
+    UNION ALL
+    SELECT 'bm25' AS kind, CAST(doc_id AS STRING) AS item, score
+    FROM bm25_top
 """
 
 SPARK_SQL_TWINS["q_pipeline_e2e"] = """
