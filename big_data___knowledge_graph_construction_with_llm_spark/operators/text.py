@@ -299,17 +299,18 @@ def bm25_topk_indexed(
     dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
     if max_df_frac is not None:
         cap = max_df_frac * n_docs
-        kept = [
-            r["term"]
-            for r in dfreq.filter(F.col("df") <= cap).collect()
-        ]
-        if not kept:
+        present = dfreq.collect()  # ≤ len(terms) rows by construction
+        kept = [r["term"] for r in present if r["df"] <= cap]
+        if present and not kept:
             raise ValueError(
                 f"every query term exceeds max_df_frac={max_df_frac}"
                 f" (df cap {cap:.0f} of {n_docs} docs): refusing a"
                 " scoring pass that would read the whole corpus for"
                 " ~zero-idf terms"
             )
+        # `present` empty = none of the query's terms have postings at
+        # all: a legitimate no-hit query — fall through and return the
+        # empty top-k, exactly what the unguarded path returns.
         if set(kept) != set(terms):
             hits = hits.filter(F.col("term").isin(kept))
             dfreq = dfreq.filter(F.col("df") <= cap)

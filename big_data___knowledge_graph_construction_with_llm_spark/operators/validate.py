@@ -24,6 +24,7 @@ training-data north star.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -386,6 +387,7 @@ def suggest_expectations(
     cols: list[str] | None = None,
     set_max_distinct: int = 20,
     unique_min_ratio: float = 0.98,
+    profile: DataFrame | None = None,
 ) -> list[Rule]:
     """Starter expectations derived from a :func:`profile_table` pass —
     the profile→rules→gate loop: columns with zero observed nulls get
@@ -400,8 +402,18 @@ def suggest_expectations(
     may fall outside), and the uniqueness hint rides an HLL estimate —
     review before wiring into :func:`assert_valid`, exactly like a
     human would review Deequ's suggestion output. Deterministic: same
-    data ⇒ same rules, ordered by column then rule kind."""
-    prof = profile_table(df, cols=cols).collect()
+    data ⇒ same rules, ordered by column then rule kind.
+
+    Every emitted rule is self-consistent (passes on the profiled data
+    itself): non-finite numeric bounds (NaN/±Inf) suppress ``in_range``
+    and an ``in_set`` whose observed value set overflows the collection
+    cap (possible when the HLL estimate under-reports) is suppressed
+    rather than emitted truncated. Pass ``profile`` to reuse an
+    already-collected :func:`profile_table` frame instead of paying a
+    second profiling scan."""
+    prof = (
+        profile if profile is not None else profile_table(df, cols=cols)
+    ).collect()
     rules: list[Rule] = []
     for r in sorted(prof, key=lambda x: x["column"]):
         c, base = r["column"], r["dtype"].split("(")[0]
@@ -410,19 +422,28 @@ def suggest_expectations(
         if base in _NUMERIC_TYPES and r["min"] is not None:
             lo = float(r["min"]) if "." in r["min"] or base in ("float", "double") else int(r["min"])
             hi = float(r["max"]) if "." in r["max"] or base in ("float", "double") else int(r["max"])
-            rules.append(in_range(c, lo, hi))
+            # NaN/±Infinity bounds would make in_range fail every row
+            # (NaN comparisons are false): a suggested rule must be
+            # self-consistent, so skip the suggestion instead.
+            if math.isfinite(lo) and math.isfinite(hi):
+                rules.append(in_range(c, lo, hi))
         if (
             base == "string"
             and 0 < r["approx_distinct"] <= set_max_distinct
         ):
-            vals = sorted(
-                x[0]
-                for x in df.select(c).filter(F.col(c).isNotNull())
+            # Collect one past the cap: the HLL estimate (rsd 0.05) may
+            # under-report true cardinality, and an in_set built from a
+            # TRUNCATED value set would fail on the very data it was
+            # derived from. Overflow ⇒ no suggestion.
+            cap = set_max_distinct * 2
+            collected = (
+                df.select(c).filter(F.col(c).isNotNull())
                 .distinct()
-                .limit(set_max_distinct * 2)
+                .limit(cap + 1)
                 .collect()
             )
-            rules.append(in_set(c, vals))
+            if len(collected) <= cap:
+                rules.append(in_set(c, sorted(x[0] for x in collected)))
         if r["n"] and r["approx_distinct"] >= unique_min_ratio * r["n"]:
             rules.append(unique(c))
     return rules

@@ -71,7 +71,20 @@ def write_webdataset_shards(
     rows yields byte-identical tars (members sorted by key, tar
     metadata pinned). Duplicate keys raise — WebDataset samples are
     keyed, and a silent second ``<key>.json`` would make loaders
-    undefined."""
+    undefined.
+
+    Task memory is O(1 sample): the shuffle sorts each partition by
+    ``(_shard, _key)`` (Spark's spillable sort, not a Python list) and
+    rows stream straight into ``tarfile.addfile`` — the duplicate-key
+    check is an equality test against the previous key, and at the
+    WebDataset-conventional ~1 GB/shard nothing near shard size is
+    ever held in Python. Commits are atomic per shard: each task
+    writes ``<shard>.tar.tmp.<attemptId>`` and ``os.replace()``s it
+    into place only on success, so a task killed mid-write (or a
+    speculative duplicate attempt) can never leave a truncated or
+    interleaved tar at the final name. Shards that receive no samples
+    produce no tar but DO get a ``(shard, 0, 0)`` report row, so
+    ``sum(samples) == df.count()`` and missing-vs-empty is visible."""
     import os
 
     meta_cols = list(meta_cols or [])
@@ -88,35 +101,71 @@ def write_webdataset_shards(
     )
 
     def _write(rows):
-        buckets: dict[int, list] = {}
-        for r in rows:
-            buckets.setdefault(r["_shard"], []).append(
-                (r["_key"], r["_meta"], r["_payload"])
-            )
-        for s, samples in buckets.items():
-            samples.sort(key=lambda t: t[0])
-            keys = [k for k, _m, _p in samples]
-            if len(set(keys)) != len(keys):
-                dup = next(k for i, k in enumerate(keys) if k in keys[:i])
-                raise ValueError(
-                    f"duplicate sample key {dup!r} in shard {s}: WebDataset"
-                    " samples are keyed; dedup or re-key before export"
-                )
-            path = os.path.join(out_dir, f"shard-{s:05d}.tar")
-            with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
-                for k, m, p in samples:
-                    mb = (m or "{}").encode("utf-8")
-                    tf.addfile(_tar_member(f"{k}.json", mb), io.BytesIO(mb))
-                    pb = bytes(p) if p is not None else b""
-                    tf.addfile(_tar_member(f"{k}.{ext}", pb), io.BytesIO(pb))
-            yield (s, len(samples), os.path.getsize(path))
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        out: list[tuple] = []
+        tf = None
+        tmp = final = None
+        cur_shard = prev_key = None
+        n = 0
+
+        def _commit():
+            nonlocal tf, n
+            tf.close()
+            tf = None
+            os.replace(tmp, final)
+            out.append((cur_shard, n, os.path.getsize(final)))
+            n = 0
+
+        try:
+            for r in rows:
+                s, k = r["_shard"], r["_key"]
+                if s != cur_shard:
+                    if tf is not None:
+                        _commit()
+                    cur_shard, prev_key = s, None
+                    final = os.path.join(out_dir, f"shard-{s:05d}.tar")
+                    tmp = f"{final}.tmp.{attempt}"
+                    tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
+                if k == prev_key:  # partition is sorted: dups are adjacent
+                    raise ValueError(
+                        f"duplicate sample key {k!r} in shard {s}: WebDataset"
+                        " samples are keyed; dedup or re-key before export"
+                    )
+                prev_key = k
+                mb = (r["_meta"] or "{}").encode("utf-8")
+                tf.addfile(_tar_member(f"{k}.json", mb), io.BytesIO(mb))
+                pb = bytes(r["_payload"]) if r["_payload"] is not None else b""
+                tf.addfile(_tar_member(f"{k}.{ext}", pb), io.BytesIO(pb))
+                n += 1
+            if tf is not None:
+                _commit()
+        finally:
+            if tf is not None:  # error path: never leave a live handle
+                tf.close()
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+        return iter(out)
 
     os.makedirs(out_dir, exist_ok=True)
     # collect the (tiny, one row per shard) report — this is also what
-    # materializes the lazy RDD, so the tars exist when this returns
+    # materializes the lazy RDD, so the tars exist when this returns.
+    # The sort is Spark's spillable per-partition sort; shard changes
+    # are contiguous, so the writer streams one sample at a time.
     rows = (
-        slim.repartition(n_shards, "_shard").rdd.mapPartitions(_write).collect()
+        slim.repartition(n_shards, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+        .rdd.mapPartitions(_write)
+        .collect()
     )
+    written = {r[0] for r in rows}
+    rows += [(s, 0, 0) for s in range(n_shards) if s not in written]
     return df.sparkSession.createDataFrame(rows, SHARD_REPORT_SCHEMA)
 
 
@@ -167,12 +216,16 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
 def webdataset_manifest(report: DataFrame) -> dict:
     """Collapse a :func:`write_webdataset_shards` report into the
     export manifest a training job records: shard count, total
-    samples, total bytes, and the max/min shard-size ratio (balance —
-    hash sharding keeps it near 1; a skewed ratio means hot keys)."""
+    samples, total bytes, the max/min shard-size ratio (balance —
+    hash sharding keeps it near 1; a skewed ratio means hot keys), and
+    ``n_empty`` — shards that received no samples (reported as
+    ``(shard, 0, 0)`` rows and excluded from the balance ratio, which
+    would otherwise degenerate to max/1)."""
     rows = report.collect()
-    sizes = [r["tar_bytes"] for r in rows] or [0]
+    sizes = [r["tar_bytes"] for r in rows if r["samples"] > 0] or [0]
     return {
         "n_shards": len(rows),
+        "n_empty": sum(1 for r in rows if r["samples"] == 0),
         "samples": sum(r["samples"] for r in rows),
         "tar_bytes": sum(sizes),
         "balance": round(max(sizes) / max(min(sizes), 1), 3),

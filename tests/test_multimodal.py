@@ -412,3 +412,52 @@ def test_webdataset_duplicate_key_refused(spark, tmp_path):
         write_webdataset_shards(
             df, str(tmp_path / "dup"), "key", "payload", n_shards=2
         )
+
+
+def test_webdataset_empty_shards_reported_and_no_tmp(spark, tmp_path):
+    """Shards that receive no samples get an explicit (shard, 0, 0)
+    report row (a manifest that silently says "6 shards" for an 8-shard
+    request hides data loss from the loader config), and a successful
+    export leaves only committed .tar files — the tmp+rename commit
+    never leaks temp names."""
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
+        read_webdataset_shards,
+        webdataset_manifest,
+        write_webdataset_shards,
+    )
+
+    out = tmp_path / "sparse"
+    df = _wds_frame(spark, n=3)
+    report = write_webdataset_shards(df, str(out), "key", "payload", n_shards=8)
+    rows = {r["shard"]: r for r in report.collect()}
+    assert len(rows) == 8
+    assert sum(r["samples"] for r in rows.values()) == 3
+    empties = [s for s, r in rows.items() if r["samples"] == 0]
+    assert empties  # 3 keys into 8 shards: some must be empty
+    assert all(rows[s]["tar_bytes"] == 0 for s in empties)
+    man = webdataset_manifest(report)
+    assert man["n_shards"] == 8 and man["n_empty"] == len(empties)
+    names = sorted(p.name for p in out.iterdir())
+    assert all(n.endswith(".tar") for n in names), names
+    assert len(names) == 8 - len(empties)
+    assert read_webdataset_shards(spark, str(out)).count() == 3
+
+
+def test_webdataset_failed_write_leaves_no_final_tar(spark, tmp_path):
+    """A task that dies mid-shard (here: the duplicate-key refusal)
+    must never leave a truncated tar at the FINAL name — the write
+    goes to a temp path and only os.replace()s on success, and the
+    error path removes the temp file."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", b"\x01"), ("k1", b"\x02")], "key string, payload binary"
+    )
+    out = tmp_path / "dup2"
+    with pytest.raises(Exception, match="duplicate sample key"):
+        write_webdataset_shards(df, str(out), "key", "payload", n_shards=2)
+    assert list(out.iterdir()) == []  # no final tar, no leaked temp

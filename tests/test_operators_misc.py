@@ -1685,3 +1685,21 @@ def test_bm25_index_maintained_through_ingest_absorb(spark, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_bm25_hot_term_guard_absent_terms_empty_not_raise(spark):
+    """A query whose terms are simply ABSENT from the corpus is a
+    legitimate no-hit query: under max_df_frac it must return the
+    empty top-k exactly like the unguarded path, not raise. Only
+    'all present terms exceed the cap' keeps the refusal."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import bm25_topk
+
+    rows = [(i, f"the filler{i} common") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = bm25_topk(df, "doc_id", "text", "zzz qqq", max_df_frac=0.5)
+    assert guarded.collect() == []
+    unguarded = bm25_topk(df, "doc_id", "text", "zzz qqq")
+    assert unguarded.collect() == []
+    # present-but-hot terms still refuse the corpus-sized scoring pass
+    with pytest.raises(ValueError, match="max_df_frac"):
+        bm25_topk(df, "doc_id", "text", "the common", max_df_frac=0.1)

@@ -272,3 +272,43 @@ def test_suggest_expectations_loop(spark):
     assert rep2["in_range(score,0.1,0.9)"] is False
     # deterministic
     assert [r.name for r in suggest_expectations(df)] == names
+
+
+def test_suggest_expectations_skips_non_finite_and_truncated(spark):
+    """Suggested rules must be self-consistent: NaN numeric bounds
+    suppress in_range (NaN comparisons fail every row), and an in_set
+    whose observed values overflow the collection cap — possible when
+    the HLL estimate under-reports — is suppressed, never emitted
+    truncated."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        suggest_expectations,
+        validate,
+    )
+
+    nan_df = spark.createDataFrame(
+        [(1, float("nan")), (2, 0.5)], "id long, score double"
+    )
+    rules = suggest_expectations(nan_df)
+    assert not any(r.name.startswith("in_range(score") for r in rules)
+    # the remaining suggestions still pass on their own data
+    assert all(r["ok"] for r in validate(nan_df, rules).collect())
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "id long, lang string"
+    )
+    # injected profile simulating an HLL under-report: claims 2 distinct
+    # for a column with 5 (> 2 * set_max_distinct) — the collected set
+    # would overflow the cap, so NO in_set may be suggested
+    prof = spark.createDataFrame(
+        [("lang", "string", 5, 0, 0.0, 2, "v0", "v4", None, None)],
+        "column string, dtype string, n bigint, nulls bigint,"
+        " null_frac double, approx_distinct bigint, min string,"
+        " max string, mean double, stddev double",
+    )
+    rules2 = suggest_expectations(df, set_max_distinct=2, profile=prof)
+    assert not any(r.name.startswith("in_set") for r in rules2)
+    # honest profile at a wide-enough cap: in_set comes back complete
+    rules3 = suggest_expectations(df, set_max_distinct=5)
+    in_sets = [r for r in rules3 if r.name.startswith("in_set(lang")]
+    assert len(in_sets) == 1
+    assert all(r["ok"] for r in validate(df, rules3).collect())
