@@ -386,6 +386,250 @@ def bm25_topk(
     )
 
 
+#: sidecar file (inside the generation dir, covered by the _COMPLETE
+#: commit point) that stores the corpus constants a BM25 query needs
+BM25_STATS_FILE = "_BM25_STATS"
+
+
+def write_text_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    root: str,
+    shards: int = 16,
+    bloom_fpp: float = 0.01,
+    **write_kwargs,
+) -> str:
+    """Build the :func:`text_index` posting table over ``df`` and write
+    it as a committed table generation under ``root`` — term-range-
+    clustered, term-bloomed, AND carrying the corpus stats sidecar
+    (``_BM25_STATS``: ``n_docs``/``avgdl`` as one tiny JSON object,
+    inside the generation dir so it is covered by the same marker-last
+    commit point as the data). Returns the generation name.
+
+    The stats pass runs ONCE at write time (a count+avg over token
+    counts — trivial next to the index build it rides along with), so
+    serving (:func:`bm25_query_table`, ``open_table`` handles) never
+    pays a stats job per query: the old collect-fallback in
+    :func:`bm25_topk_indexed` exists only for ad-hoc in-memory
+    indexes. Stats use the same population as :func:`bm25_topk` (rows
+    with non-null ``text_col``), so indexed and one-shot scores agree
+    exactly."""
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    toks = F.transform(tokens(text_col), F.lower)
+    stats = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.size(toks).alias("dl"))
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    payload = json.dumps(
+        {
+            "n_docs": int(stats["n"]),
+            "avgdl": float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
+        }
+    )
+    idx = text_index(df, id_col, text_col)
+    extra = dict(write_kwargs.pop("extra_files", None) or {})
+    extra[BM25_STATS_FILE] = payload
+    return layout.write_table(
+        idx.repartitionByRange(shards, "term").sortWithinPartitions("term"),
+        root,
+        bloom_cols=write_kwargs.pop("bloom_cols", ["term"]),
+        bloom_fpp=bloom_fpp,
+        extra_files=extra,
+        **write_kwargs,
+    )
+
+
+def read_bm25_stats(
+    spark, root: str, generation: str | None = None
+) -> tuple[int, float] | None:
+    """The ``(n_docs, avgdl)`` sidecar of a :func:`write_text_index`
+    table — the committed generation's by default, a pinned one's by
+    name. ``None`` when the generation carries no sidecar (e.g. a
+    delta generation an incremental absorb wrote: its stats are stale
+    by construction, so the caller recomputes — and should re-land the
+    sidecar at the next compaction)."""
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    if generation is not None:
+        base = f"{root}/{generation}"
+    else:
+        resolved = layout._resolve_table_generation(spark, root)
+        if resolved is None:
+            raise ValueError(f"no committed table generation under {root!r}")
+        base = resolved
+    raw = fsutil.try_read_text(spark, f"{base}/{BM25_STATS_FILE}")
+    if not raw:
+        return None
+    obj = json.loads(raw)
+    return int(obj["n_docs"]), float(obj["avgdl"])
+
+
+def bm25_query_table(
+    spark,
+    root: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+    handle=None,
+) -> DataFrame:
+    """Serving entry point: BM25 top-``k`` against an at-rest
+    :func:`write_text_index` table — resolves the stats sidecar (a
+    one-object text read, NOT a Spark job; cached on ``handle`` so
+    repeated queries pay zero stats work) and reads only the probed
+    terms' postings (manifest + bloom file-skip). Pass ``handle`` (an
+    ``open_table`` reader over ``root``) for the snapshot-pinned
+    repeated-lookup shape; without it each call re-resolves the
+    committed generation like :func:`layout.read_table`."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    terms = _bm25_terms(query)
+    if not terms:
+        raise ValueError("empty query: no whitespace terms to score")
+    if handle is not None:
+        stats = getattr(handle, "_bm25_stats", False)
+        if stats is False:
+            stats = read_bm25_stats(spark, root, generation=handle.generation)
+            handle._bm25_stats = stats
+        postings = handle.read(where=("term", "in", terms))
+    else:
+        stats = read_bm25_stats(spark, root)
+        postings = layout.read_table(spark, root, where=("term", "in", terms))
+    if stats is None:
+        # no sidecar (e.g. a delta generation an incremental absorb
+        # wrote): recompute over the FULL table — the term-filtered
+        # postings would yield the wrong population — and cache on the
+        # handle so only the first query pays the job
+        full = handle.read() if handle is not None else layout.read_table(spark, root)
+        row = (
+            full.select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        stats = (
+            row["n"],
+            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        )
+        if handle is not None:
+            handle._bm25_stats = stats
+    n_docs, avgdl = stats
+    return bm25_topk_indexed(
+        postings,
+        query,
+        k=k,
+        k1=k1,
+        b=b,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        max_df_frac=max_df_frac,
+    )
+
+
+def bm25_topk_many(
+    index: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Batch retrieval: BM25 top-``k`` for EVERY row of ``queries``
+    (``query_id_col``, ``query_col``) against one :func:`text_index`
+    posting table, in ONE pass — ``(query_id, id, score)``, scores
+    identical to running :func:`bm25_topk_indexed` per query.
+
+    Decontamination-by-retrieval and eval-suite search run thousands
+    of queries; a per-query job never amortizes the scan. Here the
+    queries explode to a (small) ``(query_id, term)`` frame that
+    BROADCASTS into the posting join, per-term document frequencies
+    are computed once over the union of all probed terms' postings,
+    and the per-query top-k is one window (single hash-shuffle on
+    ``query_id``) — total cost O(postings of the union of query terms)
+    + one broadcast, regardless of query count.
+
+    Semantics notes vs the single-query form: duplicate terms within a
+    query dedup the same way (:func:`_bm25_terms`); ``max_df_frac``
+    drops hot terms GLOBALLY (df is a corpus property), and a query
+    whose every term is hot or absent simply contributes no output
+    rows — the batch form never raises for one bad query. Pass the
+    stored ``n_docs``/``avgdl`` (:func:`read_bm25_stats`) at steady
+    state; the fallback recompute is the same one-aggregate job as
+    :func:`bm25_topk_indexed`'s."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
+        topk_per_group,
+    )
+
+    if n_docs is None or avgdl is None:
+        stats = (
+            index.select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs = n_docs if n_docs is not None else stats["n"]
+        avgdl = avgdl if avgdl is not None else float(stats["avgdl"])
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(tokens(query_col), F.lower),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    )
+    # the union of probed terms: tiny (≤ Σ per-query terms), and
+    # filtering the index on it FIRST keeps every downstream agg and
+    # join O(probed postings), not O(index)
+    probe = qterms.select("term").distinct()
+    hits = index.join(F.broadcast(probe), "term")
+    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df_frac * n_docs)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("id").asc()],
+        k,
+    )
+
+
 def repetition_features(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

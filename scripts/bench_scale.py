@@ -498,9 +498,12 @@ def retrieval_experiment(spark, sf_dir: str) -> dict:
         layout,
     )
     from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_query_table,
         bm25_topk,
         bm25_topk_indexed,
-        text_index,
+        bm25_topk_many,
+        read_bm25_stats,
+        write_text_index,
     )
 
     # amplify the corpus 10x (planted copies, distinct ids) so the
@@ -526,25 +529,16 @@ def retrieval_experiment(spark, sf_dir: str) -> dict:
         docs = spark.read.parquet(f"{scratch}/corpus")
         out: dict = {"corpus_docs": docs.count()}
         t0 = time.perf_counter()
-        idx = text_index(docs, "doc_id", "text")
-        layout.write_table(
-            idx.repartitionByRange(16, "term").sortWithinPartitions("term"),
-            root,
-            bloom_cols=["term"],
-        )
+        write_text_index(docs, "doc_id", "text", root, shards=16)
         out["index_build_s"] = round(time.perf_counter() - t0, 3)
         gen = layout._resolve_table_generation(spark, root)
         out["index_files"] = len(fsutil.list_files(spark, f"{gen}/data"))
+        # corpus stats now land in the _BM25_STATS sidecar at write
+        # time: serving reads one tiny JSON object, zero Spark jobs
         t0 = time.perf_counter()
-        stats = (
-            layout.read_table(spark, root)
-            .select("id", "dl")
-            .distinct()
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
-        )
+        n_docs, avgdl = read_bm25_stats(spark, root)
         out["stats_s"] = round(time.perf_counter() - t0, 3)
-        n_docs, avgdl = stats["n"], float(stats["avgdl"])
+        out["stats_source"] = "sidecar"
         queries = [
             "vector join stream",
             "customer filter",
@@ -571,17 +565,57 @@ def retrieval_experiment(spark, sf_dir: str) -> dict:
             )
             # the serving shape: same lookup through the snapshot-
             # pinned open_table handle (no per-call marker/manifest/
-            # sidecar re-reads; bloom sidecar Spark-cached)
+            # sidecar re-reads; bloom sidecar Spark-cached; corpus
+            # stats from the _BM25_STATS sidecar, cached on the handle
+            # — zero stats jobs per query)
             t0 = time.perf_counter()
-            hp = handle.read(where=("term", "in", terms))
-            hgot = bm25_topk_indexed(
-                hp, q, k=10, n_docs=n_docs, avgdl=avgdl
+            hgot = bm25_query_table(
+                spark, root, q, k=10, handle=handle
             ).collect()
             handle_w.append(round(time.perf_counter() - t0, 3))
             parity = parity and (
                 [tuple(r) for r in hgot] == [tuple(r) for r in direct]
             )
         handle.close()
+        # batch retrieval: decontamination/eval-suite shape — many
+        # queries, ONE pass (union-of-terms posting join + one window)
+        # vs the per-query job loop
+        n_batch = 64
+        queries = [
+            (i, f"term{(i * 7) % 100} term{(i * 13) % 100} common")
+            for i in range(n_batch)
+        ]
+        qdf = spark.createDataFrame(queries, "query_id long, query string")
+        full_idx = layout.read_table(spark, root)
+        t0 = time.perf_counter()
+        many = bm25_topk_many(
+            full_idx, qdf, k=10, n_docs=n_docs, avgdl=avgdl
+        ).collect()
+        batch_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        loop_rows: dict = {}
+        for i, q in queries[:8]:  # 8 representative per-query jobs
+            loop_rows[i] = bm25_topk_indexed(
+                full_idx, q, k=10, n_docs=n_docs, avgdl=avgdl
+            ).collect()
+        loop_wall = time.perf_counter() - t0
+        by_q: dict = {}
+        for r in many:
+            by_q.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+        batch_parity = all(
+            sorted(by_q.get(i, []), key=lambda t: (-t[1], t[0]))
+            == [(r["id"], r["score"]) for r in rows]
+            for i, rows in loop_rows.items()
+        )
+        out.update(
+            {
+                "batch_queries": n_batch,
+                "batch_wall_s": round(batch_wall, 3),
+                "batch_qps": round(n_batch / batch_wall, 1),
+                "loop_qps": round(8 / loop_wall, 1),
+                "batch_parity": batch_parity,
+            }
+        )
         out.update(
             {
                 "scan_query_s": scan_w,

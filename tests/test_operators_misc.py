@@ -1703,3 +1703,77 @@ def test_bm25_hot_term_guard_absent_terms_empty_not_raise(spark):
     # present-but-hot terms still refuse the corpus-sized scoring pass
     with pytest.raises(ValueError, match="max_df_frac"):
         bm25_topk(df, "doc_id", "text", "the common", max_df_frac=0.1)
+
+
+def test_bm25_stats_sidecar_serving_and_batch(spark, tmp_path):
+    """write_text_index lands (n_docs, avgdl) inside the generation's
+    commit point; bm25_query_table serves from it with ZERO Spark
+    stats jobs (the sidecar is one filesystem read, cached on the
+    handle); bm25_topk_many scores every query in one pass and matches
+    the per-query loop exactly."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_query_table,
+        bm25_topk,
+        bm25_topk_indexed,
+        bm25_topk_many,
+        read_bm25_stats,
+        write_text_index,
+    )
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("term"),
+            (F.col("id") / 4).cast("int").cast("string"),
+            F.lit(" common filler"),
+        ).alias("text"),
+    )
+    root = f"{tmp_path}/idx"
+    gen = write_text_index(docs, "doc_id", "text", root, shards=8, bloom_fpp=0.001)
+    assert read_bm25_stats(spark, root) == (400, 3.0)
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    assert read_bm25_stats(spark, root, generation=gen) == (400, 3.0)
+    assert len(sc.statusTracker().getJobIdsForGroup(None)) == before
+
+    q = "term3 term77"
+    direct = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", q, k=5).collect()]
+    got = [tuple(r) for r in bm25_query_table(spark, root, q, k=5).collect()]
+    assert got == direct
+    handle = layout.open_table(spark, root)
+    hgot = [
+        tuple(r) for r in bm25_query_table(spark, root, q, k=5, handle=handle).collect()
+    ]
+    assert hgot == direct
+    assert handle._bm25_stats == (400, 3.0)  # cached: later queries read nothing
+    handle.close()
+
+    # batch form: one pass over the union of probed terms == per-query loop
+    qs = [(0, "term3 term77"), (1, "common filler"), (2, "term1 absentzz")]
+    queries = spark.createDataFrame(qs, "query_id long, query string")
+    full_idx = layout.read_table(spark, root)
+    many = bm25_topk_many(full_idx, queries, k=5, n_docs=400, avgdl=3.0)
+    by_q: dict = {}
+    for r in many.collect():
+        by_q.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qid, text in qs:
+        want = [
+            (r["id"], r["score"])
+            for r in bm25_topk_indexed(
+                full_idx, text, k=5, n_docs=400, avgdl=3.0
+            ).collect()
+        ]
+        got_q = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+        assert got_q == want, f"query {qid}: batch != per-query"
+
+    # max_df_frac in batch form: an all-hot query contributes no rows
+    # (never raises for one bad query); the selective one still answers
+    hotq = spark.createDataFrame(
+        [(0, "common"), (1, "term3")], "query_id long, query string"
+    )
+    res = bm25_topk_many(
+        full_idx, hotq, k=5, n_docs=400, avgdl=3.0, max_df_frac=0.5
+    ).collect()
+    qids = {r["query_id"] for r in res}
+    assert qids == {1}
