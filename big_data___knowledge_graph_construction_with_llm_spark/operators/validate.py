@@ -447,3 +447,134 @@ def suggest_expectations(
         if r["n"] and r["approx_distinct"] >= unique_min_ratio * r["n"]:
             rules.append(unique(c))
     return rules
+
+
+#: schema of :func:`profile_drift`'s verdict frame
+DRIFT_SCHEMA = (
+    "column string, check string, old string, new string, drifted boolean"
+)
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_frac_abs: float = 0.05,
+    distinct_ratio: float = 2.0,
+    mean_stddevs: float = 3.0,
+) -> DataFrame:
+    """Per-column drift verdicts between two :func:`profile_table`
+    frames — the steady-state half of the profile→rules→gate loop (the
+    Deequ anomaly-detection analog): profile each incoming batch, diff
+    against the accepted baseline, and gate the absorb on the verdict
+    frame. Checks, each one row ``(column, check, old, new, drifted)``:
+
+    - ``present``: column appeared or disappeared (always drift).
+    - ``dtype``: type changed (always drift; suppresses the value
+      checks, which would compare apples to oranges).
+    - ``null_frac``: absolute shift > ``null_frac_abs``.
+    - ``span``: the new batch's observed [min, max] escapes the
+      baseline span (numerics compare numerically with a non-finite
+      guard; string/date/timestamp compare on the profile's
+      stringified bounds). Escape DOWNWARD or UPWARD both flag —
+      tomorrow's legitimate wider range is exactly what a human
+      reviews before re-baselining.
+    - ``distinct``: approx-distinct ratio outside
+      [1/``distinct_ratio``, ``distinct_ratio``] (HLL rsd 0.05 noise
+      sits far inside the default 2x band).
+    - ``mean``: numeric mean moved more than ``mean_stddevs`` baseline
+      standard deviations (skipped when the baseline stddev is 0 or
+      any moment is non-finite).
+
+    Driver-side O(columns) — profiles are one row per column by
+    construction; no Spark job beyond the two ``collect()``s the
+    caller already paid for the profiles. Deterministic: sorted by
+    (column, check). Gate shape::
+
+        drifted = [r for r in profile_drift(base, batch).collect()
+                   if r["drifted"]]
+        if drifted: quarantine_landing_batch(...)
+    """
+    spark = old.sparkSession
+    o = {r["column"]: r for r in old.collect()}
+    n = {r["column"]: r for r in new.collect()}
+    rows: list[tuple] = []
+
+    def add(col, check, ov, nv, drifted):
+        rows.append(
+            (
+                col,
+                check,
+                None if ov is None else str(ov),
+                None if nv is None else str(nv),
+                bool(drifted),
+            )
+        )
+
+    def _finite(*vals):
+        return all(v is not None and math.isfinite(v) for v in vals)
+
+    for c in sorted(set(o) | set(n)):
+        ro, rn = o.get(c), n.get(c)
+        if ro is None or rn is None:
+            add(
+                c,
+                "present",
+                ro["dtype"] if ro is not None else None,
+                rn["dtype"] if rn is not None else None,
+                True,
+            )
+            continue
+        if ro["dtype"] != rn["dtype"]:
+            add(c, "dtype", ro["dtype"], rn["dtype"], True)
+            continue
+        base = ro["dtype"].split("(")[0]
+        onf, nnf = ro["null_frac"] or 0.0, rn["null_frac"] or 0.0
+        add(c, "null_frac", onf, nnf, abs(nnf - onf) > null_frac_abs)
+        if ro["approx_distinct"] and rn["approx_distinct"]:
+            ratio = rn["approx_distinct"] / ro["approx_distinct"]
+            add(
+                c,
+                "distinct",
+                ro["approx_distinct"],
+                rn["approx_distinct"],
+                ratio > distinct_ratio or ratio < 1.0 / distinct_ratio,
+            )
+        if ro["min"] is not None and rn["min"] is not None:
+            if base in _NUMERIC_TYPES:
+                try:
+                    olo, ohi = float(ro["min"]), float(ro["max"])
+                    nlo, nhi = float(rn["min"]), float(rn["max"])
+                except ValueError:
+                    olo = None
+                if olo is not None and _finite(olo, ohi, nlo, nhi):
+                    add(
+                        c,
+                        "span",
+                        f"[{ro['min']},{ro['max']}]",
+                        f"[{rn['min']},{rn['max']}]",
+                        nlo < olo or nhi > ohi,
+                    )
+            elif base in ("string", "date", "timestamp"):
+                add(
+                    c,
+                    "span",
+                    f"[{ro['min']},{ro['max']}]",
+                    f"[{rn['min']},{rn['max']}]",
+                    rn["min"] < ro["min"] or rn["max"] > ro["max"],
+                )
+        if (
+            ro["mean"] is not None
+            and rn["mean"] is not None
+            and ro["stddev"] is not None
+            and ro["stddev"] > 0
+            and _finite(ro["mean"], rn["mean"], ro["stddev"])
+        ):
+            add(
+                c,
+                "mean",
+                round(ro["mean"], 6),
+                round(rn["mean"], 6),
+                abs(rn["mean"] - ro["mean"]) > mean_stddevs * ro["stddev"],
+            )
+    rows.sort(key=lambda t: (t[0], t[1]))
+    return spark.createDataFrame(rows, DRIFT_SCHEMA)

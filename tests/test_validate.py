@@ -312,3 +312,67 @@ def test_suggest_expectations_skips_non_finite_and_truncated(spark):
     in_sets = [r for r in rules3 if r.name.startswith("in_set(lang")]
     assert len(in_sets) == 1
     assert all(r["ok"] for r in validate(df, rules3).collect())
+
+
+def test_profile_drift_catches_drifted_batch(spark):
+    """profile → drift verdicts: an identical batch reports NO drift;
+    a drifted batch flags exactly the moved columns/checks — the
+    absorb-gating half of the profile→rules→gate loop."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        profile_drift,
+        profile_table,
+    )
+
+    base_rows = [(i, "en" if i % 2 else "de", float(i % 10)) for i in range(100)]
+    base = spark.createDataFrame(base_rows, "id long, lang string, score double")
+    p_base = profile_table(base)
+
+    # identical data: zero drifted rows
+    same = profile_drift(p_base, profile_table(base))
+    assert [r for r in same.collect() if r["drifted"]] == []
+
+    # drifted batch: nulls appear in lang, score escapes the span and
+    # shifts its mean, id cardinality collapses
+    drift_rows = [
+        (1, None, 50.0 + i) for i in range(100)
+    ]
+    drifted = spark.createDataFrame(
+        drift_rows, "id long, lang string, score double"
+    )
+    verdicts = {
+        (r["column"], r["check"]): r["drifted"]
+        for r in profile_drift(p_base, profile_table(drifted)).collect()
+    }
+    assert verdicts[("lang", "null_frac")] is True
+    assert verdicts[("score", "span")] is True
+    assert verdicts[("score", "mean")] is True
+    assert verdicts[("id", "distinct")] is True
+    # deterministic: sorted by column; re-run identical
+    v2 = profile_drift(p_base, profile_table(drifted)).collect()
+    assert [tuple(r) for r in v2] == sorted(
+        [tuple(r) for r in v2], key=lambda t: (t[0], t[1])
+    )
+
+
+def test_profile_drift_schema_changes(spark):
+    """Column appearance/disappearance and dtype changes are always
+    drift; a dtype change suppresses the value checks."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.validate import (
+        profile_drift,
+        profile_table,
+    )
+
+    old = profile_table(
+        spark.createDataFrame([(1, "a")], "id long, tag string")
+    )
+    new = profile_table(
+        spark.createDataFrame([(1.5, 7)], "id double, extra long")
+    )
+    rows = {(r["column"], r["check"]): r for r in profile_drift(old, new).collect()}
+    assert rows[("id", "dtype")]["drifted"] is True
+    assert rows[("tag", "present")]["drifted"] is True
+    assert rows[("tag", "present")]["new"] is None
+    assert rows[("extra", "present")]["drifted"] is True
+    assert rows[("extra", "present")]["old"] is None
+    # dtype change suppressed id's value checks
+    assert ("id", "span") not in rows and ("id", "mean") not in rows
