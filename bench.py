@@ -111,69 +111,31 @@ def calibration_probe(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # sf from the dir name, e.g. .../sf0.1 -> 0.1
-    tail = os.path.basename(sf_dir.rstrip("/"))
-    sf = float(tail[2:]) if tail.startswith("sf") else -1.0
+def _timed_suite(spark, queries, sf_dir: str, n_passes: int) -> dict:
+    """One complete timed run of the query suite: N passes (default 3);
+    the headline is the PER-QUERY MEDIAN (declared in the output as
+    passes/aggregation). The host carries a variable background load
+    that swings single-pass totals by tens of percent — best-of-N
+    flatters transient quiet windows and a single pass punishes
+    transient spikes; the median is the stable middle, and the headline
+    also carries the min and the per-pass spread so round-over-round
+    deltas can be judged against the noise envelope. All raw passes are
+    preserved in BENCH_DETAIL.json.
 
-    # one source of truth for session confs (nanosAsLong/UTC/ANSI-off live
-    # in session.get_spark): a bench-local builder would depend on
-    # _ensure_conf running before the first parquet read
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
-    spark = get_spark(app_name="spark-graft-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+    INTERLEAVED calibration (VERDICT r10 #1): a probe before the suite
+    and after every PROBE_EVERY queries, per pass. Each query
+    normalizes against the most recent probe — load arriving mid-suite
+    is corrected in the window it arrived, not smeared across the pass.
 
-    # warm the JVM (codegen, shuffle, parquet reader, noop sink) so the
-    # first measured query doesn't absorb one-time session init
-    spark.range(10_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
-        "overwrite"
-    ).save()
-    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format("noop").mode(
-        "overwrite"
-    ).save()
-
+    Extracted from main() so --rerun-on-overload can run the whole
+    suite a second time and keep the quieter attempt."""
     from big_data___knowledge_graph_construction_with_llm_spark.metrics import MetricsCollector
 
-    # untimed setup: materialize the at-rest IVF index (idempotent). Index
-    # build is an offline job in the 100 TB deployment; the bench measures
-    # the query path — a partition-pruned probe of the index.
-    try:
-        from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import ensure_ivf_index
-        from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load as _load
-        from big_data___knowledge_graph_construction_with_llm_spark.plans.textdata_queries import _ivf_cache_path
-        from pyspark.sql import functions as F
-
-        ensure_ivf_index(
-            spark,
-            _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
-            _ivf_cache_path(spark, sf_dir),
-            k=8,
-            iterations=2,
-        )
-    except Exception as exc:
-        print(f"bench: ivf index setup failed: {exc!r}", file=sys.stderr)
-
-    queries = entry_mod.queries()
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     runs: list[dict[str, float]] = []
     shuffles: dict[str, dict[str, int]] = {}
     mc = MetricsCollector(spark)
-    # N timed passes (default 3); the headline is the PER-QUERY MEDIAN
-    # (declared in the output as passes/aggregation). The host carries a
-    # variable background load that swings single-pass totals by tens of
-    # percent — best-of-N flatters transient quiet windows and a single
-    # pass punishes transient spikes; the median is the stable middle,
-    # and the headline also carries the min and the per-pass spread so
-    # round-over-round deltas can be judged against the noise envelope.
-    # All raw passes are preserved in BENCH_DETAIL.json.
-    # INTERLEAVED calibration (VERDICT r10 #1): a probe before the suite
-    # and after every PROBE_EVERY queries, per pass. Each query
-    # normalizes against the most recent probe — load arriving mid-suite
-    # is corrected in the window it arrived, not smeared across the pass.
     probe_segments: list[list[tuple[int, float]]] = []
     norm_runs: list[dict[str, float]] = []
-    calibration_probe(spark)  # warm the probe's own codegen, untimed
     names_sorted = sorted(queries)
     for pass_i in range(n_passes):
         seg = [(0, calibration_probe(spark))]
@@ -262,6 +224,125 @@ def main() -> None:
         calibration_wall_warm > OVERLOAD_RERUN_FACTOR * CALIBRATION_BASELINE_S
         or load_variance > LOAD_VARIANCE_MAX
     )
+    return {
+        "runs": runs,
+        "norm_runs": norm_runs,
+        "shuffles": shuffles,
+        "probe_segments": probe_segments,
+        "med": med,
+        "mins": mins,
+        "total_median": total_median,
+        "total_min": total_min,
+        "pass_totals": pass_totals,
+        "calibration": calibration,
+        "calibration_wall": calibration_wall,
+        "norm_med": norm_med,
+        "normalized_total": normalized_total,
+        "normalized_total_pin095": normalized_total_prev_pin,
+        "load_variance": load_variance,
+        "calibration_wall_warm": calibration_wall_warm,
+        "rerun_recommended": rerun_recommended,
+    }
+
+
+def _attempt_summary(suite: dict) -> dict:
+    """The per-attempt record --rerun-on-overload emits for BOTH
+    attempts, so the selection is auditable from the JSON alone."""
+    return {
+        "total_median": suite["total_median"],
+        "pass_totals": suite["pass_totals"],
+        "normalized_total": suite["normalized_total"],
+        "load_variance": suite["load_variance"],
+        "calibration_wall_warm_s": round(suite["calibration_wall_warm"], 3),
+        "rerun_recommended": suite["rerun_recommended"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf from the dir name, e.g. .../sf0.1 -> 0.1
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(tail[2:]) if tail.startswith("sf") else -1.0
+
+    # one source of truth for session confs (nanosAsLong/UTC/ANSI-off live
+    # in session.get_spark): a bench-local builder would depend on
+    # _ensure_conf running before the first parquet read
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(app_name="spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM (codegen, shuffle, parquet reader, noop sink) so the
+    # first measured query doesn't absorb one-time session init
+    spark.range(10_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # untimed setup: materialize the at-rest IVF index (idempotent). Index
+    # build is an offline job in the 100 TB deployment; the bench measures
+    # the query path — a partition-pruned probe of the index.
+    try:
+        from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import ensure_ivf_index
+        from big_data___knowledge_graph_construction_with_llm_spark.plans.tables import load as _load
+        from big_data___knowledge_graph_construction_with_llm_spark.plans.textdata_queries import _ivf_cache_path
+        from pyspark.sql import functions as F
+
+        ensure_ivf_index(
+            spark,
+            _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
+            _ivf_cache_path(spark, sf_dir),
+            k=8,
+            iterations=2,
+        )
+    except Exception as exc:
+        print(f"bench: ivf index setup failed: {exc!r}", file=sys.stderr)
+
+    queries = entry_mod.queries()
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # --rerun-on-overload (or SPARK_GRAFT_RERUN_ON_OVERLOAD=1): when the
+    # documented warm-probe rule fires, run the whole timed suite ONCE
+    # more and keep the attempt with the lower within-suite load spread
+    # — the bench self-selects a quiet window instead of shipping a
+    # number with rerun_recommended=true that nobody acts on. Both
+    # attempts' summaries land in the output either way.
+    rerun_on_overload = (
+        "--rerun-on-overload" in sys.argv[1:]
+        or os.environ.get("SPARK_GRAFT_RERUN_ON_OVERLOAD", "") == "1"
+    )
+    calibration_probe(spark)  # warm the probe's own codegen, untimed
+    suite = _timed_suite(spark, queries, sf_dir, n_passes)
+    attempts = [_attempt_summary(suite)]
+    attempt_selected = 0
+    if suite["rerun_recommended"] and rerun_on_overload:
+        print(
+            "bench: overload detected (load_variance"
+            f" {suite['load_variance']}, warm probe"
+            f" {suite['calibration_wall_warm']:.3f}s"
+            f" vs pin {CALIBRATION_BASELINE_S}) — automatic re-run",
+            file=sys.stderr,
+        )
+        suite2 = _timed_suite(spark, queries, sf_dir, n_passes)
+        attempts.append(_attempt_summary(suite2))
+        if suite2["load_variance"] < suite["load_variance"]:
+            suite, attempt_selected = suite2, 1
+    runs = suite["runs"]
+    shuffles = suite["shuffles"]
+    med = suite["med"]
+    mins = suite["mins"]
+    total_median = suite["total_median"]
+    total_min = suite["total_min"]
+    pass_totals = suite["pass_totals"]
+    probe_segments = suite["probe_segments"]
+    calibration = suite["calibration"]
+    calibration_wall = suite["calibration_wall"]
+    norm_med = suite["norm_med"]
+    normalized_total = suite["normalized_total"]
+    normalized_total_prev_pin = suite["normalized_total_pin095"]
+    load_variance = suite["load_variance"]
+    calibration_wall_warm = suite["calibration_wall_warm"]
+    rerun_recommended = suite["rerun_recommended"]
 
     # accuracy contract for q_approx_sketches (untimed): the sketches are
     # rows-only in the correctness gate (HLL++/KLL internals are
@@ -677,6 +758,8 @@ def main() -> None:
                 "queries_normalized": norm_med,
                 "load_variance": load_variance,
                 "rerun_recommended": rerun_recommended,
+                "attempts": attempts,
+                "attempt_selected": attempt_selected,
                 "shuffle": shuffles,
                 "sketch_accuracy": sketch_accuracy,
                 "ivf_recall": ivf_recall,
@@ -728,6 +811,11 @@ def main() -> None:
                 # >1.2x the pin or the probe spread exceeded 1.5 — the
                 # driver should prefer a re-run in a quieter window
                 "rerun_recommended": rerun_recommended,
+                # --rerun-on-overload: every attempt's summary + which
+                # one the headline above came from (lowest
+                # load_variance wins)
+                "attempts": attempts,
+                "attempt_selected": attempt_selected,
                 "queries": med,
                 "sf": sf,
             }
