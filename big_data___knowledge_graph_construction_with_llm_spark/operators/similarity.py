@@ -65,6 +65,74 @@ def knn_brute_force(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_brute_force_many(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-``k`` by cosine for EVERY query of a frame in ONE
+    corpus pass — ``(query_id, vec_id, cosine)``, scores identical to
+    a :func:`knn_brute_force` loop. The batch twin of
+    :func:`text.bm25_topk_many`: decontamination-by-embedding and
+    eval-suite probes run hundreds of queries, and a per-query job
+    never amortizes the scan.
+
+    Scale shape: the query frame BROADCASTS (bounded — thousands of
+    vectors x dim floats) into a nested-loop join against the corpus,
+    so the corpus never shuffles; per-partition partial top-k first
+    (groupBy (query_id, partition_id) + sort_array/slice collapses
+    each partition to ≤ k rows per query MAP-SIDE), so the only
+    shuffle carries n_queries x n_partitions x k rows — never
+    n_queries x corpus. The final per-query top-k is a window over
+    that bounded set. Ties break by id ascending, matching the
+    single-query form."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        )
+    )
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .join(q)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cosine"),
+        )
+    )
+    # struct(-cosine, id) sorts ascending = (cosine desc, id asc)
+    pair = F.struct(
+        (-F.col("cosine")).alias("_negcos"), F.col(id_col).alias("_id")
+    )
+    local = (
+        scored.withColumn("_p", F.spark_partition_id())
+        .groupBy("query_id", "_p")
+        .agg(
+            F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top")
+        )
+    )
+    merged = local.select(
+        "query_id", F.explode("_top").alias("_s")
+    ).select(
+        "query_id",
+        F.col("_s._id").alias(id_col),
+        (-F.col("_s._negcos")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def sign_lsh_bucket(vec_col: F.Column, dims: list[int]) -> F.Column:
     """Random-hyperplane-style LSH reduced to sign bits of chosen
     dimensions — deterministic, schema-free bucketing for ANN. Buckets =

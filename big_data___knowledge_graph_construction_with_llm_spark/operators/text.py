@@ -469,8 +469,53 @@ def read_bm25_stats(
     raw = fsutil.try_read_text(spark, f"{base}/{BM25_STATS_FILE}")
     if not raw:
         return None
-    obj = json.loads(raw)
-    return int(obj["n_docs"]), float(obj["avgdl"])
+    try:
+        obj = json.loads(raw)
+        return int(obj["n_docs"]), float(obj["avgdl"])
+    except (ValueError, KeyError, TypeError):
+        # torn read of a concurrent retrofit (refresh_bm25_stats), or a
+        # corrupt sidecar: same contract as absence — caller recomputes
+        return None
+
+
+def refresh_bm25_stats(spark, root: str) -> tuple[int, float]:
+    """Retrofit the ``_BM25_STATS`` sidecar onto the CURRENT committed
+    generation — the maintenance step after incremental absorbs left
+    the live generation without one (delta generations are written by
+    ``absorb_landing``, which doesn't know the table is a text index).
+    Recomputes ``(n_docs, avgdl)`` over the live table (full chain) in
+    one aggregate job and writes the sidecar into the resolved
+    generation dir. Post-commit retrofit, same model as
+    ``layout.add_manifest_blooms``: concurrent readers see either no
+    sidecar (they fall back to the recompute) or the complete tiny
+    object — :func:`read_bm25_stats` treats a torn read as absence.
+    Returns the stats it landed. Schedule next to
+    ``maybe_compact_table`` in the index-maintenance loop."""
+    import json
+
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    resolved = layout._resolve_table_generation(spark, root)
+    if resolved is None:
+        raise ValueError(f"no committed table generation under {root!r}")
+    live = layout.read_table(spark, root)
+    row = (
+        live.select("id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    stats = (
+        int(row["n"]),
+        float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+    )
+    fsutil.write_text(
+        spark,
+        f"{resolved}/{BM25_STATS_FILE}",
+        json.dumps({"n_docs": stats[0], "avgdl": stats[1]}),
+    )
+    return stats
 
 
 def bm25_query_table(

@@ -805,3 +805,62 @@ def test_maybe_compact_ivf_gates_on_measured_drift(spark, tmp_path):
     )
     d3 = ivf_drift(spark, p_drift)
     assert d3["drift_ratio"] is not None
+
+
+def test_knn_brute_force_many_matches_per_query_loop(spark):
+    """Batch exact KNN: one corpus pass for every query of a frame ==
+    the per-query knn_brute_force loop, and the plan has the bounded-
+    shuffle shape — query frame broadcast (BroadcastNestedLoopJoin,
+    never CartesianProduct), partial per-partition top-k collapsing
+    map-side before the only shuffle."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        knn_brute_force_many,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    qframe = (
+        load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    many = knn_brute_force_many(vecs, qframe, 5)
+    by_q: dict = {}
+    for r in many.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    qvecs = {
+        r["query_id"]: [float(x) for x in r["embedding"]]
+        for r in qframe.collect()
+    }
+    assert sorted(by_q) == sorted(qvecs)
+    for qid, qv in qvecs.items():
+        want = [
+            (r["vec_id"], r["cosine"])
+            for r in knn_brute_force(vecs, qv, 5).collect()
+        ]
+        got = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert got == want, f"query {qid}: batch != per-query"
+    plan = many._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_topk_many_plan_shape(spark):
+    """Batch BM25's plan: query-terms and df frames broadcast into the
+    posting join; no row-at-a-time Python, no cartesian."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk_many,
+        text_index,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    idx = text_index(docs, "doc_id", "text")
+    qdf = spark.createDataFrame(
+        [(0, "vector join"), (1, "stream filter")],
+        "query_id long, query string",
+    )
+    out = bm25_topk_many(idx, qdf, k=5, n_docs=500, avgdl=40.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2  # probe terms + df + qterms
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -1777,3 +1777,63 @@ def test_bm25_stats_sidecar_serving_and_batch(spark, tmp_path):
     ).collect()
     qids = {r["query_id"] for r in res}
     assert qids == {1}
+
+
+def test_refresh_bm25_stats_after_incremental_absorb(spark, tmp_path):
+    """Incremental absorbs write delta generations WITHOUT a stats
+    sidecar; refresh_bm25_stats retrofits one onto the live generation
+    (the add_manifest_blooms model), after which serving is back to
+    zero stats jobs — and a corrupt/torn sidecar reads as absence, not
+    a crash."""
+    from big_data___knowledge_graph_construction_with_llm_spark import fsutil
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        BM25_STATS_FILE,
+        bm25_query_table,
+        bm25_topk,
+        read_bm25_stats,
+        refresh_bm25_stats,
+        text_index,
+        write_text_index,
+    )
+
+    root = f"{tmp_path}/idx"
+    corpus0 = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("term"),
+            (F.col("id") / 4).cast("int").cast("string"),
+            F.lit(" common filler"),
+        ).alias("text"),
+    )
+    write_text_index(corpus0, "doc_id", "text", root, shards=4)
+    assert read_bm25_stats(spark, root) == (100, 3.0)
+    batch = spark.range(100, 140).select(
+        F.col("id").alias("doc_id"),
+        F.lit("term3 bonus filler extra").alias("text"),
+    )
+    layout.landing_append(text_index(batch, "doc_id", "text"), root, batch_id=0)
+    layout.absorb_landing(spark, root, min_batches=1, incremental=True)
+    # the delta generation the absorb committed has no sidecar
+    assert read_bm25_stats(spark, root) is None
+    stats = refresh_bm25_stats(spark, root)
+    assert stats == (140, (100 * 3 + 40 * 4) / 140)
+    assert read_bm25_stats(spark, root) == stats
+    full = corpus0.unionByName(batch)
+    want = [
+        tuple(r) for r in bm25_topk(full, "doc_id", "text", "term3 bonus", k=8).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_query_table(spark, root, "term3 bonus", k=8).collect()
+    ]
+    assert got == want
+    # corrupt sidecar reads as absence (fallback recompute), never a crash
+    gen = layout._resolve_table_generation(spark, root)
+    fsutil.write_text(spark, f"{gen}/{BM25_STATS_FILE}", "{not json")
+    assert read_bm25_stats(spark, root) is None
+    got2 = [
+        tuple(r)
+        for r in bm25_query_table(spark, root, "term3 bonus", k=8).collect()
+    ]
+    assert got2 == want
