@@ -105,6 +105,16 @@ def knn_brute_force_many(
             F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cosine"),
         )
     )
+    return _per_query_topk(scored, k, id_col)
+
+
+def _per_query_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Per-query top-k over a ``(query_id, id, cosine)`` candidate frame
+    with the bounded-shuffle shape shared by the batch KNN forms:
+    per-partition partial top-k collapses MAP-SIDE (groupBy (query,
+    partition_id) + sort_array/slice — ≤ k rows per query per
+    partition ever shuffle), then one window over the bounded merge.
+    Ties break by id ascending, matching the single-query forms."""
     # struct(-cosine, id) sorts ascending = (cosine desc, id asc)
     pair = F.struct(
         (-F.col("cosine")).alias("_negcos"), F.col(id_col).alias("_id")
@@ -131,6 +141,78 @@ def knn_brute_force_many(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def knn_ivf_many(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch ANN, IVF style — the SCALE path for many-query similarity
+    search (:func:`knn_brute_force_many` is the exact baseline):
+    every query of a frame probes only its ``n_probe`` nearest
+    clusters, in one pass over the pruned index. Results per query are
+    identical to a :func:`knn_ivf` loop (same L2 probe selection, same
+    tie-breaks).
+
+    Scale shape: probe selection is a query x centroid broadcast join
+    (centroid count is a PARAMETER, not data) ranked per query; the
+    index reads ONLY the union of probed clusters (a literal ``isin``
+    — partition pruning on an at-rest ``ivf_index`` stays intact, and
+    the union is ≤ the centroid count regardless of query count); each
+    query then scores just ITS probed clusters' vectors via the
+    broadcast (query_id, cluster) probe frame, and the per-query top-k
+    reuses the bounded-shuffle partial-top-k merge. The corpus never
+    shuffles and never outer-joins the query set."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qvec"),
+    )
+    cent = centroids.select("cluster", F.col("centroid").cast("array<double>").alias("_cvec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_qvec"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # rank clusters per query: n_queries x n_centroids rows, both small
+    wp = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cluster").asc())
+    probe = (
+        q.join(F.broadcast(cent))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cluster")
+    )
+    union_clusters = sorted(
+        r["cluster"] for r in probe.select("cluster").distinct().collect()
+    )
+    if "cluster" in vectors.columns:
+        assigned = vectors
+    else:
+        cents = [(r["cluster"], list(r["_cvec"])) for r in cent.collect()]
+        assigned = vectors.withColumn(
+            "cluster", nearest_cluster(F.col(vec_col).cast("array<double>"), cents)
+        )
+    candidates = assigned.filter(F.col("cluster").isin(union_clusters)).select(
+        "cluster", F.col(id_col), F.col(vec_col)
+    )
+    scored = (
+        candidates.join(F.broadcast(probe), "cluster")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cosine"),
+        )
+    )
+    return _per_query_topk(scored, k, id_col)
 
 
 def sign_lsh_bucket(vec_col: F.Column, dims: list[int]) -> F.Column:

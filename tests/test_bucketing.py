@@ -864,3 +864,50 @@ def test_bm25_topk_many_plan_shape(spark):
     assert plan.count("BroadcastHashJoin") >= 2  # probe terms + df + qterms
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_knn_ivf_many_matches_per_query_loop(spark, tmp_path):
+    """Batch IVF ANN == the per-query knn_ivf loop for every query and
+    every n_probe (same L2 probe selection, same tie-breaks), against
+    an at-rest partitioned index; probing all clusters equals brute
+    force, and the index read prunes to the union of probed clusters."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+        knn_ivf_many,
+    )
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    idx, cents = ensure_ivf_index(
+        spark, vecs, str(tmp_path / "ivf"), k=4, iterations=1
+    )
+    qframe = (
+        load(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id").isin([0, 7, 21, 40]))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    qvecs = {
+        r["query_id"]: [float(x) for x in r["embedding"]]
+        for r in qframe.collect()
+    }
+    for n_probe in (1, 2, 4):
+        many = knn_ivf_many(idx, cents, qframe, 5, n_probe=n_probe)
+        by_q: dict = {}
+        for r in many.collect():
+            by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+        for qid, qv in qvecs.items():
+            want = [
+                (r["vec_id"], r["cosine"])
+                for r in knn_ivf(idx, cents, qv, 5, n_probe=n_probe).collect()
+            ]
+            got = sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0]))
+            assert got == want, f"n_probe={n_probe} query {qid}"
+    # all clusters probed == exact brute force, per query
+    many_all = knn_ivf_many(idx, cents, qframe, 5, n_probe=4)
+    by_q = {}
+    for r in many_all.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in qvecs.items():
+        brute = [
+            (r["vec_id"], r["cosine"]) for r in knn_brute_force(vecs, qv, 5).collect()
+        ]
+        assert sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == brute
