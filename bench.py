@@ -436,6 +436,51 @@ def main() -> None:
         except Exception as exc:
             print(f"bench: ivf recall check failed: {exc!r}", file=sys.stderr)
 
+        # batch ANN contract (r13): knn_ivf_many must return EXACTLY
+        # the per-query loop's results, and the batch form amortizes —
+        # its fixed cost (probe-ranking window + broadcast joins) is
+        # flat in query count while the loop pays per-query jobs, so
+        # the honest unit is queries/sec: batch over 40 queries vs a
+        # bounded 5-query loop sample
+        try:
+            from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+                knn_ivf_many,
+            )
+
+            qframe = (
+                _load(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") < 40)
+                .select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                )
+            )
+            n_batch_q = qframe.count()
+            t0 = time.perf_counter()
+            many = knn_ivf_many(idx, cents, qframe, 10, n_probe=2).collect()
+            batch_wall = time.perf_counter() - t0
+            by_q: dict = {}
+            for r in many:
+                by_q.setdefault(r["query_id"], []).append(
+                    (r["vec_id"], r["cosine"])
+                )
+            t0 = time.perf_counter()
+            loop_parity = True
+            for i, q in enumerate(qvecs):  # qvecs = vec_id 0-4 ⊂ the 40
+                want = [
+                    (r["vec_id"], r["cosine"])
+                    for r in knn_ivf(idx, cents, q, 10, n_probe=2).collect()
+                ]
+                got = sorted(by_q.get(i, []), key=lambda t: (-t[1], t[0]))
+                loop_parity = loop_parity and got == want
+            loop_wall = time.perf_counter() - t0
+            ivf_recall["batch_parity"] = loop_parity
+            ivf_recall["batch_queries"] = n_batch_q
+            ivf_recall["batch_qps"] = round(n_batch_q / batch_wall, 1)
+            ivf_recall["loop_qps"] = round(len(qvecs) / loop_wall, 1)
+        except Exception as exc:
+            print(f"bench: ivf batch check failed: {exc!r}", file=sys.stderr)
+
         # int8 storage quantization (4x smaller scans): top-10 overlap of
         # the dequantized corpus vs exact — the cheap-compression point on
         # the same accuracy axis the PQ sweep measures the far end of
