@@ -110,34 +110,49 @@ def knn_brute_force_many(
 
 def _per_query_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     """Per-query top-k over a ``(query_id, id, cosine)`` candidate frame
-    with the bounded-shuffle shape shared by the batch KNN forms:
-    per-partition partial top-k collapses MAP-SIDE (groupBy (query,
-    partition_id) + sort_array/slice — ≤ k rows per query per
-    partition ever shuffle), then one window over the bounded merge.
-    Ties break by id ascending, matching the single-query forms."""
-    # struct(-cosine, id) sorts ascending = (cosine desc, id asc)
-    pair = F.struct(
-        (-F.col("cosine")).alias("_negcos"), F.col(id_col).alias("_id")
-    )
-    local = (
-        scored.withColumn("_p", F.spark_partition_id())
-        .groupBy("query_id", "_p")
-        .agg(
-            F.slice(F.sort_array(F.collect_list(pair)), 1, k).alias("_top")
-        )
-    )
-    merged = local.select(
-        "query_id", F.explode("_top").alias("_s")
-    ).select(
-        "query_id",
-        F.col("_s._id").alias(id_col),
-        (-F.col("_s._negcos")).alias("cosine"),
-    )
+    with BOUNDED task memory and shuffle, shared by the batch KNN
+    forms: an Arrow-batched per-partition fold (``mapInPandas``) keeps
+    a running ≤ k-rows-per-query frame across the partition's batches
+    — vectorized sort + groupby-head per batch — so each partition
+    emits at most n_queries x k rows BEFORE the only shuffle, which
+    therefore carries n_queries x n_partitions x k rows, never
+    n_queries x corpus. (A pure groupBy+collect_list partial aggregate
+    looks map-side but ships the FULL per-group candidate arrays
+    through the exchange — measured on the physical plan, which is why
+    this is the documented Arrow-boundary case instead.) The final
+    merge is one window over the bounded set. Null cosines (null or
+    zero-norm embeddings under ANSI-off) order LAST at every stage,
+    matching the single-query forms' ``desc``-nulls-last — so batch
+    results equal the per-query loop even on degenerate corpora. Ties
+    break by id ascending."""
+    import pandas as pd
+
+    sel = scored.select("query_id", F.col(id_col), "cosine")
+    out_schema = sel.schema
+
+    def _local_topk(batches):
+        best = None
+        for pdf in batches:
+            both = (
+                pdf
+                if best is None
+                else pd.concat([best, pdf], ignore_index=True)
+            )
+            both = both.sort_values(
+                ["query_id", "cosine", id_col],
+                ascending=[True, False, True],
+                na_position="last",
+            )
+            best = both.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    local = sel.mapInPandas(_local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        merged.withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
@@ -175,12 +190,27 @@ def knn_ivf_many(
         F.col(query_vec_col).cast("array<double>").alias("_qvec"),
     )
     cent = centroids.select("cluster", F.col("centroid").cast("array<double>").alias("_cvec"))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("_qvec"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)
+    # the _probe_ids dimensionality guard, expression form: zip_with
+    # would otherwise null-pad a dimension-mismatched query and the
+    # all-null d2 ordering would silently probe arbitrary clusters
+    dim_ok = F.assert_true(
+        F.size("_qvec") == F.size("_cvec"),
+        F.concat(
+            F.lit("query has "),
+            F.size("_qvec").cast("string"),
+            F.lit(" dims, centroids have "),
+            F.size("_cvec").cast("string"),
         ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    )
+    d2 = F.when(
+        dim_ok.isNull(),  # assert_true returns NULL when the check holds
+        F.aggregate(
+            F.zip_with(
+                F.col("_qvec"), F.col("_cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
     # rank clusters per query: n_queries x n_centroids rows, both small
     wp = Window.partitionBy("query_id").orderBy(d2.asc(), F.col("cluster").asc())

@@ -407,42 +407,32 @@ def write_text_index(
     inside the generation dir so it is covered by the same marker-last
     commit point as the data). Returns the generation name.
 
-    The stats pass runs ONCE at write time (a count+avg over token
-    counts — trivial next to the index build it rides along with), so
-    serving (:func:`bm25_query_table`, ``open_table`` handles) never
-    pays a stats job per query: the old collect-fallback in
+    The stats pass runs ONCE at write time against the JUST-WRITTEN
+    posting table (a column-pruned ``(id, dl)`` read of the small
+    index — NOT a second tokenization pass over the corpus, which
+    would be ~50% extra read I/O per build), so serving
+    (:func:`bm25_query_table`, ``open_table`` handles) never pays a
+    stats job per query: the old collect-fallback in
     :func:`bm25_topk_indexed` exists only for ad-hoc in-memory
-    indexes. Stats use the same population as :func:`bm25_topk` (rows
-    with non-null ``text_col``), so indexed and one-shot scores agree
-    exactly."""
-    import json
-
+    indexes. The sidecar lands via :func:`refresh_bm25_stats`
+    immediately AFTER the generation's commit point — a reader in
+    that window sees absence and falls back to the recompute, the
+    same contract as an absorb-written delta before the maintenance
+    refresh runs. Populations agree with :func:`bm25_topk` exactly:
+    ``split`` never yields an empty token array, so every
+    non-null-text doc has postings."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
 
-    toks = F.transform(tokens(text_col), F.lower)
-    stats = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.size(toks).alias("dl"))
-        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
-    )
-    payload = json.dumps(
-        {
-            "n_docs": int(stats["n"]),
-            "avgdl": float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0,
-        }
-    )
     idx = text_index(df, id_col, text_col)
-    extra = dict(write_kwargs.pop("extra_files", None) or {})
-    extra[BM25_STATS_FILE] = payload
-    return layout.write_table(
+    gen = layout.write_table(
         idx.repartitionByRange(shards, "term").sortWithinPartitions("term"),
         root,
         bloom_cols=write_kwargs.pop("bloom_cols", ["term"]),
         bloom_fpp=bloom_fpp,
-        extra_files=extra,
         **write_kwargs,
     )
+    refresh_bm25_stats(df.sparkSession, root)
+    return gen
 
 
 def read_bm25_stats(
@@ -627,7 +617,10 @@ def bm25_topk_many(
             .collect()[0]
         )
         n_docs = n_docs if n_docs is not None else stats["n"]
-        avgdl = avgdl if avgdl is not None else float(stats["avgdl"])
+        if avgdl is None:
+            # avg over an EMPTY index is null: an empty top-k for every
+            # query, not a TypeError
+            avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(

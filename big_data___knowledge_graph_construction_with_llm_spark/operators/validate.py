@@ -530,15 +530,17 @@ def profile_drift(
         base = ro["dtype"].split("(")[0]
         onf, nnf = ro["null_frac"] or 0.0, rn["null_frac"] or 0.0
         add(c, "null_frac", onf, nnf, abs(nnf - onf) > null_frac_abs)
-        if ro["approx_distinct"] and rn["approx_distinct"]:
-            ratio = rn["approx_distinct"] / ro["approx_distinct"]
-            add(
-                c,
-                "distinct",
-                ro["approx_distinct"],
-                rn["approx_distinct"],
-                ratio > distinct_ratio or ratio < 1.0 / distinct_ratio,
-            )
+        od, nd = ro["approx_distinct"] or 0, rn["approx_distinct"] or 0
+        if od or nd:
+            if od and nd:
+                ratio = nd / od
+                shifted = ratio > distinct_ratio or ratio < 1.0 / distinct_ratio
+            else:
+                # collapse to 0 (column went fully null/empty) or
+                # appearance from 0 — the MOST extreme cardinality
+                # move, always drift; a ratio guard would skip it
+                shifted = True
+            add(c, "distinct", od, nd, shifted)
         if ro["min"] is not None and rn["min"] is not None:
             if base in _NUMERIC_TYPES:
                 try:

@@ -78,13 +78,19 @@ def write_webdataset_shards(
     rows stream straight into ``tarfile.addfile`` — the duplicate-key
     check is an equality test against the previous key, and at the
     WebDataset-conventional ~1 GB/shard nothing near shard size is
-    ever held in Python. Commits are atomic per shard: each task
+    ever held in Python. Commits are atomic PER SHARD: each task
     writes ``<shard>.tar.tmp.<attemptId>`` and ``os.replace()``s it
     into place only on success, so a task killed mid-write (or a
     speculative duplicate attempt) can never leave a truncated or
-    interleaved tar at the final name. Shards that receive no samples
-    produce no tar but DO get a ``(shard, 0, 0)`` report row, so
-    ``sum(samples) == df.count()`` and missing-vs-empty is visible."""
+    interleaved tar at the final name. A failed EXPORT can still leave
+    earlier shards' committed tars behind — which is why the
+    export-level commit marker ``_EXPORT_MANIFEST`` (shard list +
+    counts + bytes) is written LAST, only when every shard succeeded:
+    a directory without it is not a complete export, and loaders
+    should trust the manifest's shard list over a bare glob. Shards
+    that receive no samples produce no tar but DO get a ``(shard, 0,
+    0)`` report row (and manifest entry), so ``sum(samples) ==
+    df.count()`` and missing-vs-empty is visible."""
     import os
 
     meta_cols = list(meta_cols or [])
@@ -166,6 +172,24 @@ def write_webdataset_shards(
     )
     written = {r[0] for r in rows}
     rows += [(s, 0, 0) for s in range(n_shards) if s not in written]
+    rows.sort(key=lambda r: r[0])
+    # export-level commit marker, written LAST and only on full
+    # success: per-SHARD commits are atomic (tmp+rename), but a failed
+    # export can still leave earlier shards' committed tars behind —
+    # the manifest's absence is what tells a loader the directory is
+    # not a complete export. Loaders consume _EXPORT_MANIFEST's shard
+    # list; re-exports overwrite it atomically via the same
+    # tmp+replace.
+    manifest = {
+        "n_shards": n_shards,
+        "shards": [[r[0], r[1], r[2]] for r in rows],
+        "samples": int(sum(r[1] for r in rows)),
+        "tar_bytes": int(sum(r[2] for r in rows)),
+    }
+    mpath = os.path.join(out_dir, "_EXPORT_MANIFEST")
+    with open(f"{mpath}.tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(f"{mpath}.tmp", mpath)
     return df.sparkSession.createDataFrame(rows, SHARD_REPORT_SCHEMA)
 
 

@@ -911,3 +911,54 @@ def test_knn_ivf_many_matches_per_query_loop(spark, tmp_path):
             (r["vec_id"], r["cosine"]) for r in knn_brute_force(vecs, qv, 5).collect()
         ]
         assert sorted(by_q[qid], key=lambda t: (-t[1], t[0])) == brute
+
+
+def test_knn_batch_degenerate_vectors_and_dim_guard(spark):
+    """Null-cosine candidates (null embedding / zero-norm vector under
+    ANSI-off) must order LAST in the batch forms, matching the
+    single-query loop exactly; and knn_ivf_many keeps knn_ivf's
+    dimensionality guard (a mismatched query raises instead of
+    silently probing arbitrary clusters)."""
+    import pytest
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ivf_centroids,
+        knn_brute_force_many,
+        knn_ivf_many,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, None),                      # null embedding -> null cosine
+        (4, [0.0, 0.0, 0.0, 0.0]),      # zero norm -> null cosine (ANSI off)
+        (5, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    qframe = spark.createDataFrame(
+        [(0, q)], "query_id long, embedding array<double>"
+    )
+    # k exceeds the non-null candidate count: single and batch must
+    # agree on BOTH the real neighbors and the null-tail behavior
+    want = [
+        (r["vec_id"], r["cosine"]) for r in knn_brute_force(vecs, q, 5).collect()
+    ]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in knn_brute_force_many(vecs, qframe, 5)
+        .orderBy(F.col("cosine").desc_nulls_last(), "vec_id")
+        .collect()
+    ]
+    assert got == want
+    # real neighbors lead; nulls (if present) only ever trail
+    real = [t for t in got if t[1] is not None]
+    assert [t[0] for t in real[:3]] == [1, 2, 5]
+    # dimension mismatch: guarded, not silent
+    good = vecs.filter(F.col("embedding").isNotNull()).filter(F.col("vec_id") != 4)
+    cents = ivf_centroids(good, k=2, iterations=1)
+    bad_q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dims"):
+        knn_ivf_many(good, cents, bad_q, 2, n_probe=1).collect()

@@ -438,8 +438,17 @@ def test_webdataset_empty_shards_reported_and_no_tmp(spark, tmp_path):
     man = webdataset_manifest(report)
     assert man["n_shards"] == 8 and man["n_empty"] == len(empties)
     names = sorted(p.name for p in out.iterdir())
-    assert all(n.endswith(".tar") for n in names), names
-    assert len(names) == 8 - len(empties)
+    tars = [n for n in names if n.endswith(".tar")]
+    # only committed tars + the export-level commit marker, no temps
+    assert set(names) - set(tars) == {"_EXPORT_MANIFEST"}, names
+    assert len(tars) == 8 - len(empties)
+    # the manifest is the loader's truth: full shard list incl. empties
+    import json as _json
+
+    m = _json.loads((out / "_EXPORT_MANIFEST").read_text())
+    assert m["n_shards"] == 8 and m["samples"] == 3
+    assert len(m["shards"]) == 8
+    assert {s for s, n, b in m["shards"] if n == 0} == set(empties)
     assert read_webdataset_shards(spark, str(out)).count() == 3
 
 
@@ -447,7 +456,10 @@ def test_webdataset_failed_write_leaves_no_final_tar(spark, tmp_path):
     """A task that dies mid-shard (here: the duplicate-key refusal)
     must never leave a truncated tar at the FINAL name — the write
     goes to a temp path and only os.replace()s on success, and the
-    error path removes the temp file."""
+    error path removes the temp file. Export-level: a failed export
+    never writes _EXPORT_MANIFEST (per-shard commits are atomic, but
+    OTHER shards that committed before the failure may remain — the
+    missing manifest is what marks the directory incomplete)."""
     import pytest
 
     from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
@@ -460,4 +472,6 @@ def test_webdataset_failed_write_leaves_no_final_tar(spark, tmp_path):
     out = tmp_path / "dup2"
     with pytest.raises(Exception, match="duplicate sample key"):
         write_webdataset_shards(df, str(out), "key", "payload", n_shards=2)
-    assert list(out.iterdir()) == []  # no final tar, no leaked temp
+    # both dup rows share a shard, so here nothing committed at all —
+    # and crucially no manifest marks the failed export complete
+    assert list(out.iterdir()) == []

@@ -1837,3 +1837,18 @@ def test_refresh_bm25_stats_after_incremental_absorb(spark, tmp_path):
         for r in bm25_query_table(spark, root, "term3 bonus", k=8).collect()
     ]
     assert got2 == want
+
+
+def test_bm25_topk_many_empty_index_stats_fallback(spark):
+    """The batch form's stats fallback on an EMPTY index (fresh table,
+    all docs filtered) returns the empty top-k for every query — not a
+    TypeError from float(None)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import bm25_topk_many
+
+    empty = spark.createDataFrame(
+        [], "term string, id long, tf bigint, dl int"
+    )
+    qdf = spark.createDataFrame(
+        [(0, "vector join")], "query_id long, query string"
+    )
+    assert bm25_topk_many(empty, qdf, k=5).collect() == []
