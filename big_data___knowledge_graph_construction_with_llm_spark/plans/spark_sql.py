@@ -345,30 +345,54 @@ SPARK_SQL_TWINS["q_ngram_topk"] = f"""
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, term, count(*) AS tf FROM toks
-      WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term
+      WHERE term IN ('filter', 'join', 'stream', 'vector')
+      GROUP BY doc_id, term
     ),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                 * tf.tf * (1.2 + 1)
-                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-             ) AS raw
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS w
       FROM tf
       JOIN dfreq d USING (term)
       JOIN dl USING (doc_id)
       CROSS JOIN stats s
-      GROUP BY tf.doc_id
     ),
     bm25_top AS (
-      SELECT doc_id, round(raw, 4) AS score FROM scored
+      SELECT doc_id, round(sum(w), 4) AS score FROM contrib
+      WHERE term IN ('join', 'stream', 'vector')
+      GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 10
+    ),
+    qmap AS (
+      SELECT 0 AS qid, 'join' AS term UNION ALL
+      SELECT 0, 'vector' UNION ALL
+      SELECT 1, 'filter' UNION ALL
+      SELECT 1, 'stream'
+    ),
+    bscored AS (
+      SELECT q.qid, c.doc_id, round(sum(c.w), 4) AS score
+      FROM contrib c JOIN qmap q USING (term)
+      GROUP BY q.qid, c.doc_id
+    ),
+    bm25b AS (
+      SELECT qid, doc_id, score FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rn
+        FROM bscored
+      ) WHERE rn <= 5
     )
     SELECT 'bigram' AS kind, g AS item, CAST(n AS DOUBLE) AS score
     FROM bigram_top
     UNION ALL
     SELECT 'bm25' AS kind, CAST(doc_id AS STRING) AS item, score
     FROM bm25_top
+    UNION ALL
+    SELECT concat('bm25b:', CAST(qid AS STRING)) AS kind,
+           CAST(doc_id AS STRING) AS item, score
+    FROM bm25b
 """
 
 SPARK_SQL_TWINS["q_pipeline_e2e"] = """
@@ -420,11 +444,33 @@ SPARK_SQL_TWINS["q_json_repair"] = """
 
 SPARK_SQL_TWINS["q_knn_bruteforce"] = """
     WITH q AS (SELECT cast(embedding AS array<double>) AS qv FROM embeddings WHERE vec_id = 0),
-    e AS (SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id <> 0)
-    SELECT vec_id, round((aggregate(zip_with(e.v, q.qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(e.v, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(q.qv, 0D, (acc, x) -> acc + x * x)))), 4) AS cosine
-    FROM e CROSS JOIN q
-    ORDER BY cosine DESC, vec_id
-    LIMIT 10
+    e AS (SELECT vec_id, cast(embedding AS array<double>) AS v FROM embeddings WHERE vec_id <> 0),
+    single AS (
+      SELECT 'single' AS tag, vec_id, round((aggregate(zip_with(e.v, q.qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(e.v, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(q.qv, 0D, (acc, x) -> acc + x * x)))), 4) AS cosine
+      FROM e CROSS JOIN q
+      ORDER BY cosine DESC, vec_id
+      LIMIT 10
+    ),
+    bq AS (
+      SELECT vec_id AS qid, cast(embedding AS array<double>) AS qv
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    scored AS (
+      SELECT bq.qid, e.vec_id, round((aggregate(zip_with(e.v, bq.qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(e.v, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(bq.qv, 0D, (acc, x) -> acc + x * x)))), 4) AS cosine
+      FROM e CROSS JOIN bq
+    ),
+    batch AS (
+      SELECT concat('batch:', CAST(qid AS STRING)) AS tag, vec_id, cosine
+      FROM (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    )
+    SELECT tag, vec_id, cosine FROM single
+    UNION ALL
+    SELECT tag, vec_id, cosine FROM batch
 """
 
 SPARK_SQL_TWINS["q_knn_lsh"] = """

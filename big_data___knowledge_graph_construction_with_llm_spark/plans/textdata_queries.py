@@ -460,22 +460,72 @@ def _query_vec(spark: SparkSession, sf: str) -> list[float]:
 @query(
     "q_knn_bruteforce",
     oracle="""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id,
-           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cosine
-    FROM embeddings e, q
-    WHERE e.vec_id <> 0
-    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) DESC,
-             vec_id
-    LIMIT 10
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    single AS (
+      SELECT 'single' AS tag, vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) DESC,
+               vec_id
+      LIMIT 10
+    ),
+    bq AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id IN (0, 7, 21)
+    ),
+    scored AS (
+      SELECT bq.qid, e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], bq.qv), 4) AS cosine
+      FROM embeddings e CROSS JOIN bq
+      WHERE e.vec_id <> 0
+    ),
+    batch AS (
+      SELECT 'batch:' || CAST(qid AS VARCHAR) AS tag, vec_id, cosine
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vec_id) <= 10
+    )
+    SELECT tag, vec_id, cosine FROM single
+    UNION ALL
+    SELECT tag, vec_id, cosine FROM batch
     """,
 )
 def q_knn_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact cosine top-k against a query vector (scan + TakeOrdered; no
-    corpus shuffle). Query vector = embedding of vec_id 0 (a parameter
-    fetch, not data movement)."""
+    """Exact cosine top-k, single AND batch (folded r13 so the batch
+    operator family carries a hash-graded oracle row):
+
+    - ``single`` leg: one query vector (embedding of vec_id 0 — a
+      parameter fetch, not data movement), scan + TakeOrdered, no
+      corpus shuffle.
+    - ``batch:<qid>`` legs: ``knn_brute_force_many`` over a 3-query
+      frame in ONE corpus pass — query frame broadcast, Arrow-batched
+      per-partition bounded top-k, the only shuffle carrying
+      n_queries x n_partitions x k rows. The oracle replays every
+      query's exact top-10 with a per-query window, so a wrong score
+      OR a wrong per-query cut flips the hash."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        knn_brute_force_many,
+    )
+
     vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    return knn_brute_force(vecs, _query_vec(spark, sf), 10)
+    single = knn_brute_force(vecs, _query_vec(spark, sf), 10).select(
+        F.lit("single").alias("tag"), "vec_id", "cosine"
+    )
+    qframe = (
+        load(spark, sf, "embeddings")
+        .filter(F.col("vec_id").isin([0, 7, 21]))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    batch = knn_brute_force_many(vecs, qframe, 10).select(
+        F.concat(F.lit("batch:"), F.col("query_id").cast("string")).alias("tag"),
+        "vec_id",
+        "cosine",
+    )
+    return single.unionByName(batch)
 
 
 @query(
@@ -949,30 +999,48 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, term, count(*) AS tf FROM toks
-      WHERE term IN ('vector', 'join', 'stream') GROUP BY doc_id, term
+      WHERE term IN ('filter', 'join', 'stream', 'vector')
+      GROUP BY doc_id, term
     ),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-             sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-                 * tf.tf * (1.2 + 1)
-                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-             ) AS raw
+    contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS w
       FROM tf
       JOIN dfreq d USING (term)
       JOIN dl USING (doc_id)
       CROSS JOIN stats s
-      GROUP BY tf.doc_id
     ),
     bm25_top AS (
-      SELECT doc_id, round(raw, 4) AS score FROM scored
-      ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+      SELECT doc_id, round(sum(w), 4) AS score FROM contrib
+      WHERE term IN ('join', 'stream', 'vector')
+      GROUP BY doc_id
+      ORDER BY round(sum(w), 4) DESC, doc_id LIMIT 10
+    ),
+    qmap(qid, term) AS (
+      VALUES (0, 'join'), (0, 'vector'), (1, 'filter'), (1, 'stream')
+    ),
+    bscored AS (
+      SELECT q.qid, c.doc_id, round(sum(c.w), 4) AS score
+      FROM contrib c JOIN qmap q USING (term)
+      GROUP BY q.qid, c.doc_id
+    ),
+    bm25b AS (
+      SELECT qid, doc_id, score FROM bscored
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc_id) <= 5
     )
     SELECT 'bigram' AS kind, g AS item, CAST(n AS DOUBLE) AS score
     FROM bigram_top
     UNION ALL
     SELECT 'bm25' AS kind, CAST(doc_id AS VARCHAR) AS item, score
     FROM bm25_top
+    UNION ALL
+    SELECT 'bm25b:' || CAST(qid AS VARCHAR) AS kind,
+           CAST(doc_id AS VARCHAR) AS item, score
+    FROM bm25b
     """,
 )
 def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -994,10 +1062,22 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
       reference has no retrieval surface, nearest analog is its LLM
       context assembly `Art-Knowledge-Graph-Local/LLM/pipeline.py`).
 
-    Both legs stay fully load-bearing under the hash compare: a wrong
-    bigram count or a wrong BM25 score flips the row hash."""
+    - ``bm25b:<qid>`` legs (r13): ``bm25_topk_many`` — BOTH batch
+      queries scored in ONE pass over the inline posting index (query
+      terms broadcast into the posting join, df over the union of
+      probed terms, per-query top-5 via one window). The oracle
+      replays each query's scores and per-query cut independently, so
+      the batch form is hash-graded, not just unit-tested.
+
+    All legs stay fully load-bearing under the hash compare: a wrong
+    bigram count, a wrong BM25 score, or a wrong per-query batch cut
+    flips the row hash."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import shingles
-    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import bm25_topk
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_many,
+        tokens,
+    )
 
     d = load(spark, sf, "documents")
     lowered = d.filter(
@@ -1020,7 +1100,44 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").cast("string").alias("item"),
         "score",
     )
-    return bigram_leg.unionByName(bm25_leg)
+    toks = F.transform(tokens("text"), F.lower)
+    st = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.size(toks).alias("dl"))
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    qdf = spark.createDataFrame(
+        [(0, "vector join"), (1, "stream filter")],
+        "query_id int, query string",
+    )
+    # inline postings with the UNION of the batch's terms filtered
+    # BEFORE the (id, term) aggregation — the same only-the-probed-
+    # terms-ever-shuffle shape as bm25_topk's inline build; a full
+    # text_index here would aggregate every term in the corpus first
+    hits = (
+        d.filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(toks).alias("term"),
+            F.size(toks).alias("dl"),
+        )
+        .filter(F.col("term").isin(["filter", "join", "stream", "vector"]))
+        .groupBy("term", "id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    bm25b_leg = bm25_topk_many(
+        hits,
+        qdf,
+        k=5,
+        n_docs=st["n"],
+        avgdl=float(st["avgdl"]),
+    ).select(
+        F.concat(F.lit("bm25b:"), F.col("query_id").cast("string")).alias("kind"),
+        F.col("id").cast("string").alias("item"),
+        "score",
+    )
+    return bigram_leg.unionByName(bm25_leg).unionByName(bm25b_leg)
 
 
 @query(
