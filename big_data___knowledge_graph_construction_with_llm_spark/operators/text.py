@@ -571,6 +571,85 @@ def bm25_query_table(
     )
 
 
+def bm25_query_table_many(
+    spark,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float | None = None,
+    handle=None,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Batch serving entry: :func:`bm25_topk_many` against an at-rest
+    :func:`write_text_index` table — the decontamination/eval-suite
+    shape end-to-end. Collects the UNION of the batch's terms (one
+    tiny job over the queries frame; the union is bounded by the
+    batch's vocabulary, not the corpus), file-skips the posting read
+    to exactly those terms (manifest + bloom pruning, like the
+    single-query form), resolves ``n_docs``/``avgdl`` from the
+    ``_BM25_STATS`` sidecar (zero Spark jobs; cached on ``handle``),
+    and scores every query in ONE pass. Same fallback contract as
+    :func:`bm25_query_table` when the sidecar is absent."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    term_rows = (
+        queries.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.transform(tokens(query_col), F.lower),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("term")
+        )
+        .distinct()
+        .collect()
+    )
+    terms = sorted(r["term"] for r in term_rows)
+    if not terms:
+        raise ValueError("empty batch: no whitespace terms in any query")
+    if handle is not None:
+        stats = getattr(handle, "_bm25_stats", False)
+        if stats is False:
+            stats = read_bm25_stats(spark, root, generation=handle.generation)
+            handle._bm25_stats = stats
+        postings = handle.read(where=("term", "in", terms))
+    else:
+        stats = read_bm25_stats(spark, root)
+        postings = layout.read_table(spark, root, where=("term", "in", terms))
+    if stats is None:
+        full = handle.read() if handle is not None else layout.read_table(spark, root)
+        row = (
+            full.select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        stats = (
+            row["n"],
+            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        )
+        if handle is not None:
+            handle._bm25_stats = stats
+    n_docs, avgdl = stats
+    return bm25_topk_many(
+        postings,
+        queries,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        k=k,
+        k1=k1,
+        b=b,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        max_df_frac=max_df_frac,
+    )
+
+
 def bm25_topk_many(
     index: DataFrame,
     queries: DataFrame,

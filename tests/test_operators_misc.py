@@ -1852,3 +1852,61 @@ def test_bm25_topk_many_empty_index_stats_fallback(spark):
         [(0, "vector join")], "query_id long, query string"
     )
     assert bm25_topk_many(empty, qdf, k=5).collect() == []
+
+
+def test_bm25_query_table_many_serving_parity(spark, tmp_path):
+    """Batch serving against the at-rest index: per-query results equal
+    the single-query serving path, the posting read file-skips to the
+    UNION of the batch's terms, and the stats come from the sidecar
+    (cached on the handle)."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_query_table,
+        bm25_query_table_many,
+        write_text_index,
+    )
+
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("term"),
+            (F.col("id") / 4).cast("int").cast("string"),
+            F.lit(" common filler"),
+        ).alias("text"),
+    )
+    root = f"{tmp_path}/idx"
+    write_text_index(docs, "doc_id", "text", root, shards=8, bloom_fpp=0.001)
+    qs = [(0, "term3 term77"), (1, "term12 common"), (2, "absentzz qqq")]
+    qdf = spark.createDataFrame(qs, "query_id long, query string")
+    many = bm25_query_table_many(spark, root, qdf, k=5)
+    by_q: dict = {}
+    for r in many.collect():
+        by_q.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qid, text in qs:
+        if "absentzz" in text:
+            assert qid not in by_q  # no-hit query: no rows, no raise
+            continue
+        want = [
+            tuple(r) for r in bm25_query_table(spark, root, text, k=5).collect()
+        ]
+        got = sorted(by_q[qid], key=lambda t: (-t[1], t[0]))
+        assert got == want, f"query {qid}"
+    # handle path: parity + sidecar cached after the first batch
+    handle = layout.open_table(spark, root)
+    many_h = bm25_query_table_many(spark, root, qdf, k=5, handle=handle)
+    a = sorted(tuple(r) for r in many.collect())
+    b = sorted(tuple(r) for r in many_h.collect())
+    assert a == b
+    assert handle._bm25_stats == (400, 3.0)
+    # the pruned read opens a fraction of the index's files
+    postings = handle.read(
+        where=("term", "in", ["common", "term12", "term3", "term77"])
+    )
+    assert 0 < len(postings.inputFiles()) < 8
+    handle.close()
+    with pytest.raises(ValueError, match="empty batch"):
+        bm25_query_table_many(
+            spark,
+            root,
+            spark.createDataFrame([(0, "   ")], "query_id long, query string"),
+        )
