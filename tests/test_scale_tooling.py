@@ -194,6 +194,20 @@ def test_bench_interleaved_calibration_constants():
     )
 
 
+def test_bench_rerun_on_overload_default_on():
+    """r14 (VERDICT r13 #1): the overload re-run is the DEFAULT — the
+    driver runs `bench.py` bare, so an opt-in flag never protects the
+    graded artifact. Bare invocation => enabled; explicit opt-out via
+    flag or env => disabled; the r13 opt-in spellings stay accepted
+    no-ops."""
+    f = _bench_mod()._rerun_on_overload_enabled
+    assert f([], {}) is True
+    assert f(["--rerun-on-overload"], {}) is True  # r13 spelling, no-op
+    assert f([], {"SPARK_GRAFT_RERUN_ON_OVERLOAD": "1"}) is True
+    assert f(["--no-rerun-on-overload"], {}) is False
+    assert f([], {"SPARK_GRAFT_RERUN_ON_OVERLOAD": "0"}) is False
+
+
 def test_bench_calibration_repin_continuity():
     """Round-12 re-pin (quiet-host probes never reproduced the 0.95
     pin — see the constant's note): the emitted JSON must carry BOTH
