@@ -400,44 +400,80 @@ def ivf_centroids(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "hash",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: k-means centroids ``(cluster, centroid)``
     trained with Lloyd iterations as DataFrame ops.
 
-    Deterministic init: cluster seed = ``xxhash64(id) pmod k`` (no RNG, so
-    executors/driver and re-runs agree). Each iteration: average per
-    cluster (one partial-aggregated shuffle of k×dims rows), collect the
-    k centroids (a parameter fetch, not data movement), and re-assign
-    with the map-only ``nearest_cluster`` projection. At 100 TB train on
-    a sample; assignment stays a shuffle-free full scan, which is the
-    scalable part that matters.
+    Deterministic init (no RNG, so executors/driver and re-runs agree):
+
+    - ``init="hash"`` (default): cluster seed = ``xxhash64(id) pmod k``
+      — uniform regardless of the id space's shape (clustered ids,
+      gaps, stripes), the right default for arbitrary corpora.
+    - ``init="mod"``: cluster seed = ``id pmod k`` — equally uniform
+      for dense sequential ids, and REPLAYABLE in any ANSI-SQL engine
+      (``xxhash64`` is Spark-specific), which is what lets
+      ``q_knn_ivf`` carry a DuckDB oracle that re-trains the identical
+      quantizer.
+
+    ``round_dp`` rounds each centroid mean to that many decimals before
+    it is used for the next assignment (and before it is returned).
+    Spark merges per-partition partial sums in task-completion order,
+    so an unrounded mean can wander in its last ~2 ulps run-to-run;
+    rounding well above that noise floor (1e-6 vs ~1e-13) makes the
+    trained centroids — and every downstream assignment and probe —
+    bit-reproducible across runs AND across engines. Leave ``None``
+    (full precision) when no external replay needs to agree.
+
+    Each iteration: average per cluster (one partial-aggregated shuffle
+    of k×dims rows), collect the k centroids (a parameter fetch, not
+    data movement), and re-assign with the map-only ``nearest_cluster``
+    projection. At 100 TB train on a sample; assignment stays a
+    shuffle-free full scan, which is the scalable part that matters.
     """
+    if init not in ("hash", "mod"):
+        raise ValueError(f"unknown ivf init {init!r} (expected 'hash' or 'mod')")
     v = vectors.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
     # init: hash-partitioned seeds -> mean per seed bucket
-    assigned = v.withColumn("cluster", F.pmod(F.xxhash64(F.col("_id")), F.lit(k)))
+    seed = (
+        F.pmod(F.xxhash64(F.col("_id")), F.lit(k))
+        if init == "hash"
+        else F.pmod(F.col("_id"), F.lit(k)).cast("long")
+    )
+    assigned = v.withColumn("cluster", seed)
     centroids = None
     for _ in range(iterations):
         # pluggable lineage cut (materialize seam): computed once here,
         # reused by the collect below AND by the caller
         prev = centroids
-        centroids = materialize(_cluster_means(assigned))
+        centroids = materialize(_cluster_means(assigned, round_dp))
         if prev is not None:
             release(prev)  # superseded Lloyd iteration (k×dims rows — small, but tidy)
         cents = [(r["cluster"], list(r["centroid"])) for r in centroids.collect()]
         assigned = v.withColumn("cluster", nearest_cluster(F.col("_v"), cents))
-    return centroids if centroids is not None else materialize(_cluster_means(assigned))
+    return (
+        centroids
+        if centroids is not None
+        else materialize(_cluster_means(assigned, round_dp))
+    )
 
 
-def _cluster_means(assigned: DataFrame) -> DataFrame:
+def _cluster_means(assigned: DataFrame, round_dp: int | None = None) -> DataFrame:
     """Element-wise mean vector per cluster: explode (pos, val), average,
     re-assemble — partial aggregation keeps the shuffle at
-    O(k × dims) rows."""
+    O(k × dims) rows. ``round_dp`` rounds each mean (see
+    :func:`ivf_centroids` for why: reproducibility across partial-sum
+    merge orders and engines)."""
     pos = assigned.select(
         "cluster", F.posexplode("_v").alias("pos", "val")
     )
-    means = pos.groupBy("cluster", "pos").agg(F.avg("val").alias("m"))
+    m = F.avg("val")
+    if round_dp is not None:
+        m = F.round(m, round_dp)
+    means = pos.groupBy("cluster", "pos").agg(m.alias("m"))
     return (
         means.groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
@@ -477,9 +513,16 @@ def ensure_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gc_max_age_ms: int | None = None,
+    init: str = "hash",
+    round_dp: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build-once, probe-many: materialize the IVF layout at ``path`` if
     absent and return ``(index, centroids)`` read back FROM DISK.
+
+    ``init``/``round_dp`` pass through to :func:`ivf_centroids`
+    (deterministic-init flavor + centroid rounding); callers that need
+    an externally-replayable quantizer must key ``path`` on them — the
+    at-rest layout records no build parameters.
 
     Layout: each build writes a self-contained attempt directory
     ``path/attempt-<id>/{index,centroids,_COMPLETE}`` — ``index`` is the
@@ -533,7 +576,13 @@ def ensure_ivf_index(
         name = f"attempt-{uuid.uuid4().hex[:12]}"
         base = f"{path}/{name}"
         cents = ivf_centroids(
-            vectors, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+            vectors,
+            k=k,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+            init=init,
+            round_dp=round_dp,
         )
         ivf_index(vectors, cents, id_col=id_col, vec_col=vec_col).write.mode(
             "overwrite"

@@ -788,15 +788,57 @@ def q_skew_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("q_approx_sketches")  # HLL++/KLL internals are engine-specific — rows-only
+@query(
+    "q_approx_sketches",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS cd_cust,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+           TRUE AS acd_within_3rsd,
+           TRUE AS ap50_within_1pct,
+           TRUE AS ap95_within_1pct
+    FROM orders
+    """,
+)
 def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     """Sketch-based aggregates (the bounded-memory path the exact
     count-distinct / percentiles in q_order_stats swap to at 100 TB):
     approx_count_distinct (HLL++) and percentile_approx (KLL-ish).
-    Accuracy bounds are unit-tested against the exact values."""
+
+    Hash-graded since r14 (VERDICT r13 #3): the raw estimates are
+    engine-specific (no oracle can replay HLL++ register state), but
+    their BOUNDED VERDICT is deterministic — the query emits the exact
+    values plus one boolean per sketch asserting the estimate landed
+    inside its documented bound, and the oracle emits the exact values
+    plus literal TRUEs. Spark's sketches are deterministic for fixed
+    input, so the booleans are stable; if an estimate ever drifts out
+    of bound the hash flips and the row goes red. Bounds: HLL++ within
+    3×rsd (0.06 — measured rel-err here is ~0.006); percentile_approx
+    (accuracy=10000) within 1% of the exact interpolated percentile
+    (rank error ≤ n/10000 rows). The fine-grained measured errors stay
+    in BENCH_DETAIL's ``sketch_accuracy`` block. Still ONE aggregate
+    pass — the exact legs ride the same HashAggregate."""
     o = load(spark, sf, "orders")
-    return o.agg(
+    est = o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("acd_cust"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
         F.percentile_approx("o_totalprice", 0.95, 10000).alias("ap95"),
+        F.countDistinct("o_custkey").alias("cd_cust"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("ep50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("ep95"),
+    )
+    return est.select(
+        "cd_cust",
+        F.round("ep50", 2).alias("p50"),
+        F.round("ep95", 2).alias("p95"),
+        (
+            F.abs(F.col("acd_cust") - F.col("cd_cust")) / F.col("cd_cust")
+            <= 0.06
+        ).alias("acd_within_3rsd"),
+        (F.abs(F.col("ap50") - F.col("ep50")) / F.col("ep50") <= 0.01).alias(
+            "ap50_within_1pct"
+        ),
+        (F.abs(F.col("ap95") - F.col("ep95")) / F.col("ep95") <= 0.01).alias(
+            "ap95_within_1pct"
+        ),
     )

@@ -927,16 +927,18 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     return attach_binary_meta(d, "payload").select("doc_id", "byte_len", "sha256")
 
 
-def _ivf_cache_path(spark: SparkSession, sf: str) -> str:
+def _ivf_cache_path(spark: SparkSession, sf: str, tag: str = "k8i2") -> str:
     """Deterministic scratch location for the at-rest IVF index of one
     sf dir, keyed by source path + mtime so a regenerated embeddings
-    table invalidates the cache. The mtime probe goes through the
-    Hadoop FS API (``fsutil.mtime``), so ``sf`` may be a remote URI
-    (``s3a://…``) just like every other query input. The cache root
-    defaults to the driver's tempdir — right for local[n] bench runs —
-    and ``SPARK_GRAFT_IVF_CACHE`` overrides it with a shared-storage
-    URI on a cluster (``ensure_ivf_index``'s marker-last commit is
-    already safe there)."""
+    table invalidates the cache, plus a build-parameter ``tag`` so
+    indexes trained with different quantizer settings never share a
+    path (the at-rest layout records no build parameters). The mtime
+    probe goes through the Hadoop FS API (``fsutil.mtime``), so ``sf``
+    may be a remote URI (``s3a://…``) just like every other query
+    input. The cache root defaults to the driver's tempdir — right for
+    local[n] bench runs — and ``SPARK_GRAFT_IVF_CACHE`` overrides it
+    with a shared-storage URI on a cluster (``ensure_ivf_index``'s
+    marker-last commit is already safe there)."""
     import hashlib
     import os
     import tempfile
@@ -946,13 +948,77 @@ def _ivf_cache_path(spark: SparkSession, sf: str) -> str:
     base = sf if "://" in sf else os.path.abspath(sf)
     src = base.rstrip("/") + "/embeddings.parquet"
     key = hashlib.md5(
-        f"{src}:{fsutil.mtime(spark, src)}:k8i2".encode()
+        f"{src}:{fsutil.mtime(spark, src)}:{tag}".encode()
     ).hexdigest()[:12]
     root = os.environ.get("SPARK_GRAFT_IVF_CACHE") or tempfile.gettempdir()
     return root.rstrip("/") + f"/spark_graft_ivf_{key}"
 
 
-@query("q_knn_ivf")  # k-means quantizer is engine-specific — rows-only check
+@query(
+    "q_knn_ivf",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    a0 AS (SELECT vec_id, v, vec_id % 8 AS c FROM e),
+    x1 AS (
+      SELECT c, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val FROM a0
+    ),
+    m1 AS (
+      SELECT c, pos, round(avg(val), 6) AS m FROM x1 GROUP BY c, pos
+    ),
+    cent1 AS (SELECT c, list(m ORDER BY pos) AS cen FROM m1 GROUP BY c),
+    s1 AS (
+      SELECT a0.vec_id, a0.v, cent1.c,
+             list_reduce(
+               list_transform(range(1, len(a0.v) + 1),
+                 i -> (a0.v[i] - cent1.cen[i]) * (a0.v[i] - cent1.cen[i])),
+               (x, y) -> x + y) AS d2
+      FROM a0 CROSS JOIN cent1
+    ),
+    a1 AS (
+      SELECT vec_id, v, c FROM s1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1
+    ),
+    x2 AS (
+      SELECT c, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val FROM a1
+    ),
+    m2 AS (
+      SELECT c, pos, round(avg(val), 6) AS m FROM x2 GROUP BY c, pos
+    ),
+    cent2 AS (SELECT c, list(m ORDER BY pos) AS cen FROM m2 GROUP BY c),
+    s2 AS (
+      SELECT e.vec_id, e.v, cent2.c,
+             list_reduce(
+               list_transform(range(1, len(e.v) + 1),
+                 i -> (e.v[i] - cent2.cen[i]) * (e.v[i] - cent2.cen[i])),
+               (x, y) -> x + y) AS d2
+      FROM e CROSS JOIN cent2
+    ),
+    af AS (
+      SELECT vec_id, v, c FROM s2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1
+    ),
+    probe AS (
+      SELECT cent2.c
+      FROM cent2, q
+      ORDER BY list_reduce(
+                 list_transform(range(1, len(q.qv) + 1),
+                   i -> (cent2.cen[i] - q.qv[i]) * (cent2.cen[i] - q.qv[i])),
+                 (x, y) -> x + y),
+               cent2.c
+      LIMIT 2
+    )
+    SELECT af.vec_id,
+           round(list_cosine_similarity(af.v, q.qv), 4) AS cosine
+    FROM af, q
+    WHERE af.c IN (SELECT c FROM probe)
+    ORDER BY cosine DESC, af.vec_id
+    LIMIT 10
+    """,
+)
 def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """ANN top-k, IVF-style, against the AT-REST index: the coarse
     quantizer is trained once and the corpus written
@@ -960,7 +1026,22 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
     query then probes the 2 nearest clusters, which the scan sees as
     partition pruning — it reads ~n_probe/k of the data and never
     re-trains. This is the 100 TB shape: index build is an offline job,
-    queries are pruned scans (q_knn_bruteforce is the unindexed twin)."""
+    queries are pruned scans (q_knn_bruteforce is the unindexed twin).
+
+    Hash-graded since r14 (VERDICT r13 #2): the quantizer here trains
+    with ``init="mod"`` (ANSI-replayable seed — ``xxhash64`` is
+    Spark-only) and ``round_dp=6`` (centroid means rounded well above
+    the partial-sum-merge noise floor), which makes the ENTIRE pipeline
+    — 2 Lloyd iterations, final assignment, probe ranking, exact cosine
+    top-10 — bit-reproducible in DuckDB: the oracle re-trains the same
+    quantizer as unrolled CTEs (the ``q_pagerank`` precedent) with the
+    same sequential-fold distance arithmetic (``list_reduce`` matches
+    ``F.aggregate`` order) and the same (d2, cluster)/(cosine, vec_id)
+    tie-breaks. The recall sweep in BENCH_DETAIL stays on the
+    default-init index — this leg grades correctness, that one grades
+    accuracy. The oracle-variant index caches under its own tag
+    (``k8i2m6``): build parameters are not recorded at rest, so
+    differently-trained indexes must never share a path."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
         ensure_ivf_index,
         knn_ivf,
@@ -968,7 +1049,13 @@ def q_knn_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
     vecs = load(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     idx, cents = ensure_ivf_index(
-        spark, vecs, _ivf_cache_path(spark, sf), k=8, iterations=2
+        spark,
+        vecs,
+        _ivf_cache_path(spark, sf, tag="k8i2m6"),
+        k=8,
+        iterations=2,
+        init="mod",
+        round_dp=6,
     )
     return knn_ivf(idx, cents, _query_vec(spark, sf), 10, n_probe=2)
 

@@ -193,7 +193,12 @@ def write_webdataset_shards(
     return df.sparkSession.createDataFrame(rows, SHARD_REPORT_SCHEMA)
 
 
-def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
+def read_webdataset_shards(
+    spark: SparkSession,
+    path: str,
+    require_manifest: bool = False,
+    chunk_rows: int = 256,
+) -> DataFrame:
     """Read WebDataset tar shards back into ``(key, meta, payload,
     shard)`` — the export's round-trip twin and a general importer for
     externally produced WebDataset data. One ``binaryFile`` row per
@@ -201,40 +206,209 @@ def read_webdataset_shards(spark: SparkSession, path: str) -> DataFrame:
     matching how training loaders consume them), expanded to samples
     by an Arrow-batched ``mapInPandas`` running stdlib ``tarfile`` over
     the in-memory shard. Members group by basename; ``.json`` becomes
-    ``meta``, any other extension the ``payload``."""
+    ``meta``, any other extension the ``payload``.
+
+    Manifest contract (r14; VERDICT r13 #4): when ``_EXPORT_MANIFEST``
+    exists, EXACTLY its shard list is read — a manifest-named tar that
+    is missing raises (a partially failed RE-export over a complete
+    one), and stray tars outside the list (crashed attempts, older
+    layouts) are ignored rather than silently mixed in. When no
+    manifest exists the directory is either an external dataset or an
+    INCOMPLETE export of ours: ``require_manifest=True`` makes that
+    fatal (the right setting for reading back our own exports);
+    ``False`` (default) falls back to the bare ``shard-*.tar`` glob for
+    externally produced data, which never carries our marker.
+
+    Task memory (r14; VERDICT r13 #5): samples are streamed out in
+    ``chunk_rows``-sized Arrow chunks as the tar is walked, holding one
+    sample group + one chunk in Python at a time — peak expansion
+    memory is O(chunk), not O(shard) (the ``binaryFile`` ``content``
+    itself is the floor this source can't go below). The walk groups
+    members by CONTIGUOUS basename runs, which is the WebDataset
+    convention (a sample's members are adjacent; our writer sorts by
+    key) — a tar that scatters one sample's members apart yields
+    partial rows rather than merging across the gap."""
+    import os
+
+    manifest_path = os.path.join(path, "_EXPORT_MANIFEST")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            manifest = json.load(fh)
+        tars = [
+            os.path.join(path, f"shard-{int(s):05d}.tar")
+            for s, n_samples, _b in manifest["shards"]
+            if n_samples > 0
+        ]
+        missing = [t for t in tars if not os.path.exists(t)]
+        if missing:
+            raise ValueError(
+                f"_EXPORT_MANIFEST under {path!r} names"
+                f" {len(missing)} shard tar(s) that do not exist"
+                f" (first: {missing[0]!r}) — the directory does not"
+                " match its manifest; re-export or repair before"
+                " loading"
+            )
+        if not tars:  # complete export of zero samples
+            return spark.createDataFrame([], SAMPLE_SCHEMA)
+    elif require_manifest:
+        raise ValueError(
+            f"no _EXPORT_MANIFEST under {path!r}: the directory is an"
+            " incomplete export (or not one of ours) —"
+            " require_manifest=False reads a bare shard-*.tar glob"
+            " for external datasets"
+        )
+    else:
+        tars = [f"{path}/shard-*.tar"]
+
+    shards = spark.read.format("binaryFile").load(tars)
+    return shards.select("path", "content").mapInPandas(
+        _make_expander(chunk_rows), SAMPLE_SCHEMA
+    )
+
+
+def _make_expander(chunk_rows: int):
+    """The chunked tar→samples expansion :func:`read_webdataset_shards`
+    runs inside ``mapInPandas`` — module-level so the RSS probe can run
+    the IDENTICAL code path. Groups members by contiguous basename runs
+    and yields a pandas chunk every ``chunk_rows`` samples; holds one
+    sample + one chunk in Python at a time."""
     import pandas as pd
 
+    def _flush(buf, key, meta, payload, shard_name):
+        buf["key"].append(key)
+        buf["meta"].append(meta)
+        buf["payload"].append(payload)
+        buf["shard"].append(shard_name)
+
     def _expand(batches):
+        buf = {"key": [], "meta": [], "payload": [], "shard": []}
         for pdf in batches:
-            out = {"key": [], "meta": [], "payload": [], "shard": []}
             for shard_path, content in zip(pdf["path"], pdf["content"]):
+                shard_name = shard_path.rsplit("/", 1)[-1]
                 with tarfile.open(
                     fileobj=io.BytesIO(bytes(content))
                 ) as tf:
-                    groups: dict[str, dict] = {}
-                    for m in tf.getmembers():
+                    cur_base = None
+                    cur_meta = None
+                    cur_payload = None
+                    for m in tf:
                         if not m.isfile():
                             continue
                         base, _dot, suffix = m.name.rpartition(".")
+                        if base != cur_base:
+                            if cur_base is not None:
+                                _flush(
+                                    buf, cur_base, cur_meta, cur_payload,
+                                    shard_name,
+                                )
+                                if len(buf["key"]) >= chunk_rows:
+                                    yield pd.DataFrame(buf)
+                                    buf = {
+                                        "key": [], "meta": [],
+                                        "payload": [], "shard": [],
+                                    }
+                            cur_base, cur_meta, cur_payload = base, None, None
                         data = tf.extractfile(m).read()
-                        g = groups.setdefault(
-                            base, {"meta": None, "payload": None}
-                        )
                         if suffix == "json":
-                            g["meta"] = data.decode("utf-8")
+                            cur_meta = data.decode("utf-8")
                         else:
-                            g["payload"] = data
-                    for key in sorted(groups):
-                        out["key"].append(key)
-                        out["meta"].append(groups[key]["meta"])
-                        out["payload"].append(groups[key]["payload"])
-                        out["shard"].append(shard_path.rsplit("/", 1)[-1])
-            yield pd.DataFrame(out)
+                            cur_payload = data
+                    if cur_base is not None:
+                        _flush(buf, cur_base, cur_meta, cur_payload, shard_name)
+        if buf["key"]:
+            yield pd.DataFrame(buf)
+
+    return _expand
+
+
+def webdataset_read_rss_probe(
+    spark: SparkSession, path: str, chunk_rows: int = 256
+) -> dict:
+    """Diagnostic twin of :func:`read_webdataset_shards`: run the SAME
+    chunked expansion over the shards at ``path``, measuring the
+    EXPANSION-ATTRIBUTABLE peak allocation with ``tracemalloc``:
+    traced-memory peak is reset when each input shard lands (a tee on
+    the input iterator, before any extraction), so
+    ``expand_peak_traced_kb`` = peak traced allocation DURING expansion
+    minus the traced floor at that reset. OS-level RSS is useless here
+    — a reused daemon worker serves new allocations from pages a prior
+    task left resident (VmRSS never moves) and ``ru_maxrss`` is a
+    process-lifetime high-water mark; ``tracemalloc`` counts the
+    Python-level bytes (tar member reads, chunk buffers, pandas object
+    arrays) regardless of where the allocator got the pages, which is
+    exactly what ``chunk_rows`` bounds. ``peak_rss_kb`` (VmRSS after
+    each chunk) is still reported for context."""
+
+    import pandas as pd
+
+    expand = _make_expander(chunk_rows)
+
+    def _vm_rss_kb() -> int:
+        try:
+            with open("/proc/self/status") as fh:
+                for ln in fh:
+                    if ln.startswith("VmRSS:"):
+                        return int(ln.split()[1])
+        except OSError:
+            pass
+        return -1
+
+    def _probe(batches):
+        import tracemalloc
+
+        was_tracing = tracemalloc.is_tracing()
+        if not was_tracing:
+            tracemalloc.start()
+        state = {"floor": 0}
+
+        def _tee(bs):
+            for pdf in bs:
+                state["floor"] = tracemalloc.get_traced_memory()[0]
+                tracemalloc.reset_peak()
+                yield pdf
+
+        try:
+            rows = chunks = 0
+            rss_peak = traced_delta = -1
+            for chunk in expand(_tee(batches)):
+                rows += len(chunk)
+                chunks += 1
+                rss_peak = max(rss_peak, _vm_rss_kb())
+                traced_delta = max(
+                    traced_delta,
+                    tracemalloc.get_traced_memory()[1] - state["floor"],
+                )
+        finally:
+            if not was_tracing:
+                tracemalloc.stop()
+        yield pd.DataFrame(
+            {
+                "rows": [rows],
+                "chunks": [chunks],
+                "expand_peak_traced_kb": [traced_delta // 1024],
+                "peak_rss_kb": [rss_peak],
+            }
+        )
 
     shards = spark.read.format("binaryFile").load(f"{path}/shard-*.tar")
-    return shards.select("path", "content").mapInPandas(
-        _expand, SAMPLE_SCHEMA
+    got = (
+        shards.select("path", "content")
+        .mapInPandas(
+            _probe,
+            "rows long, chunks long, expand_peak_traced_kb long,"
+            " peak_rss_kb long",
+        )
+        .collect()
     )
+    return {
+        "rows": int(sum(r["rows"] for r in got)),
+        "chunks": int(sum(r["chunks"] for r in got)),
+        "expand_peak_traced_kb": int(
+            max((r["expand_peak_traced_kb"] for r in got), default=-1)
+        ),
+        "peak_rss_kb": int(max((r["peak_rss_kb"] for r in got), default=-1)),
+        "chunk_rows": chunk_rows,
+    }
 
 
 def webdataset_manifest(report: DataFrame) -> dict:

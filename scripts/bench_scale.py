@@ -630,6 +630,189 @@ def retrieval_experiment(spark, sf_dir: str) -> dict:
         shutil.rmtree(scratch, ignore_errors=True)
 
 
+def webdataset_rss_experiment(spark, shard_mb: int = 256) -> dict:
+    """Expansion-memory contract for the WebDataset reader (VERDICT r13
+    #5): build ONE multi-hundred-MB tar shard (``shard_mb`` 1-MiB
+    samples, n_shards=1), then run the identical expansion twice
+    through :func:`webdataset_read_rss_probe` — chunked (chunk_rows=16)
+    vs whole-shard (chunk_rows large enough that the tar emits as one
+    frame, the pre-r14 behavior) — and report each run's peak Python-
+    worker VmRSS. The chunked probe runs FIRST so allocator reuse can
+    only inflate the whole-shard number, never flatter it. The claim
+    priced: expansion memory beyond the unavoidable ``binaryFile``
+    content is O(chunk), not O(shard)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.sources.webdataset import (
+        webdataset_read_rss_probe,
+        write_webdataset_shards,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="wds_rss_")
+    out_dir = f"{scratch}/wds"
+    try:
+        # 1 MiB of per-key pseudo-random bytes per sample: md5 hex (32
+        # chars) repeated 65536x -> 2 MiB hex -> unhex -> 1 MiB binary
+        df = spark.range(shard_mb).select(
+            F.format_string("k%05d", F.col("id")).alias("key"),
+            F.unhex(
+                F.repeat(F.md5(F.col("id").cast("string")), 65536)
+            ).alias("payload"),
+        )
+        t0 = time.perf_counter()
+        report = write_webdataset_shards(df, out_dir, "key", "payload", n_shards=1)
+        write_s = round(time.perf_counter() - t0, 2)
+        tar_bytes = sum(r["tar_bytes"] for r in report.collect())
+        chunked = webdataset_read_rss_probe(spark, out_dir, chunk_rows=16)
+        whole = webdataset_read_rss_probe(spark, out_dir, chunk_rows=1 << 30)
+        return {
+            "shard_mb": round(tar_bytes / 1048576, 1),
+            "samples": shard_mb,
+            "write_s": write_s,
+            "chunked": chunked,
+            "whole_shard": whole,
+            # expansion-attributable peak allocation (tracemalloc,
+            # floor reset at shard arrival): the number chunk_rows
+            # bounds — whole/chunked should approach samples/chunk_rows
+            "expand_peak_ratio": round(
+                whole["expand_peak_traced_kb"]
+                / max(chunked["expand_peak_traced_kb"], 1),
+                2,
+            ),
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def batch_serving_scale_experiment(spark, sf_dir: str) -> dict:
+    """Batch-retrieval qps vs corpus size AND query count (VERDICT r13
+    #6): a 1x/10x corpus grid x 1x/10x query batches for both
+    ``bm25_topk_many`` (64/640 queries over a ~200-term vocabulary —
+    the term UNION grows ~1.6x while the batch grows 10x) and
+    ``knn_ivf_many`` (40/400 queries, n_probe=2). The claim priced:
+    batch cost tracks the union of probed terms/clusters over the
+    corpus, not n_queries x corpus — so qps must RISE steeply with
+    batch size at fixed corpus, and walls must scale ~linearly with
+    corpus at fixed batch."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.similarity import (
+        ensure_ivf_index,
+        knn_ivf_many,
+    )
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk_many,
+        read_bm25_stats,
+        write_text_index,
+    )
+
+    scratch = tempfile.mkdtemp(prefix="batch_serve_")
+    out: dict = {}
+    try:
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
+        )
+        for tag, copies in (("x1", 1), ("x10", 10)):
+            # materialized amplified corpora (distinct ids) so the 10x
+            # tier really reads 10x the bytes
+            docs_path = f"{scratch}/{tag}/corpus"
+            (
+                base_docs.withColumn(
+                    "_c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+                )
+                .select(
+                    (F.col("doc_id") * copies + F.col("_c")).alias("doc_id"),
+                    "text",
+                )
+                .repartition(8)
+                .write.parquet(docs_path)
+            )
+            docs = spark.read.parquet(docs_path)
+            root = f"{scratch}/{tag}/idx"
+            write_text_index(docs, "doc_id", "text", root, shards=16)
+            n_docs, avgdl = read_bm25_stats(spark, root)
+            full_idx = layout.read_table(spark, root)
+            res: dict = {"corpus_docs": docs.count()}
+            for qn in (64, 640):
+                queries = [
+                    (i, f"term{(i * 7) % 100} term{(i * 13) % 100} common")
+                    for i in range(qn)
+                ]
+                qdf = spark.createDataFrame(
+                    queries, "query_id long, query string"
+                )
+                n_terms = len(
+                    {t for _i, q in queries for t in q.split()}
+                )
+                t0 = time.perf_counter()
+                bm25_topk_many(
+                    full_idx, qdf, k=10, n_docs=n_docs, avgdl=avgdl
+                ).count()
+                w = time.perf_counter() - t0
+                res[f"q{qn}"] = {
+                    "wall_s": round(w, 2),
+                    "qps": round(qn / w, 1),
+                    "union_terms": n_terms,
+                }
+            out[f"bm25_{tag}"] = res
+
+            emb_path = f"{scratch}/{tag}/emb"
+            (
+                base_emb.withColumn(
+                    "_c", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+                )
+                .select(
+                    (F.col("vec_id") * copies + F.col("_c")).alias("vec_id"),
+                    "embedding",
+                )
+                .repartition(8)
+                .write.parquet(emb_path)
+            )
+            corpus = spark.read.parquet(emb_path)
+            ivf_path = f"{scratch}/{tag}/ivf"
+            idx, cents = ensure_ivf_index(
+                spark, corpus, ivf_path, k=8, iterations=2
+            )
+            ires: dict = {"corpus_vecs": corpus.count()}
+            qbase = base_emb.filter(F.col("vec_id") <= 40).select(
+                F.col("vec_id").alias("_qid"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            for qn in (40, 400):
+                reps = qn // 40
+                qframe = (
+                    qbase.withColumn(
+                        "_r",
+                        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))),
+                    )
+                    .select(
+                        (F.col("_qid") * reps + F.col("_r")).alias("query_id"),
+                        "embedding",
+                    )
+                )
+                t0 = time.perf_counter()
+                knn_ivf_many(idx, cents, qframe, 10, n_probe=2).count()
+                w = time.perf_counter() - t0
+                ires[f"q{qn}"] = {
+                    "wall_s": round(w, 2),
+                    "qps": round(qn / w, 1),
+                }
+            out[f"ivf_{tag}"] = ires
+        return out
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def manifest_scale_experiment(
     spark, n_files: int = 50_000, n_dirs: int = 64
 ) -> dict:
@@ -1172,6 +1355,10 @@ def main() -> None:
     # behind the _PARENT-chained ingest generations (round 10)
     ingest_chain = ingest_chain_experiment(spark, base_dir)
 
+    # batch retrieval on the corpus x query-count grid (r14): the
+    # union-of-terms/probed-clusters cost claim, measured
+    batch_serving = batch_serving_scale_experiment(spark, base_dir)
+
     # BPE at realistic distinct-word cardinality, two tiers: ~1M
     # distinct words at 1x, ~10M at 10x (copy-minted tails), proving
     # the frequency-split encode's distinct-word bound on the axis
@@ -1232,6 +1419,7 @@ def main() -> None:
         "skew_join": skew,
         "manifest50k": manifest50k,
         "ingest_chain": ingest_chain,
+        "batch_serving": batch_serving,
         "bpe": bpe,
         "bpe_memory_curve": bpe_mem,
         "driver": {

@@ -85,6 +85,29 @@ def test_ivf_centroids_contract(spark):
     assert all(len(r["centroid"]) == dim for r in rows)
 
 
+def test_ivf_centroids_mod_init_and_rounding(spark):
+    """r14 oracle-replayable quantizer knobs (VERDICT r13 #2):
+    ``init="mod"`` seeds clusters as ``vec_id pmod k`` (ANSI-SQL
+    replayable, unlike xxhash64) and ``round_dp`` rounds every centroid
+    mean — together they make the trained quantizer bit-reproducible
+    across runs and engines. Pin: (a) rounded means carry at most
+    round_dp decimals, (b) two independent trainings produce IDENTICAL
+    centroid doubles, (c) an unknown init raises."""
+    import pytest as _pytest
+
+    vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
+    a = ivf_centroids(vecs, k=4, iterations=2, init="mod", round_dp=6)
+    b = ivf_centroids(vecs, k=4, iterations=2, init="mod", round_dp=6)
+    ra = {r["cluster"]: list(r["centroid"]) for r in a.collect()}
+    rb = {r["cluster"]: list(r["centroid"]) for r in b.collect()}
+    assert ra == rb  # bit-identical, not approximately equal
+    for cen in ra.values():
+        for x in cen:
+            assert x == round(x, 6)
+    with _pytest.raises(ValueError, match="unknown ivf init"):
+        ivf_centroids(vecs, k=4, init="bogus")
+
+
 def test_knn_ivf_returns_ranked_topk(spark):
     vecs = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") != 0)
     q = [float(x) for x in load(spark, SF_DIR, "embeddings").filter("vec_id = 0").head()["embedding"]]

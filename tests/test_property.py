@@ -132,12 +132,17 @@ def test_approx_sketches_error_bounds(spark):
     o = load(spark, SF_DIR, "orders")
     exact_n = o.select(F.countDistinct("o_custkey")).head()[0]
     exact_p = o.selectExpr(
-        "percentile(o_totalprice, 0.5) AS p50",
-        "percentile(o_totalprice, 0.95) AS p95",
+        "round(percentile(o_totalprice, 0.5), 2) AS p50",
+        "round(percentile(o_totalprice, 0.95), 2) AS p95",
     ).head()
-    assert abs(row["acd_cust"] - exact_n) / exact_n < 0.05  # 2% rsd, 5% slack
-    assert abs(row["ap50"] - exact_p["p50"]) / exact_p["p50"] < 0.02
-    assert abs(row["ap95"] - exact_p["p95"]) / exact_p["p95"] < 0.02
+    # r14 shape: exact legs + per-sketch bounded verdicts (the verdicts
+    # are what the DuckDB oracle hash-grades via literal TRUEs)
+    assert row["cd_cust"] == exact_n
+    assert row["p50"] == exact_p["p50"]
+    assert row["p95"] == exact_p["p95"]
+    assert row["acd_within_3rsd"] is True
+    assert row["ap50_within_1pct"] is True
+    assert row["ap95_within_1pct"] is True
 
 
 def test_exact_dedup_by_hash_keeps_min_id(spark):
