@@ -41,6 +41,17 @@ def cosine(a: F.Column, b: F.Column) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _nan_to_null(c: F.Column) -> F.Column:
+    """NaN → null, double-typed. Spark's descending sort ranks NaN
+    ABOVE every double while nulls sort LAST — but the batch top-k's
+    pandas fold (``na_position="last"``) and its Arrow return both
+    treat NaN as null-last. Normalizing the score to null at the
+    source makes every KNN form — single, batch, IVF — rank degenerate
+    cosines (NaN elements, zero-norm vectors) LAST and identically,
+    so batch == per-query loop even on corpora containing them."""
+    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+
+
 def knn_brute_force(
     vectors: DataFrame,
     query: list[float],
@@ -59,9 +70,10 @@ def knn_brute_force(
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = vectors.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 4).alias("cosine"),
+        _nan_to_null(F.round(cosine(F.col(vec_col), q), 4)).alias("cosine"),
     )
-    # deterministic tiebreak on id
+    # deterministic tiebreak on id; desc puts nulls (degenerate
+    # cosines, see _nan_to_null) last — matching the batch forms
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -102,7 +114,9 @@ def knn_brute_force_many(
         .select(
             "query_id",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cosine"),
+            _nan_to_null(
+                F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)
+            ).alias("cosine"),
         )
     )
     return _per_query_topk(scored, k, id_col)
@@ -120,11 +134,14 @@ def _per_query_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     looks map-side but ships the FULL per-group candidate arrays
     through the exchange — measured on the physical plan, which is why
     this is the documented Arrow-boundary case instead.) The final
-    merge is one window over the bounded set. Null cosines (null or
-    zero-norm embeddings under ANSI-off) order LAST at every stage,
-    matching the single-query forms' ``desc``-nulls-last — so batch
-    results equal the per-query loop even on degenerate corpora. Ties
-    break by id ascending."""
+    merge is one window over the bounded set. Degenerate cosines
+    (NaN from NaN elements or zero-norm vectors, plus genuine nulls)
+    arrive here as NULLS — every scoring site normalizes NaN→null via
+    :func:`_nan_to_null`, because Spark ranks NaN ABOVE all doubles in
+    ``desc`` while the pandas fold and its Arrow return are null-last
+    — and nulls order LAST at every stage, matching the single-query
+    forms' ``desc``-nulls-last: batch results equal the per-query loop
+    even on degenerate corpora. Ties break by id ascending."""
     import pandas as pd
 
     sel = scored.select("query_id", F.col(id_col), "cosine")
@@ -239,7 +256,9 @@ def knn_ivf_many(
         .select(
             "query_id",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("_qvec")), 4).alias("cosine"),
+            _nan_to_null(
+                F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)
+            ).alias("cosine"),
         )
     )
     return _per_query_topk(scored, k, id_col)

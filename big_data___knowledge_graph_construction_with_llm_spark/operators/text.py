@@ -508,6 +508,43 @@ def refresh_bm25_stats(spark, root: str) -> tuple[int, float]:
     return stats
 
 
+def _resolve_bm25_stats(spark, root: str, handle=None) -> tuple[int, float]:
+    """The serving forms' shared ``(n_docs, avgdl)`` resolution —
+    sidecar read (one tiny text object, zero Spark jobs), cached on
+    ``handle`` so repeated queries pay nothing, with the documented
+    fallback when the committed generation carries no sidecar (e.g. a
+    delta generation an incremental absorb wrote): recompute over the
+    FULL table — the term-filtered postings would yield the wrong
+    population — and cache that on the handle too, so only the first
+    query pays the job. Handle-less calls with no sidecar recompute
+    every time; serve through ``open_table`` (or run
+    :func:`refresh_bm25_stats`) to stop paying it."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
+
+    if handle is not None:
+        cached = getattr(handle, "_bm25_stats", None)
+        if isinstance(cached, tuple):
+            return cached
+        stats = read_bm25_stats(spark, root, generation=handle.generation)
+    else:
+        stats = read_bm25_stats(spark, root)
+    if stats is None:
+        full = handle.read() if handle is not None else layout.read_table(spark, root)
+        row = (
+            full.select("id", "dl")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+            .collect()[0]
+        )
+        stats = (
+            int(row["n"]),
+            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+        )
+    if handle is not None:
+        handle._bm25_stats = stats
+    return stats
+
+
 def bm25_query_table(
     spark,
     root: str,
@@ -532,33 +569,10 @@ def bm25_query_table(
     if not terms:
         raise ValueError("empty query: no whitespace terms to score")
     if handle is not None:
-        stats = getattr(handle, "_bm25_stats", False)
-        if stats is False:
-            stats = read_bm25_stats(spark, root, generation=handle.generation)
-            handle._bm25_stats = stats
         postings = handle.read(where=("term", "in", terms))
     else:
-        stats = read_bm25_stats(spark, root)
         postings = layout.read_table(spark, root, where=("term", "in", terms))
-    if stats is None:
-        # no sidecar (e.g. a delta generation an incremental absorb
-        # wrote): recompute over the FULL table — the term-filtered
-        # postings would yield the wrong population — and cache on the
-        # handle so only the first query pays the job
-        full = handle.read() if handle is not None else layout.read_table(spark, root)
-        row = (
-            full.select("id", "dl")
-            .distinct()
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
-        )
-        stats = (
-            row["n"],
-            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
-        )
-        if handle is not None:
-            handle._bm25_stats = stats
-    n_docs, avgdl = stats
+    n_docs, avgdl = _resolve_bm25_stats(spark, root, handle)
     return bm25_topk_indexed(
         postings,
         query,
@@ -592,50 +606,21 @@ def bm25_query_table_many(
     single-query form), resolves ``n_docs``/``avgdl`` from the
     ``_BM25_STATS`` sidecar (zero Spark jobs; cached on ``handle``),
     and scores every query in ONE pass. Same fallback contract as
-    :func:`bm25_query_table` when the sidecar is absent."""
+    :func:`bm25_query_table` when the sidecar is absent. The term
+    union is tokenized driver-side by the SAME rule as every other
+    BM25 path (:func:`_bm25_terms` — see
+    :func:`_collect_query_terms`), so the file-skip never misses a
+    term the scorer would probe."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
 
-    term_rows = (
-        queries.select(
-            F.explode(
-                F.array_distinct(
-                    F.filter(
-                        F.transform(tokens(query_col), F.lower),
-                        lambda t: t != "",
-                    )
-                )
-            ).alias("term")
-        )
-        .distinct()
-        .collect()
-    )
-    terms = sorted(r["term"] for r in term_rows)
+    _pairs, terms = _collect_query_terms(queries, query_id_col, query_col)
     if not terms:
         raise ValueError("empty batch: no whitespace terms in any query")
     if handle is not None:
-        stats = getattr(handle, "_bm25_stats", False)
-        if stats is False:
-            stats = read_bm25_stats(spark, root, generation=handle.generation)
-            handle._bm25_stats = stats
         postings = handle.read(where=("term", "in", terms))
     else:
-        stats = read_bm25_stats(spark, root)
         postings = layout.read_table(spark, root, where=("term", "in", terms))
-    if stats is None:
-        full = handle.read() if handle is not None else layout.read_table(spark, root)
-        row = (
-            full.select("id", "dl")
-            .distinct()
-            .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-            .collect()[0]
-        )
-        stats = (
-            row["n"],
-            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
-        )
-        if handle is not None:
-            handle._bm25_stats = stats
-    n_docs, avgdl = stats
+    n_docs, avgdl = _resolve_bm25_stats(spark, root, handle)
     return bm25_topk_many(
         postings,
         queries,
@@ -648,6 +633,42 @@ def bm25_query_table_many(
         avgdl=avgdl,
         max_df_frac=max_df_frac,
     )
+
+
+def _collect_query_terms(
+    queries: DataFrame, query_id_col: str, query_col: str
+) -> tuple[list[tuple], list[str]]:
+    """Driver-side batch tokenization shared by the batch BM25 forms:
+    collect the query frame — it is broadcast-bound anyway (thousands
+    of rows, never corpus-scale) — and tokenize each query with the
+    SAME rule as the single-query path (:func:`_bm25_terms`: Python
+    ``str.split`` = Unicode whitespace, Python ``lower``), so batch
+    and per-query-loop results agree on ANY input, not just ASCII (the
+    Spark regex tokenizer splits Java ``\\s+``, ASCII-only — r14
+    ADVICE fix: a non-breaking-space query used to tokenize
+    differently in the two forms). Per-query terms dedup exactly like
+    the single form, so the returned ``(query_id, term)`` pairs are
+    distinct by construction. Duplicate query ids RAISE: two batch
+    rows sharing an id would silently merge into one result row with
+    doubled scores. Returns ``(pairs, sorted_term_union)``."""
+    rows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_col).alias("query"),
+    ).collect()
+    seen = set()
+    pairs: list[tuple] = []
+    for r in rows:
+        qid = r["query_id"]
+        if qid in seen:
+            raise ValueError(
+                f"duplicate query_id {qid!r} in the batch frame: each"
+                " query needs a unique id (duplicates would merge and"
+                " double-count scores); dedup or re-key the batch"
+            )
+        seen.add(qid)
+        for t in _bm25_terms(r["query"] or ""):
+            pairs.append((qid, t))
+    return pairs, sorted({t for _qid, t in pairs})
 
 
 def bm25_topk_many(
@@ -668,11 +689,13 @@ def bm25_topk_many(
     identical to running :func:`bm25_topk_indexed` per query.
 
     Decontamination-by-retrieval and eval-suite search run thousands
-    of queries; a per-query job never amortizes the scan. Here the
-    queries explode to a (small) ``(query_id, term)`` frame that
-    BROADCASTS into the posting join, per-term document frequencies
-    are computed once over the union of all probed terms' postings,
-    and the per-query top-k is one window (single hash-shuffle on
+    of queries; a per-query job never amortizes the scan. The queries
+    tokenize DRIVER-SIDE with the single-query path's exact rule
+    (:func:`_collect_query_terms` — Unicode-whitespace parity, dup-id
+    guard) into a (small) ``(query_id, term)`` frame that BROADCASTS
+    into the posting join, per-term document frequencies are computed
+    once over the union of all probed terms' postings, and the
+    per-query top-k is one window (single hash-shuffle on
     ``query_id``) — total cost O(postings of the union of query terms)
     + one broadcast, regardless of query count.
 
@@ -684,6 +707,8 @@ def bm25_topk_many(
     stored ``n_docs``/``avgdl`` (:func:`read_bm25_stats`) at steady
     state; the fallback recompute is the same one-aggregate job as
     :func:`bm25_topk_indexed`'s."""
+    from pyspark.sql import types as T
+
     from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
         topk_per_group,
     )
@@ -700,16 +725,17 @@ def bm25_topk_many(
             # avg over an EMPTY index is null: an empty top-k for every
             # query, not a TypeError
             avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.transform(tokens(query_col), F.lower),
-                    lambda t: t != "",
-                )
-            )
-        ).alias("term"),
+    pairs, _terms = _collect_query_terms(queries, query_id_col, query_col)
+    qterms = queries.sparkSession.createDataFrame(
+        pairs,
+        T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[query_id_col].dataType
+                ),
+                T.StructField("term", T.StringType()),
+            ]
+        ),
     )
     # the union of probed terms: tiny (≤ Σ per-query terms), and
     # filtering the index on it FIRST keeps every downstream agg and

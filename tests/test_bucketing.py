@@ -937,9 +937,12 @@ def test_knn_ivf_many_matches_per_query_loop(spark, tmp_path):
 
 
 def test_knn_batch_degenerate_vectors_and_dim_guard(spark):
-    """Null-cosine candidates (null embedding / zero-norm vector under
-    ANSI-off) must order LAST in the batch forms, matching the
-    single-query loop exactly; and knn_ivf_many keeps knn_ivf's
+    """Degenerate-cosine candidates (null embedding / zero-norm vector
+    under ANSI-off / NaN ELEMENTS, which make the cosine NaN rather
+    than null — r14 ADVICE fix: every scoring site normalizes NaN to
+    null, because Spark desc ranks NaN ABOVE all doubles while the
+    batch fold is null-last) must order LAST in both the single and
+    batch forms, matching exactly; and knn_ivf_many keeps knn_ivf's
     dimensionality guard (a mismatched query raises instead of
     silently probing arbitrary clusters)."""
     import pytest
@@ -956,6 +959,7 @@ def test_knn_batch_degenerate_vectors_and_dim_guard(spark):
         (3, None),                      # null embedding -> null cosine
         (4, [0.0, 0.0, 0.0, 0.0]),      # zero norm -> null cosine (ANSI off)
         (5, [0.0, 1.0, 0.0, 0.0]),
+        (6, [float("nan"), 1.0, 0.0, 0.0]),  # NaN element -> NaN cosine
     ]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = [1.0, 0.0, 0.0, 0.0]
@@ -965,18 +969,21 @@ def test_knn_batch_degenerate_vectors_and_dim_guard(spark):
     # k exceeds the non-null candidate count: single and batch must
     # agree on BOTH the real neighbors and the null-tail behavior
     want = [
-        (r["vec_id"], r["cosine"]) for r in knn_brute_force(vecs, q, 5).collect()
+        (r["vec_id"], r["cosine"]) for r in knn_brute_force(vecs, q, 6).collect()
     ]
     got = [
         (r["vec_id"], r["cosine"])
-        for r in knn_brute_force_many(vecs, qframe, 5)
+        for r in knn_brute_force_many(vecs, qframe, 6)
         .orderBy(F.col("cosine").desc_nulls_last(), "vec_id")
         .collect()
     ]
     assert got == want
-    # real neighbors lead; nulls (if present) only ever trail
+    # real neighbors lead; degenerates (incl. the NaN row, normalized
+    # to null) only ever trail — never NaN-above-everything
     real = [t for t in got if t[1] is not None]
     assert [t[0] for t in real[:3]] == [1, 2, 5]
+    assert all(t[1] is None for t in got[len(real):])
+    assert {t[0] for t in got[len(real):]} == {3, 4, 6}
     # dimension mismatch: guarded, not silent
     good = vecs.filter(F.col("embedding").isNotNull()).filter(F.col("vec_id") != 4)
     cents = ivf_centroids(good, k=2, iterations=1)

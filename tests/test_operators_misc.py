@@ -1910,3 +1910,49 @@ def test_bm25_query_table_many_serving_parity(spark, tmp_path):
             root,
             spark.createDataFrame([(0, "   ")], "query_id long, query string"),
         )
+
+
+def test_bm25_batch_unicode_tokenization_and_dup_id_guard(spark):
+    """r14 ADVICE fixes on the batch BM25 forms: (a) batch queries
+    tokenize by the SAME rule as the single-query path — Python
+    str.split's Unicode whitespace — so a non-breaking-space query
+    produces identical terms (and scores) in both forms; (b) a batch
+    frame carrying duplicate query ids raises instead of silently
+    summing two queries' contributions into one doubled-score row."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        bm25_topk_indexed,
+        bm25_topk_many,
+        text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta common"),
+            (2, "alpha common filler"),
+            (3, "beta gamma filler"),
+            (4, "delta common filler"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = text_index(docs, "doc_id", "text")
+    # NBSP-separated query: Python str.split splits it, Java \\s+ does
+    # not — single and batch must agree (on the SPLIT interpretation)
+    q = "alpha\u00a0beta"
+    want = [
+        tuple(r)
+        for r in bm25_topk_indexed(idx, q, k=4, n_docs=4, avgdl=3.0).collect()
+    ]
+    assert want  # the single form found both terms
+    qdf = spark.createDataFrame([(0, q)], "query_id long, query string")
+    got = sorted(
+        ((r["id"], r["score"]) for r in
+         bm25_topk_many(idx, qdf, k=4, n_docs=4, avgdl=3.0).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == [t for t in want]
+    # duplicate query ids: loud, not a doubled-score merge
+    dup = spark.createDataFrame(
+        [(7, "alpha"), (7, "beta")], "query_id long, query string"
+    )
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        bm25_topk_many(idx, dup, k=4, n_docs=4, avgdl=3.0)
