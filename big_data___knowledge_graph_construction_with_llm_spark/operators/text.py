@@ -613,7 +613,7 @@ def bm25_query_table_many(
     term the scorer would probe."""
     from big_data___knowledge_graph_construction_with_llm_spark.operators import layout
 
-    _pairs, terms = _collect_query_terms(queries, query_id_col, query_col)
+    pairs, terms = _collect_query_terms(queries, query_id_col, query_col)
     if not terms:
         raise ValueError("empty batch: no whitespace terms in any query")
     if handle is not None:
@@ -632,6 +632,7 @@ def bm25_query_table_many(
         n_docs=n_docs,
         avgdl=avgdl,
         max_df_frac=max_df_frac,
+        _pairs=pairs,  # already collected for the file-skip term union
     )
 
 
@@ -682,6 +683,7 @@ def bm25_topk_many(
     n_docs: int | None = None,
     avgdl: float | None = None,
     max_df_frac: float | None = None,
+    _pairs: list[tuple] | None = None,
 ) -> DataFrame:
     """Batch retrieval: BM25 top-``k`` for EVERY row of ``queries``
     (``query_id_col``, ``query_col``) against one :func:`text_index`
@@ -725,7 +727,13 @@ def bm25_topk_many(
             # avg over an EMPTY index is null: an empty top-k for every
             # query, not a TypeError
             avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
-    pairs, _terms = _collect_query_terms(queries, query_id_col, query_col)
+    # _pairs: bm25_query_table_many already collected the batch for its
+    # file-skip term union — skip the second (identical) tiny job
+    pairs = (
+        _pairs
+        if _pairs is not None
+        else _collect_query_terms(queries, query_id_col, query_col)[0]
+    )
     qterms = queries.sparkSession.createDataFrame(
         pairs,
         T.StructType(

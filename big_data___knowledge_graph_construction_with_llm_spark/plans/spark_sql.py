@@ -488,6 +488,98 @@ SPARK_SQL_TWINS["q_knn_lsh"] = """
     LIMIT 10
 """
 
+#: q_knn_ivf (hash-graded since r14): the oracle re-trains the
+#: mod-init rounded-centroid quantizer as unrolled CTEs; this twin is
+#: the same unroll in Spark dialect — unnest-with-ordinality becomes
+#: posexplode (0-based positions, a consistent sort key either way),
+#: `list(m ORDER BY pos)` becomes array_sort(collect_list(struct)) +
+#: transform (no ordered collect in Spark SQL), list_reduce becomes
+#: the same sequential-fold aggregate the DataFrame plan uses, and
+#: QUALIFY becomes ranked subqueries.
+SPARK_SQL_TWINS["q_knn_ivf"] = """
+    WITH e AS (
+      SELECT vec_id, cast(embedding AS array<double>) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT cast(embedding AS array<double>) AS qv FROM embeddings WHERE vec_id = 0),
+    a0 AS (SELECT vec_id, v, cast(vec_id % 8 AS BIGINT) AS c FROM e),
+    x1 AS (SELECT c, posexplode(v) AS (pos, val) FROM a0),
+    m1 AS (SELECT c, pos, round(avg(val), 6) AS m FROM x1 GROUP BY c, pos),
+    cent1 AS (
+      SELECT c, transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS cen
+      FROM m1 GROUP BY c
+    ),
+    s1 AS (
+      SELECT a0.vec_id, a0.v, cent1.c,
+             aggregate(zip_with(a0.v, cent1.cen, (a, b) -> (a - b) * (a - b)),
+                       0D, (acc, x) -> acc + x) AS d2
+      FROM a0 CROSS JOIN cent1
+    ),
+    a1 AS (
+      SELECT vec_id, v, c FROM (
+        SELECT vec_id, v, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    x2 AS (SELECT c, posexplode(v) AS (pos, val) FROM a1),
+    m2 AS (SELECT c, pos, round(avg(val), 6) AS m FROM x2 GROUP BY c, pos),
+    cent2 AS (
+      SELECT c, transform(array_sort(collect_list(struct(pos, m))), s -> s.m) AS cen
+      FROM m2 GROUP BY c
+    ),
+    s2 AS (
+      SELECT e.vec_id, e.v, cent2.c,
+             aggregate(zip_with(e.v, cent2.cen, (a, b) -> (a - b) * (a - b)),
+                       0D, (acc, x) -> acc + x) AS d2
+      FROM e CROSS JOIN cent2
+    ),
+    af AS (
+      SELECT vec_id, v, c FROM (
+        SELECT vec_id, v, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT c FROM (
+        SELECT cent2.c,
+               aggregate(zip_with(cent2.cen, q.qv, (a, b) -> (a - b) * (a - b)),
+                         0D, (acc, x) -> acc + x) AS d2
+        FROM cent2 CROSS JOIN q
+      ) ORDER BY d2, c LIMIT 2
+    )
+    SELECT af.vec_id,
+           round((aggregate(zip_with(af.v, q.qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (sqrt(aggregate(af.v, 0D, (acc, x) -> acc + x * x)) * sqrt(aggregate(q.qv, 0D, (acc, x) -> acc + x * x)))), 4) AS cosine
+    FROM af CROSS JOIN q
+    WHERE af.c IN (SELECT c FROM probe)
+    ORDER BY cosine DESC, af.vec_id
+    LIMIT 10
+"""
+
+#: q_approx_sketches (hash-graded since r14): the DuckDB oracle emits
+#: literal TRUEs for the bounded verdicts (it cannot replay HLL++/KLL
+#: register state); this twin runs the REAL sketches through Spark SQL
+#: and computes the same verdicts, so all three surfaces agree exactly
+#: when — and only when — the estimates sit inside their bounds.
+SPARK_SQL_TWINS["q_approx_sketches"] = """
+    SELECT cd_cust,
+           round(ep50, 2) AS p50,
+           round(ep95, 2) AS p95,
+           abs(acd - cd_cust) / cd_cust <= 0.06 AS acd_within_3rsd,
+           abs(ap50 - ep50) / ep50 <= 0.01 AS ap50_within_1pct,
+           abs(ap95 - ep95) / ep95 <= 0.01 AS ap95_within_1pct
+    FROM (
+      SELECT approx_count_distinct(o_custkey, 0.02) AS acd,
+             percentile_approx(o_totalprice, 0.5, 10000) AS ap50,
+             percentile_approx(o_totalprice, 0.95, 10000) AS ap95,
+             count(DISTINCT o_custkey) AS cd_cust,
+             percentile(o_totalprice, 0.5) AS ep50,
+             percentile(o_totalprice, 0.95) AS ep95
+      FROM orders
+    )
+"""
+
 SPARK_SQL_TWINS["q_minhash_dedup"] = """
     WITH full_docs AS (
       SELECT doc_id, text FROM documents
