@@ -48,8 +48,12 @@ def _nan_to_null(c: F.Column) -> F.Column:
     treat NaN as null-last. Normalizing the score to null at the
     source makes every KNN form — single, batch, IVF — rank degenerate
     cosines (NaN elements, zero-norm vectors) LAST and identically,
-    so batch == per-query loop even on corpora containing them."""
-    return F.when(F.isnan(c), F.lit(None).cast("double")).otherwise(c)
+    so batch == per-query loop even on corpora containing them.
+    ``nanvl`` rather than ``when(isnan(c), …).otherwise(c)``: the
+    latter embeds ``c`` twice (condition + value), and higher-order
+    array folds don't codegen, so a fold-heavy score expression would
+    be evaluated twice per row."""
+    return F.nanvl(c, F.lit(None).cast("double"))
 
 
 def knn_brute_force(
@@ -101,21 +105,38 @@ def knn_brute_force_many(
     shuffle carries n_queries x n_partitions x k rows — never
     n_queries x corpus. The final per-query top-k is a window over
     that bounded set. Ties break by id ascending, matching the
-    single-query form."""
+    single-query form.
+
+    Norms are precomputed ONCE per side (r14): the naive per-pair
+    ``cosine()`` re-folds BOTH vectors' norms for every (query,
+    candidate) pair — with q queries scoring a candidate that is 3
+    interpreted 64-element folds per pair instead of 1 (higher-order
+    array functions don't codegen), measured ~3x on the batch-serving
+    scale grid. Same nulls (zero norm → null divisor), same rounding,
+    bit-identical scores."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(query_vec_col).alias("_qvec"),
+            _norm(F.col(query_vec_col)).alias("_qnorm"),
         )
     )
     scored = (
-        vectors.select(F.col(id_col), F.col(vec_col))
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            _norm(F.col(vec_col)).alias("_vnorm"),
+        )
         .join(q)
         .select(
             "query_id",
             F.col(id_col),
             _nan_to_null(
-                F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)
+                F.round(
+                    _dot(F.col(vec_col), F.col("_qvec"))
+                    / (F.col("_vnorm") * F.col("_qnorm")),
+                    4,
+                )
             ).alias("cosine"),
         )
     )
@@ -247,17 +268,28 @@ def knn_ivf_many(
         assigned = vectors.withColumn(
             "cluster", nearest_cluster(F.col(vec_col).cast("array<double>"), cents)
         )
+    # norms once per side (see knn_brute_force_many): a candidate in a
+    # popular cluster scores against many queries — per-pair norm
+    # re-folds tripled the interpreted array work on the scale grid
     candidates = assigned.filter(F.col("cluster").isin(union_clusters)).select(
-        "cluster", F.col(id_col), F.col(vec_col)
+        "cluster",
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col).cast("array<double>")).alias("_vnorm"),
     )
+    qn = q.withColumn("_qnorm", _norm(F.col("_qvec")))
     scored = (
         candidates.join(F.broadcast(probe), "cluster")
-        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(qn), "query_id")
         .select(
             "query_id",
             F.col(id_col),
             _nan_to_null(
-                F.round(cosine(F.col(vec_col), F.col("_qvec")), 4)
+                F.round(
+                    _dot(F.col(vec_col), F.col("_qvec"))
+                    / (F.col("_vnorm") * F.col("_qnorm")),
+                    4,
+                )
             ).alias("cosine"),
         )
     )
