@@ -816,18 +816,36 @@ def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     3×rsd (0.06 — measured rel-err here is ~0.006); percentile_approx
     (accuracy=10000) within 1% of the exact interpolated percentile
     (rank error ≤ n/10000 rows). The fine-grained measured errors stay
-    in BENCH_DETAIL's ``sketch_accuracy`` block. Still ONE aggregate
-    pass — the exact legs ride the same HashAggregate."""
+    in BENCH_DETAIL's ``sketch_accuracy`` block. The sketch legs and
+    the exact legs run as two SEPARATE one-row aggregates joined at the
+    end: mixing ``countDistinct`` with non-distinct aggregates makes
+    Catalyst rewrite the whole Aggregate through an Expand (one
+    duplicated row-stream per distinct group), which dragged every
+    co-resident sketch buffer through 2× the rows — measured 8.3s vs
+    ~1.3s split at sf0.1. At 100 TB only the sketch aggregate runs;
+    the exact twin exists to grade it."""
     o = load(spark, sf, "orders")
+    # one sketch buffer / one sort buffer for BOTH percentiles (the
+    # array form), not one per quantile
     est = o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("acd_cust"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
-        F.percentile_approx("o_totalprice", 0.95, 10000).alias("ap95"),
-        F.countDistinct("o_custkey").alias("cd_cust"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("ep50"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("ep95"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5, 0.95), 10000)"
+        ).alias("aps"),
+    ).select(
+        "acd_cust",
+        F.col("aps")[0].alias("ap50"),
+        F.col("aps")[1].alias("ap95"),
     )
-    return est.select(
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("cd_cust"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("eps"),
+    ).select(
+        "cd_cust",
+        F.col("eps")[0].alias("ep50"),
+        F.col("eps")[1].alias("ep95"),
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
         "cd_cust",
         F.round("ep50", 2).alias("p50"),
         F.round("ep95", 2).alias("p95"),
