@@ -299,7 +299,11 @@ def lsh_candidate_pairs(
             "would silently drop signature columns and change LSH recall"
         )
     sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n=shingle_n)
-    banded = _banded(sig, num_hashes, bands)
+    # materialized ONCE: the banded frame feeds the cap census and BOTH
+    # sides of the self-join — lazily, the whole shingle→hash→signature
+    # pipeline would re-run once per consumer (3x with a cap; measured
+    # on the physical plan). Same pattern as decontaminate's raw_banded.
+    banded = materialize(_banded(sig, num_hashes, bands))
     banded = _cap_buckets(banded, max_bucket, ["band", "bucket"])
     a = banded.alias("a")
     b = banded.alias("b")
@@ -448,15 +452,14 @@ def decontaminate(
             F.broadcast(ov), ["band", "bucket"], "left_anti"
         )
     cross = materialize(_cross_from_sides(bench_side, corpus_side))
-    # verify only candidate docs: prune both sides to ids in `cross`
-    both = corpus.join(
-        cross.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
-    ).unionByName(
-        bench.join(
-            cross.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
-        )
+    # verification prunes to candidate docs INSIDE ngram_jaccard_pairs
+    # (r14, prune_to_pairs=True over the materialized cross): the union
+    # needs no explicit pre-prune, which used to re-embed the cross
+    # subtree twice more in the verify plan
+    both = corpus.unionByName(bench)
+    verified = ngram_jaccard_pairs(
+        both, id_col, text_col, cross, shingle_n, prune_to_pairs=True
     )
-    verified = ngram_jaccard_pairs(both, id_col, text_col, cross, shingle_n)
     leaked = (
         verified.filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
@@ -494,31 +497,68 @@ def ngram_jaccard_pairs(
     text_col: str,
     pairs: DataFrame,
     shingle_n: int = 3,
+    prune_to_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard for given candidate ``pairs (id_a, id_b)``.
 
     Verification stage after LSH: explode distinct shingles, equi-join on
     the shingle, count intersections, divide by union. Shuffle volume is
     bounded by candidate count, not corpus size.
+
+    Shape (r14): the per-doc shingle-set SIZE rides the exploded token
+    frame instead of joining in afterwards — the former two sizes joins
+    collapse into the intersection aggregate (``min`` of a per-group
+    constant), two joins and one full re-derivation of the shingle
+    frame gone from the plan, bit-identical jaccard. Everything stays
+    LAZY: an eager checkpoint of the token frame was measured SLOWER at
+    bench scale than letting one action schedule the (independent,
+    concurrently-runnable) subtree copies.
+
+    ``prune_to_pairs=True`` semi-joins ``df`` down to the ids appearing
+    in ``pairs`` before shingling. Set it when ``pairs`` is already
+    materialized and much smaller than ``df`` (decontaminate /
+    semantic_dedup do) — at corpus scale that is the difference between
+    re-shingling the corpus and re-shingling a few thousand suspects.
+    Leave it off when ``pairs`` is itself a lazy pipeline over ``df``
+    (an inline LSH pass): the prune would re-run that pipeline once
+    more for the id set, which was measured ~2x the whole query.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("_sh"),
+    p = pairs.select("id_a", "id_b")
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    if prune_to_pairs:
+        ids = (
+            p.select(F.col("id_a").alias("_id"))
+            .unionByName(p.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        base = base.join(ids, "_id", "left_semi")
+    sh = base.select(
+        "_id", F.array_distinct(shingles(text_col, shingle_n)).alias("_sh")
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    tok = sh.select("_id", F.explode("_sh").alias("_tok"))
-    inter = (
-        pairs.join(tok.withColumnRenamed("_id", "id_a"), "id_a")
+    tok = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_tok")
+    )
+    return (
+        p.join(
+            tok.select(
+                F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "_tok"
+            ),
+            "id_a",
+        )
         .join(
-            tok.withColumnRenamed("_id", "id_b"),
+            tok.select(
+                F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "_tok"
+            ),
             ["id_b", "_tok"],
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        # _na/_nb are per-doc constants within a group; min() just carries
+        # them through the one aggregation the intersection already pays
+        .agg(
+            F.count("*").alias("_inter"),
+            F.min("_na").alias("_na"),
+            F.min("_nb").alias("_nb"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -678,20 +718,27 @@ def simhash_near_dup_pairs(
         )
 
     sigs = simhash_signatures(df, id_col, text_col, hash_mode=hash_mode)
-    banded = sigs.select(
-        "_id",
-        "_sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"), _band_bucket(i).alias("bucket")
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "_sim", "bb.band", "bb.bucket")
+    # materialized ONCE: the banded signature frame feeds the cap census
+    # and BOTH self-join sides — lazily, the whole shingle→hash→64-counter
+    # signature pipeline (the expensive part, especially in md5 mode)
+    # would re-run once per consumer (3x with a cap; measured on the
+    # physical plan). Same pattern as lsh_candidate_pairs.
+    banded = materialize(
+        sigs.select(
+            "_id",
+            "_sim",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"), _band_bucket(i).alias("bucket")
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("_id", "_sim", "bb.band", "bb.bucket")
+    )
     banded = _cap_buckets(banded, max_bucket, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a._sim").bitwiseXOR(F.col("b._sim")))
@@ -1033,28 +1080,20 @@ def semantic_dedup(
         keep_min_id_per_component,
     )
 
-    # materialize the candidates: they feed both the suspect prune and
-    # the verify join, and recomputing them means re-running the whole
-    # LSH pipeline per consumer
+    # materialize the candidates: they feed the verify prune and the
+    # intersection join, and recomputing them means re-running the
+    # banded self-join per consumer
     cand = materialize(
         lsh_candidate_pairs(
             df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
         )
     )
-    # verify only candidate docs — same prune decontaminate does: at
-    # corpus scale this is the difference between re-shingling the
+    # verify only candidate docs (prune_to_pairs over the materialized
+    # cand): at corpus scale the difference between re-shingling the
     # corpus and re-shingling a few thousand suspects
-    ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .unionByName(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    suspects = df.select(F.col(id_col), F.col(text_col)).join(
-        ids, id_col, "left_semi"
-    )
-    pairs = ngram_jaccard_pairs(suspects, id_col, text_col, cand, shingle_n).filter(
-        F.col("jaccard") >= threshold
-    )
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, cand, shingle_n, prune_to_pairs=True
+    ).filter(F.col("jaccard") >= threshold)
     return keep_min_id_per_component(
         df, pairs, id_col, max_iter=max_iter, strict=strict
     )
@@ -1456,7 +1495,11 @@ def scrub_repeated_spans(
             (F.col("_n_rep") / F.col("_n_spans")).alias("boilerplate_frac"),
         )
     )
-    covered = materialize(
+    # covered stays LAZY (r14): its two consumers (the affected-id
+    # distinct and the kept anti-join) recompute it cheaply from the
+    # two materialized inputs above, while checkpointing the 8x
+    # position-exploded frame was measured ~1.8s slower at sf0.1
+    covered = (
         pos_spans.join(hit_marks, ["_sh64", "_sh128"], "left_semi")
         .select(
             F.col(id_col).alias("_cov_id"),

@@ -21,12 +21,33 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from big_data___knowledge_graph_construction_with_llm_spark.materialize import materialize, release
 
 log = logging.getLogger(__name__)
+
+
+def _observed_long(obs: Observation, name: str, fallback) -> int:
+    """Read one long metric from an :class:`Observation` attached to a
+    frame that was just FORCED by :func:`materialize` — the metric rides
+    the materialization job, so convergence probes cost ZERO extra jobs
+    (the old shape paid one ``limit(1).count()`` job per iteration).
+    Every shipped materializer is eager (the module contract), so the
+    metric is already available by the time this reads it; if that ever
+    breaks (a custom non-eager materializer, a PySpark-internals change),
+    ``fallback()`` runs one real probe job instead — never a blocking
+    ``Observation.get`` wait. NULL metric (zero observed rows) reads as
+    0, matching what the aggregate means on an empty frame."""
+    try:
+        jmap = obs._jo.getOrEmpty()  # non-blocking, unlike Observation.get
+        if not jmap.isEmpty():
+            v = jmap.get(name).get()
+            return 0 if v is None else int(v)
+    except Exception:
+        pass
+    return int(fallback())
 
 
 def symmetrize(edges: DataFrame) -> DataFrame:
@@ -46,17 +67,34 @@ def connected_components(
 
     Returns ``(id, comp)`` where ``comp`` is the minimum vertex id in the
     component (deterministic). Converges in O(diameter) iterations; each
-    iteration is one shuffle-join + one partial-aggregated min.
+    iteration is ONE shuffle-join + ONE partial-aggregated min (r14):
+    the symmetrized edge table is augmented with a self-edge per vertex,
+    so the per-neighbor min INCLUDES the vertex's own label — the
+    min-propagation update, the old-vs-new change flag (the self-edge
+    row carries the old label through the same aggregate) and full
+    vertex coverage all come out of that single aggregation, where the
+    previous shape needed a second labels join per iteration. The
+    convergence probe rides the materialization job as an ``observe``
+    metric — zero probe jobs.
     """
-    # materialize the symmetrized edge table ONCE — without this the
+    # materialize the augmented edge table ONCE — without this the
     # union+distinct (a full shuffle of the edge table) re-executes every
-    # iteration, which at scale dominates the whole algorithm
-    e = materialize(symmetrize(edges))
+    # iteration, which at scale dominates the whole algorithm. No manual
+    # pre-partitioning: an explicit repartition(n, key) would pin every
+    # downstream stage to n tasks and disable AQE's partition coalescing
+    # — measured SLOWER at bench scale than paying the join's own
+    # exchange (the scale-adaptive choice is AQE's, guide §2.2).
+    sym = symmetrize(edges)
+    verts = (
+        sym.select(F.col("src").alias("id")).distinct()
+    )  # symmetric ⇒ src covers dst-only vertices too
+    e = materialize(
+        sym.unionByName(
+            verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
+    )
     labels = materialize(
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))  # dst-only vertices too
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        e.select(F.col("dst").alias("id")).distinct().withColumn("comp", F.col("id"))
     )
     # `prev` tracks the MATERIALIZED frame backing `labels` so the
     # superseded iteration's blocks can be released as soon as the next
@@ -64,22 +102,29 @@ def connected_components(
     # projection over `prev`, which release() cannot see through)
     prev = labels
     for _ in range(max_iter):
-        prop = (
+        new = (
             e.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
-            .agg(F.min("comp").alias("ncomp"))
-            .withColumnRenamed("src", "id")
+            .agg(
+                F.min("comp").alias("comp"),
+                # the self-edge row (src == dst) carries src's OLD label
+                # through the same aggregate — no second join needed
+                F.min(
+                    F.when(F.col("src") == F.col("dst"), F.col("comp"))
+                ).alias("_old"),
+            )
+            .select(
+                F.col("src").alias("id"),
+                "comp",
+                (F.col("comp") < F.col("_old")).alias("_chg"),
+            )
         )
-        # fold the convergence flag into the update itself: the label only
-        # changes when ncomp < comp, so no second join against the old
-        # labels is needed to detect progress
-        new = labels.join(prop, "id", "left").select(
-            "id",
-            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-            F.coalesce(F.col("ncomp") < F.col("comp"), F.lit(False)).alias("_chg"),
-        )
+        obs = Observation()
+        new = new.observe(obs, F.sum(F.col("_chg").cast("long")).alias("n_chg"))
         new = materialize(new)
-        changed = new.filter("_chg").limit(1).count()
+        changed = _observed_long(
+            obs, "n_chg", lambda: new.filter("_chg").limit(1).count()
+        )
         release(prev)
         prev = new
         labels = new.drop("_chg")
@@ -145,13 +190,28 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     exact_scale: int | None = None,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """PageRank (simple variant: dangling mass is dropped, as in the
     original GraphX ``staticPageRank`` formulation).
 
-    Returns ``(id, rank)``. Each iteration: join ranks onto edges, spread
-    ``rank/out_degree`` along edges, sum per destination — one shuffle on
-    vertex id per iteration, lineage cut per iteration.
+    Returns ``(id, rank)``. Each iteration is ONE join + ONE aggregation
+    (r14): the degree-fused edge table is augmented with a zero-weight
+    self-edge per vertex (integer mode: ``deg = 2^62`` so ``r div deg``
+    is exactly 0 for any ``r ≤ exact_scale ≤ 1e16``; float mode:
+    ``w = 0.0``), so every vertex — in-edges or not — appears in the
+    contribution aggregate and the old per-iteration ``verts`` left
+    join disappears. Results are bit-identical: the self-edge adds an
+    exact integer 0 (or IEEE ``x + 0.0 = x``) to each vertex's sum,
+    which is precisely what ``coalesce(s, 0)`` supplied before.
+
+    The loop has NO convergence probe (fixed iteration count), so the
+    lineage cut does not need to be per-iteration either:
+    ``checkpoint_every`` bounds plan depth (and, under the
+    reliable-checkpoint materializer, recovery replay) while letting
+    the scheduler run several iterations inside one job — each eager
+    materialization is a full job barrier plus its AQE stage-jobs,
+    measured ~6 driver round-trips per iteration at bench scale.
 
     With ``exact_scale`` (e.g. ``10**12``) ranks are carried as scaled
     int64 and every step uses integer division — floating-point addition
@@ -163,25 +223,56 @@ def pagerank(
     Requires ``damping*100`` integral and ``exact_scale ≤ 1e16``
     (keeps ``damping_pct * total_mass`` within int64).
     """
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = edges.select("src", "dst")
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # fuse out_degree into the edge table ONCE and materialize it: the
-    # loop then does a single join + aggregation per iteration instead of
-    # re-scanning the source and re-joining out_deg every time. Each
-    # mode carries only ITS division operand (int deg / float 1/deg) so
-    # the per-iteration join doesn't shuffle a dead column
-    weight = (
-        F.col("deg") if exact_scale is not None else (F.lit(1.0) / F.col("deg")).alias("w")
-    )
-    e_w = materialize(e.join(out_deg, "src").select("src", "dst", weight))
-    verts = materialize(
-        e_w.select(F.col("src").alias("id"))
-        .unionByName(e_w.select(F.col("dst").alias("id")))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # fuse out_degree into the edge table ONCE, add the self-edges, and
+    # materialize it. Each mode carries only ITS division operand (int
+    # deg / float 1/deg) so the per-iteration join doesn't shuffle a
+    # dead column. No manual pre-partitioning: an explicit
+    # repartition(n, key) pins downstream stages to n tasks and
+    # disables AQE coalescing — measured slower at bench scale.
+    if exact_scale is not None:
+        weight = F.col("deg")
+        self_w = F.lit(1 << 62).alias("deg")  # r div 2^62 == 0 for r ≤ 1e16
+    else:
+        weight = (F.lit(1.0) / F.col("deg")).alias("w")
+        self_w = F.lit(0.0).alias("w")
+    e_w = materialize(
+        e.join(out_deg, "src")
+        .select("src", "dst", weight)
+        .unionByName(
+            verts.select(
+                F.col("id").alias("src"), F.col("id").alias("dst"), self_w
+            )
+        )
+    )
+    # vertex count: one column-pruned count over the (lazy) vertex set —
+    # NOT a count of e_w's self-edge rows, which would double-count any
+    # vertex that also has a genuine self-loop in the input
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))  # empty graph, empty result
+
+    def _loop(ranks: DataFrame, step) -> DataFrame:
+        """Run the fixed iterations, cutting lineage every
+        ``checkpoint_every`` steps and after the last one (the returned
+        frame must be self-contained so e_w's blocks can be released)."""
+        prev = None  # superseded materialized rank frames, released eagerly
+        for i in range(iterations):
+            ranks = step(ranks)
+            if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+                ranks = materialize(ranks)
+                if prev is not None:
+                    release(prev)
+                prev = ranks
+        return ranks
 
     if exact_scale is not None:
         dnum = int(round(damping * 100))
@@ -190,10 +281,9 @@ def pagerank(
         if exact_scale > 10**16:
             raise ValueError("exact_scale > 1e16 risks int64 overflow")
         base_i = ((100 - dnum) * exact_scale) // (100 * n)
-        ranks = verts.withColumn("r", F.lit(exact_scale // n))
-        prev = None  # superseded per-iteration rank frames, released eagerly
-        for _ in range(iterations):
-            contribs = (
+
+        def _step_exact(ranks: DataFrame) -> DataFrame:
+            return (
                 e_w.join(ranks.withColumnRenamed("id", "src"), "src")
                 # `div` = integer division: float `floor(r/deg)` would be
                 # unsafe (a 2^-52-relative error crosses the floor
@@ -202,25 +292,22 @@ def pagerank(
                 .select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
                 .groupBy("id")
                 .agg(F.sum("c").alias("s"))
-            )
-            ranks = materialize(
-                verts.join(contribs, "id", "left")
+                # s is never NULL: the self-edge contributes an exact 0
                 .select(
                     "id",
                     (
-                        F.lit(base_i)
-                        + F.expr(f"({dnum} * coalesce(s, 0L)) div 100")
+                        F.lit(base_i) + F.expr(f"({dnum} * s) div 100")
                     ).alias("r"),
                 )
             )
-            if prev is not None:
-                release(prev)
-            prev = ranks
+
+        ranks = _loop(
+            verts.withColumn("r", F.lit(exact_scale // n)), _step_exact
+        )
         if iterations > 0:
             # loop ran ⇒ `ranks` is its own materialized frame; the edge
-            # and vertex copies are no longer referenced by the result
+            # copy is no longer referenced by the result
             release(e_w)
-            release(verts)
         # r ≤ scale < 2^53 and scale is a power of ten: both operands are
         # exact doubles, so the one rounded division is IEEE-identical
         # everywhere
@@ -229,10 +316,9 @@ def pagerank(
         )
 
     base = (1.0 - damping) / n
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    prev = None  # superseded per-iteration rank frames, released eagerly
-    for _ in range(iterations):
-        contribs = (
+
+    def _step_float(ranks: DataFrame) -> DataFrame:
+        return (
             e_w.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
@@ -240,26 +326,16 @@ def pagerank(
             )
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
-        )
-        ranks = materialize(
-            verts.join(contribs, "id", "left")
+            # c is never NULL: the self-edge contributes an exact +0.0
             .select(
                 "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(base) + F.lit(damping) * F.col("c")).alias("rank"),
             )
-            # per-iteration lineage cut: measured faster than checkpointing
-            # every 3rd iteration (deeper plans cost more in re-analysis /
-            # codegen than the extra materializations save)
         )
-        if prev is not None:
-            release(prev)
-        prev = ranks
+
+    ranks = _loop(verts.withColumn("rank", F.lit(1.0 / n)), _step_float)
     if iterations > 0:
         release(e_w)
-        release(verts)
     return ranks
 
 
@@ -428,8 +504,9 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             .filter(F.col("deg") < k)
             .select(F.col("src").alias("id"))
         )
-        low = materialize(low)
-        if low.limit(1).count() == 0:
+        obs = Observation()
+        low = materialize(low.observe(obs, F.count(F.lit(1)).alias("n")))
+        if _observed_long(obs, "n", lambda: low.limit(1).count()) == 0:
             release(low)
             break
         survivors = (
@@ -496,10 +573,13 @@ def k_hop_distances(
             .select(F.col("dst").alias("id"))
             .distinct()
         )
+        obs = Observation()
         new = materialize(
-            nxt.join(seen, "id", "left_anti").withColumn("dist", F.lit(dist))
+            nxt.join(seen, "id", "left_anti")
+            .withColumn("dist", F.lit(dist))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        if new.limit(1).count() == 0:
+        if _observed_long(obs, "n", lambda: new.limit(1).count()) == 0:
             release(new)  # empty probe frame: unreferenced by the result
             break
         levels.append(new)

@@ -275,19 +275,32 @@ def funnel_counts(
 ) -> DataFrame:
     """Funnel summary: one row per step with the number of keys
     reaching it — the conversion report over :func:`funnel_times`.
-    Counts are non-increasing by construction. The k counts cross the
-    driver (one ``head()`` of a 1-row aggregate — a parameter fetch,
-    like the engine's centroid/prefix collects) to come back as a tiny
-    literal frame."""
+    Counts are non-increasing by construction. The one-row aggregate is
+    pivoted into per-step rows with an explode INSIDE the plan (r14):
+    the old driver ``head()`` + literal re-frame forced the whole
+    funnel-join chain to execute at CONSTRUCTION time as its own jobs —
+    an extra pass the consumer's single action now subsumes."""
     times = funnel_times(df, key, ts, type_col, steps, within_seconds)
-    counts = times.agg(
+    agg = times.agg(
         *[
             F.count(F.col(f"t{i}")).alias(f"n{i}")
             for i in range(1, len(steps) + 1)
         ]
-    ).head()
-    rows = [(i, steps[i - 1], int(counts[f"n{i}"])) for i in range(1, len(steps) + 1)]
-    return df.sparkSession.createDataFrame(rows, "step int, event_type string, n_keys long")
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.lit(steps[i - 1]).alias("event_type"),
+                        F.col(f"n{i}").cast("long").alias("n_keys"),
+                    )
+                    for i in range(1, len(steps) + 1)
+                ]
+            )
+        ).alias("_r")
+    ).select("_r.step", "_r.event_type", "_r.n_keys")
 
 
 def cohort_retention(

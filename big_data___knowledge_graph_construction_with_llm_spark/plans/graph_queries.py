@@ -148,10 +148,19 @@ def q_two_hop(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
     )
-    e2 = li.select(
-        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
-    ).distinct()
+    # the deduped lineitem edge set is materialized ONCE (r14): the
+    # operator's self-join otherwise recomputes the full scan+distinct
+    # of the biggest table for EACH join side (measured 2x on the plan)
+    from big_data___knowledge_graph_construction_with_llm_spark.materialize import (
+        materialize,
+    )
+
+    e2 = materialize(
+        li.select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        ).distinct()
+    )
     edges = e1.unionByName(e2)
     # join output is already row-distinct: e1 has one row per order and e2
     # is deduped, and the namespace prefixes make only c→o ⋈ o→p match —

@@ -77,6 +77,14 @@ def get_spark(
         # (the engine's own hash arithmetic is mod-p and ANSI-safe either
         # way; see operators/dedup.py).
         .config("spark.sql.ansi.enabled", "false")
+        # (r14 A/B note: spark.sql.join.preferSortMergeJoin=false was
+        # measured a wash across the join-heavy queries at sf0.1 —
+        # 15.97s SMJ vs 16.12s SHJ over 8 queries — so the default
+        # stays; revisit on a cluster where the sort dominates.)
+        # Smaller files at similar read speed for everything the engine
+        # WRITES (indexes, fingerprint stores, table generations) —
+        # guide §6. Inputs are whatever the caller hands us.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -336,3 +336,52 @@ def test_k_core_drops_self_loops_and_null_edges(spark):
     )
     got = {(r["src"], r["dst"]) for r in k_core(edges, 1).collect()}
     assert got == {(1, 2), (2, 1)}
+
+
+def test_pagerank_invariant_to_checkpoint_cadence(spark):
+    """r14: the lineage-cut cadence is a pure execution knob — exact-mode
+    ranks must be bit-identical for every checkpoint_every value
+    (including 'only at the end')."""
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+    )
+    want = sorted(
+        tuple(r)
+        for r in pagerank(
+            e, iterations=7, exact_scale=10**12, checkpoint_every=1
+        ).collect()
+    )
+    for k in (3, 7, 100):
+        got = sorted(
+            tuple(r)
+            for r in pagerank(
+                e, iterations=7, exact_scale=10**12, checkpoint_every=k
+            ).collect()
+        )
+        assert got == want, f"checkpoint_every={k} changed the ranks"
+
+
+def test_pagerank_handles_genuine_self_loop(spark):
+    """r14: the zero-weight self-edges the loop shape adds must not
+    collide with a REAL self-loop in the input — the loop keeps its
+    mass contribution and the vertex count stays the true one."""
+    e = _edges(spark, [("a", "a"), ("a", "b"), ("b", "a")])
+    ex = {
+        r["id"]: r["rank"]
+        for r in pagerank(e, iterations=4, exact_scale=10**12).collect()
+    }
+    flt = {r["id"]: r["rank"] for r in pagerank(e, iterations=4).collect()}
+    assert set(ex) == {"a", "b"}
+    for k in ex:
+        assert abs(ex[k] - flt[k]) < 1e-6
+    # with damping the total never exceeds 1 for a loop-closed graph
+    assert sum(ex.values()) <= 1.0 + 1e-9
+
+
+def test_connected_components_with_self_loop_and_dst_only_vertex(spark):
+    """r14: the self-edge-augmented propagation must keep covering
+    dst-only vertices and tolerate real self-loops."""
+    e = _edges(spark, [("b", "b"), ("c", "b"), ("d", "c"), ("z", "y")])
+    comp = {r["id"]: r["comp"] for r in connected_components(e).collect()}
+    assert comp == {"b": "b", "c": "b", "d": "b", "y": "y", "z": "y"}

@@ -1956,3 +1956,40 @@ def test_bm25_batch_unicode_tokenization_and_dup_id_guard(spark):
     )
     with pytest.raises(ValueError, match="duplicate query_id"):
         bm25_topk_many(idx, dup, k=4, n_docs=4, avgdl=3.0)
+
+
+def test_ngram_jaccard_prune_to_pairs_is_result_identical(spark):
+    """r14: prune_to_pairs is a pure execution knob — the semi-join
+    prune must not change a single pair's jaccard, including docs that
+    appear only on one side of the pair list and docs absent from it."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e z"),
+            (3, "totally different words here now"),
+            (4, "a b c d e f"),
+            (5, "unrelated filler never in any pair"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    plain = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", pairs).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", pairs, prune_to_pairs=True
+        ).collect()
+    }
+    assert plain == pruned
+    # zero-intersection pairs don't surface (inner-join semantics,
+    # unchanged from the pre-r14 shape)
+    assert plain[(1, 4)] == 1.0 and (2, 3) not in plain
