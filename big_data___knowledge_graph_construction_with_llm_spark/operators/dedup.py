@@ -366,25 +366,28 @@ def decontaminate(
         F.col(text_col),
     )
     both_docs = corpus.unionByName(bench)
-    # ONE signature pipeline over the union (one codegen unit, one pass),
-    # materialized HERE — before the cap split — because everything below
-    # (cap sides, oversize census, blind-spot accounting, candidate join)
-    # derives from it; materializing a derived frame instead would
-    # re-run the shingle+hash pass once per consumer. The skew cap
-    # counts and drops CORPUS rows only: benchmark rows are few and
+    # ONE signature pipeline over the union (one codegen unit, one pass).
+    # With a skew cap it is materialized HERE — before the cap split —
+    # because the oversize census, blind-spot accounting AND the
+    # candidate join all derive from it (3+ consumers; lazily the
+    # shingle+hash pass would re-run per consumer). WITHOUT a cap (r14)
+    # it stays lazy: the only consumer is the candidate cross-join,
+    # whose own materialization computes both sides in ONE job — an
+    # extra eager barrier here measured ~1s slower at sf0.1. The skew
+    # cap counts and drops CORPUS rows only: benchmark rows are few and
     # exempt — capping them would silently blind the leak check for
     # every doc in that bucket (a recall loss that matters more in a
     # safety filter than in dedup). If a benchmark row lands in a capped
     # bucket its corpus partners are gone, so warn loudly.
-    raw_banded = materialize(
-        _banded(
-            minhash_signatures(
-                both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
-            ),
-            num_hashes,
-            bands,
-        )
+    raw_banded = _banded(
+        minhash_signatures(
+            both_docs, id_col, text_col, num_hashes, shingle_n=shingle_n
+        ),
+        num_hashes,
+        bands,
     )
+    if max_bucket is not None:
+        raw_banded = materialize(raw_banded)
     corpus_side = raw_banded.filter(F.col("_id") >= 0)
     bench_side = raw_banded.filter(F.col("_id") < 0)
     # ONE census collect does triple duty — (a) the oversize bucket keys

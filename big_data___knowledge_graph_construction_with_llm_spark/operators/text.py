@@ -91,13 +91,60 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_guess(col: Column | str) -> Column:
     """Argmax language by marker hits; 'und' (undetermined) when no marker
-    fires. Ties break alphabetically (deterministic)."""
+    fires. Ties break alphabetically (deterministic).
+
+    Column-expression form: composable anywhere, but the argmax embeds
+    each per-language score ~3x (greatest + tie-break + fire-check) and
+    each score embeds its own tokenize — expression trees share nothing.
+    On a whole-frame scan prefer :func:`with_lang_guess`, which stages
+    the projections so every expensive expression evaluates once per
+    row (measured ~2.3x at sf0.1)."""
     scores = lang_scores(col)
     best = F.greatest(*scores.values())
     guess = F.lit("und")
     for lang in sorted(scores, reverse=True):
         guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
     return F.when(best > 0, guess).otherwise(F.lit("und"))
+
+
+def with_lang_guess(
+    df: DataFrame, col: str, out: str = "guess", keep: list[str] | None = None
+) -> DataFrame:
+    """Frame-level language ID: ``keep`` columns + the argmax ``out``
+    column, identical values to :func:`lang_guess` (same markers, same
+    alphabetical tie-break, same 'und').
+
+    Why a separate form (r14): Catalyst expressions are trees, not
+    DAGs — inside one projection the argmax re-embeds every score and
+    every score re-embeds the tokenize, so the interpreted
+    marker-filter runs ~12x per row. Splitting tokenize → scores →
+    argmax into three projections makes each stage reference the
+    previous one's ATTRIBUTES; CollapseProject keeps non-cheap
+    multiply-referenced expressions staged, so the tokenize and each
+    score evaluate exactly once per row. Still one scan, zero shuffle,
+    zero Python."""
+    keep = keep or []
+    toks = df.select(*keep, tokens(col).alias("_toks"))
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        return F.size(
+            F.filter(F.col("_toks"), lambda x: F.lower(x).isin(*markers))
+        )
+
+    scores = toks.select(
+        *keep,
+        *[
+            _hits(tuple(ms)).alias(f"_s_{lang}")
+            for lang, ms in LANG_MARKERS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in LANG_MARKERS])
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when(F.col(f"_s_{lang}") == best, F.lit(lang)).otherwise(guess)
+    return scores.select(
+        *keep, F.when(best > 0, guess).otherwise(F.lit("und")).alias(out)
+    )
 
 
 #: PII detection patterns, shared verbatim by the Spark expressions and

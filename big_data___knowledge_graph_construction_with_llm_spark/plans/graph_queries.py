@@ -140,13 +140,22 @@ def q_entity_profile(spark: SparkSession, sf: str) -> DataFrame:
 def q_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     """2-hop composition customer→order→part via self-equi-join on the
     namespaced edge table (``MERGE``-derived self-join surface,
-    SURVEY §2.3)."""
+    SURVEY §2.3).
+
+    The namespace rides as 2 TAG BITS inside a single long vertex key
+    (``c: → 4k+1, o: → 4k+2, p: → 4k+3`` — injective, and every TPC-H
+    key fits; even sf100's ~6e9 orderkeys stay far under 2^61) so the
+    distinct and the self-join shuffle 8-byte longs instead of 10-14
+    byte strings, and the 750k-row string concats happen AFTER the join
+    on the 10x-smaller result (r14; measured 3.76s → 2.05s at sf0.1,
+    set-identical output). The oracle's string namespaces are rebuilt
+    by the final decode projection."""
     o = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
     # o_orderkey is unique ⇒ e1 is already distinct: no dedup shuffle.
     e1 = o.select(
-        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+        (F.col("o_custkey") * 4 + 1).alias("src"),
+        (F.col("o_orderkey") * 4 + 2).alias("dst"),
     )
     # the deduped lineitem edge set is materialized ONCE (r14): the
     # operator's self-join otherwise recomputes the full scan+distinct
@@ -157,15 +166,28 @@ def q_two_hop(spark: SparkSession, sf: str) -> DataFrame:
 
     e2 = materialize(
         li.select(
-            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
-            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+            (F.col("l_orderkey") * 4 + 2).alias("src"),
+            (F.col("l_partkey") * 4 + 3).alias("dst"),
         ).distinct()
     )
     edges = e1.unionByName(e2)
+
     # join output is already row-distinct: e1 has one row per order and e2
-    # is deduped, and the namespace prefixes make only c→o ⋈ o→p match —
+    # is deduped, and the namespace tags make only c→o ⋈ o→p match —
     # so the oracle's DISTINCT is a no-op we must not pay a shuffle for.
-    return two_hop(edges)
+    def _decode(c: str) -> F.Column:
+        # integer div, not float: `/` routes through double and a key
+        # above 2^53 would decode off-by-one
+        key = F.expr(f"{c} div 4").cast("string")
+        tag = F.col(c) % 4
+        return F.concat(
+            F.when(tag == 1, F.lit("c:"))
+            .when(tag == 2, F.lit("o:"))
+            .otherwise(F.lit("p:")),
+            key,
+        ).alias(c)
+
+    return two_hop(edges).select(_decode("src"), _decode("mid"), _decode("dst"))
 
 
 @query(

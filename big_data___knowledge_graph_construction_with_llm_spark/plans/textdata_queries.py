@@ -908,10 +908,14 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_lang_guess(spark: SparkSession, sf: str) -> DataFrame:
-    """Heuristic language ID (marker-lexicon argmax; ties alphabetical)."""
+    """Heuristic language ID (marker-lexicon argmax; ties alphabetical).
+    Uses the staged frame form (r14): tokenize → scores → argmax as
+    separate projections so each expensive expression evaluates once
+    per row instead of ~12x via expression-tree duplication (measured
+    1.61s → 0.69s at sf0.1, identical guesses)."""
     d = load(spark, sf, "documents")
     return (
-        d.select(T.lang_guess("text").alias("guess"))
+        T.with_lang_guess(d, "text")
         .groupBy("guess")
         .agg(F.count("*").alias("n"))
     )

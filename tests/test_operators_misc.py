@@ -1993,3 +1993,35 @@ def test_ngram_jaccard_prune_to_pairs_is_result_identical(spark):
     # zero-intersection pairs don't surface (inner-join semantics,
     # unchanged from the pre-r14 shape)
     assert plain[(1, 4)] == 1.0 and (2, 3) not in plain
+
+
+def test_with_lang_guess_matches_column_form(spark):
+    """r14: the staged frame form must produce exactly the column
+    form's guesses — same markers, same alphabetical tie-break, same
+    'und' for marker-free and empty text."""
+    from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
+        lang_guess,
+        with_lang_guess,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog"),
+            (2, "der hund und die katze sind im haus"),
+            (3, "el perro y la casa de los gatos"),
+            (4, "le chien et la maison des chats"),
+            (5, "zzz qqq www"),
+            (6, ""),
+            (7, "the der el le"),  # 4-way tie -> alphabetical
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", lang_guess("text").alias("g")).collect()
+    }
+    frame_form = {
+        r["doc_id"]: r["guess"]
+        for r in with_lang_guess(df, "text", keep=["doc_id"]).collect()
+    }
+    assert frame_form == col_form
