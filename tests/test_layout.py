@@ -1420,8 +1420,12 @@ def test_read_ingest_table_where_prunes_generation_leg(spark, tmp_path):
             spark.range(b * 2500, b * 2500 + 2500).toDF("id"), root, b
         )
     absorb_landing(spark, root, min_batches=1)
-    # re-cluster the generation on id so its file spans are prunable
-    compact_table(spark, root, target_file_bytes=8 << 10, cluster_cols=["id"])
+    # re-cluster the generation on id so its file spans are prunable;
+    # 4 KB target (not 8 KB): the engine writes zstd since r14, which
+    # compresses this range data ~2x tighter than snappy — the old
+    # target left only 3 files and the multi-file pruning setup below
+    # needs at least 4
+    compact_table(spark, root, target_file_bytes=4 << 10, cluster_cols=["id"])
     gen_files = len(
         spark.read.parquet(current_table_path(spark, root)).inputFiles()
     )
