@@ -36,17 +36,45 @@ def _observed_long(obs: Observation, name: str, fallback) -> int:
     (the old shape paid one ``limit(1).count()`` job per iteration).
     Every shipped materializer is eager (the module contract), so the
     metric is already available by the time this reads it; if that ever
-    breaks (a custom non-eager materializer, a PySpark-internals change),
-    ``fallback()`` runs one real probe job instead — never a blocking
-    ``Observation.get`` wait. NULL metric (zero observed rows) reads as
-    0, matching what the aggregate means on an empty frame."""
+    breaks (a custom non-eager materializer, a congested listener bus,
+    a PySpark-internals change), ``fallback()`` runs one real probe job
+    instead — never a blocking ``Observation.get`` wait. NULL metric
+    (zero observed rows) reads as 0, matching what the aggregate means
+    on an empty frame.
+
+    VERSION COUPLING: ``obs._jo.getOrEmpty`` reaches PySpark/JVM
+    private internals via py4j (pinned against pyspark 4.x here; the
+    public ``Observation.get`` would BLOCK when the metric is missing,
+    which is the whole reason for the private read). If an upgrade
+    renames it, the narrow except below routes every probe through the
+    fallback job — correct but one job per iteration slower, and the
+    debug log makes that visible instead of silent."""
     try:
         jmap = obs._jo.getOrEmpty()  # non-blocking, unlike Observation.get
         if not jmap.isEmpty():
             v = jmap.get(name).get()
             return 0 if v is None else int(v)
-    except Exception:
-        pass
+        log.debug(
+            "observe metric %s not yet delivered; running fallback probe job",
+            name,
+        )
+    except AttributeError as exc:  # _jo/getOrEmpty gone: version drift
+        log.debug(
+            "observe metric %s unreadable (%s); running fallback probe job",
+            name,
+            exc,
+        )
+    except Exception as exc:
+        # py4j transport errors (Py4JError and friends) — imported lazily
+        # by py4j, so match on the module rather than the class
+        if type(exc).__module__.startswith("py4j"):
+            log.debug(
+                "observe metric %s unreadable (%s); running fallback probe",
+                name,
+                exc,
+            )
+        else:
+            raise
     return int(fallback())
 
 

@@ -756,24 +756,75 @@ def bm25_topk_many(
     stored ``n_docs``/``avgdl`` (:func:`read_bm25_stats`) at steady
     state; the fallback recompute is the same one-aggregate job as
     :func:`bm25_topk_indexed`'s."""
-    from pyspark.sql import types as T
-
     from big_data___knowledge_graph_construction_with_llm_spark.operators.relational import (
         topk_per_group,
     )
 
-    if n_docs is None or avgdl is None:
-        stats = (
+    scored = bm25_scored_many(
+        index,
+        queries,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        k1=k1,
+        b=b,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        max_df_frac=max_df_frac,
+        _pairs=_pairs,
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("id").asc()],
+        k,
+    )
+
+
+def bm25_scored_many(
+    index: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+    max_df_frac: float | None = None,
+    stats: DataFrame | None = None,
+    _pairs: list[tuple] | None = None,
+) -> DataFrame:
+    """The scoring stage of :func:`bm25_topk_many` WITHOUT the per-query
+    top-k cut: every ``(query_id, id, score)`` candidate row. Split out
+    (r15) so callers that need different per-query cuts — e.g. one
+    query graded at k=10 next to batch queries at k=5
+    (``q_ngram_topk``) — can score ONE pass over the postings and apply
+    their own single window, instead of running the posting pipeline
+    once per cut.
+
+    ``stats``: optionally, a LAZY one-row ``(n, avgdl)`` frame instead
+    of driver-side ``n_docs``/``avgdl`` scalars. It broadcast-joins
+    into the scoring expression, so query CONSTRUCTION runs no Spark
+    job for the corpus stats — the stats pass executes inside the same
+    action as the scoring (and Spark's ReuseExchange computes a
+    shared stats frame once across legs). Values feed the identical
+    IEEE arithmetic a literal would (same doubles, same expression
+    tree), so scores are bit-identical to the scalar form."""
+    from pyspark.sql import types as T
+
+    if stats is not None and (n_docs is not None or avgdl is not None):
+        raise ValueError("pass either stats= or n_docs/avgdl, not both")
+    if stats is None and (n_docs is None or avgdl is None):
+        st = (
             index.select("id", "dl")
             .distinct()
             .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
             .collect()[0]
         )
-        n_docs = n_docs if n_docs is not None else stats["n"]
+        n_docs = n_docs if n_docs is not None else st["n"]
         if avgdl is None:
             # avg over an EMPTY index is null: an empty top-k for every
             # query, not a TypeError
-            avgdl = float(stats["avgdl"]) if stats["avgdl"] is not None else 0.0
+            avgdl = float(st["avgdl"]) if st["avgdl"] is not None else 0.0
     # _pairs: bm25_query_table_many already collected the batch for its
     # file-skip term union — skip the second (identical) tiny job
     pairs = (
@@ -797,12 +848,35 @@ def bm25_topk_many(
     # join O(probed postings), not O(index)
     probe = qterms.select("term").distinct()
     hits = index.join(F.broadcast(probe), "term")
-    dfreq = hits.groupBy("term").agg(F.count("*").alias("df"))
+    if stats is not None:
+        # one-row corpus stats ride the plan: coalesce avgdl like the
+        # scalar path's empty-index fallback (0.0 → empty result set)
+        hits = hits.crossJoin(
+            F.broadcast(
+                stats.select(
+                    F.col("n").cast("double").alias("_bm25_n"),
+                    F.coalesce(F.col("avgdl").cast("double"), F.lit(0.0)).alias(
+                        "_bm25_avgdl"
+                    ),
+                )
+            )
+        )
+        n_col: F.Column = F.col("_bm25_n")
+        avgdl_col: F.Column = F.col("_bm25_avgdl")
+    else:
+        n_col = F.lit(float(n_docs))
+        avgdl_col = F.lit(avgdl)
+    dfreq = hits.groupBy("term").agg(
+        F.count("*").alias("df"),
+        # per-term constant within the group; min() carries the stats
+        # columns through the aggregate for the idf/cap expressions
+        F.min(n_col).alias("_df_n"),
+    )
     if max_df_frac is not None:
-        dfreq = dfreq.filter(F.col("df") <= max_df_frac * n_docs)
+        dfreq = dfreq.filter(F.col("df") <= max_df_frac * F.col("_df_n"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        + (F.col("_df_n") - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     contrib = idf * (
@@ -811,20 +885,14 @@ def bm25_topk_many(
         / (
             F.col("tf")
             + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl_col)
         )
     )
-    scored = (
-        hits.join(F.broadcast(dfreq), "term")
+    return (
+        hits.join(F.broadcast(dfreq.select("term", "df", "_df_n")), "term")
         .join(F.broadcast(qterms), "term")
         .groupBy("query_id", "id")
         .agg(F.round(F.sum(contrib), 4).alias("score"))
-    )
-    return topk_per_group(
-        scored,
-        ["query_id"],
-        [F.col("score").desc(), F.col("id").asc()],
-        k,
     )
 
 

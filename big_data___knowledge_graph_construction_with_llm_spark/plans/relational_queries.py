@@ -191,6 +191,10 @@ def q_order_stats(spark: SparkSession, sf: str) -> DataFrame:
     cd = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_cust")
     )
+    # INNER equi-join is only safe because o_orderpriority is NON-NULL
+    # (TPC-H invariant): a NULL group key would survive each aggregate
+    # but be dropped by the re-join. Copying this split pattern to a
+    # nullable group key needs eqNullSafe (or a coalesce'd key) instead.
     return plain.join(cd, "o_orderpriority").select(
         "o_orderpriority", "n", "n_cust", "p50", "p95", "mx"
     )
@@ -829,35 +833,40 @@ def q_approx_sketches(spark: SparkSession, sf: str) -> DataFrame:
     3×rsd (0.06 — measured rel-err here is ~0.006); percentile_approx
     (accuracy=10000) within 1% of the exact interpolated percentile
     (rank error ≤ n/10000 rows). The fine-grained measured errors stay
-    in BENCH_DETAIL's ``sketch_accuracy`` block. The sketch legs and
-    the exact legs run as two SEPARATE one-row aggregates joined at the
-    end: mixing ``countDistinct`` with non-distinct aggregates makes
-    Catalyst rewrite the whole Aggregate through an Expand (one
-    duplicated row-stream per distinct group), which dragged every
-    co-resident sketch buffer through 2× the rows — measured 8.3s vs
-    ~1.3s split at sf0.1. At 100 TB only the sketch aggregate runs;
-    the exact twin exists to grade it."""
+    in BENCH_DETAIL's ``sketch_accuracy`` block.
+
+    Aggregate split (r15): ``countDistinct`` runs ALONE in its own
+    one-row aggregate; every non-distinct aggregate — both sketches
+    AND both exact percentiles — fuses into ONE other aggregate over
+    ONE scan. Mixing ``countDistinct`` with non-distinct aggregates
+    makes Catalyst rewrite the whole Aggregate through an Expand (one
+    duplicated row-stream per distinct group), dragging every
+    co-resident sketch/sort buffer through 2× the rows — measured 8.3s
+    mixed vs ~1.3s split at sf0.1 in r14; the r14 shape still paired
+    ``countDistinct`` with the exact ``percentile``, so THAT leg's
+    sort buffer paid the 2× Expand (the q_order_stats pathology; A/B
+    in OPTIMIZATION_r15.md). At 100 TB only
+    the sketch aggregate runs; the exact twin exists to grade it."""
     o = load(spark, sf, "orders")
     # one sketch buffer / one sort buffer for BOTH percentiles (the
-    # array form), not one per quantile
+    # array form), not one per quantile; exact percentiles ride the
+    # same scan — all non-distinct, so no Expand rewrite
     est = o.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("acd_cust"),
         F.expr(
             "percentile_approx(o_totalprice, array(0.5, 0.95), 10000)"
         ).alias("aps"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("eps"),
     ).select(
         "acd_cust",
         F.col("aps")[0].alias("ap50"),
         F.col("aps")[1].alias("ap95"),
-    )
-    exact = o.agg(
-        F.countDistinct("o_custkey").alias("cd_cust"),
-        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("eps"),
-    ).select(
-        "cd_cust",
         F.col("eps")[0].alias("ep50"),
         F.col("eps")[1].alias("ep95"),
     )
+    # countDistinct alone: Catalyst plans a plain two-phase distinct
+    # aggregate (no Expand) over a column-pruned scan
+    exact = o.agg(F.countDistinct("o_custkey").alias("cd_cust"))
     return est.crossJoin(F.broadcast(exact)).select(
         "cd_cust",
         F.round("ep50", 2).alias("p50"),

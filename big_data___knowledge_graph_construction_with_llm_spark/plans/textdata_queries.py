@@ -1175,10 +1175,11 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
     All legs stay fully load-bearing under the hash compare: a wrong
     bigram count, a wrong BM25 score, or a wrong per-query batch cut
     flips the row hash."""
+    from pyspark.sql import Window
+
     from big_data___knowledge_graph_construction_with_llm_spark.operators.dedup import shingles
     from big_data___knowledge_graph_construction_with_llm_spark.operators.text import (
-        bm25_topk_indexed,
-        bm25_topk_many,
+        bm25_scored_many,
         tokens,
     )
 
@@ -1199,30 +1200,31 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     toks = F.transform(tokens("text"), F.lower)
-    # ONE corpus stats pass shared by the single-query and batch legs
-    # (r14): bm25_topk's internal stats collect recomputed the exact
-    # same (n, avgdl) this block already fetches for the batch leg
-    st = (
+    # ONE corpus stats pass shared by ALL bm25 legs, LAZY (r15): the
+    # one-row (n, avgdl) frame broadcast-joins into the scoring, so the
+    # stats tokenize pass runs inside the same noop action as everything
+    # else — query construction runs ZERO jobs (the r14 shape collected
+    # it driver-side at build time, a synchronous corpus pass before the
+    # timed action could even start overlapping work).
+    st_df = (
         d.filter(F.col("text").isNotNull())
         .select(F.size(toks).alias("dl"))
         .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
     )
+    # query_id 2 IS the single-query leg ("vector join stream", k=10):
+    # scored through the same batch pass — bm25_topk_indexed parity is
+    # bit-exact (same postings, same per-term df, same contrib
+    # expression; pinned by test_bm25_many_matches_single) — so the
+    # posting pipeline runs ONCE for all three legs instead of once per
+    # cut (r15; the r14 shape consumed the lazy postings subtree twice).
     qdf = spark.createDataFrame(
-        [(0, "vector join"), (1, "stream filter")],
+        [(0, "vector join"), (1, "stream filter"), (2, "vector join stream")],
         "query_id int, query string",
     )
-    # inline postings with the UNION of every leg's terms (the single
-    # query's {join, stream, vector} ⊂ the batch's union) filtered
+    # inline postings with the UNION of every leg's terms filtered
     # BEFORE the (id, term) aggregation — the same only-the-probed-
     # terms-ever-shuffle shape as bm25_topk's inline build; a full
     # text_index here would aggregate every term in the corpus first.
-    # Kept LAZY deliberately (r14): the postings feed the single leg's
-    # df-aggregate + scoring join AND the batch leg's, but an eager
-    # checkpoint here measured SLOWER than letting the one action
-    # schedule the (concurrently-runnable) subtree copies at bench
-    # scale; sharing the build still saves the second stats pass and
-    # the second per-leg explode+filter construction.
     hits = (
         d.filter(F.col("text").isNotNull())
         .select(
@@ -1234,32 +1236,29 @@ def q_ngram_topk(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("term", "id", "dl")
         .agg(F.count("*").alias("tf"))
     )
-    # single-query leg off the SAME postings, pruned to its terms — the
-    # per-term df aggregate sees identical postings, so scores are
-    # bit-identical to bm25_topk's own inline build
-    bm25_leg = bm25_topk_indexed(
-        hits.filter(F.col("term").isin(["join", "stream", "vector"])),
-        "vector join stream",
-        k=10,
-        n_docs=st["n"],
-        avgdl=float(st["avgdl"]),
-    ).select(
-        F.lit("bm25").alias("kind"),
-        F.col("id").cast("string").alias("item"),
-        "score",
+    scored = bm25_scored_many(hits, qdf, stats=st_df)
+    # ONE window serves both cuts: k=10 for the single leg (query 2),
+    # k=5 for the batch legs — same partition/order as topk_per_group
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
     )
-    bm25b_leg = bm25_topk_many(
-        hits,
-        qdf,
-        k=5,
-        n_docs=st["n"],
-        avgdl=float(st["avgdl"]),
-    ).select(
-        F.concat(F.lit("bm25b:"), F.col("query_id").cast("string")).alias("kind"),
-        F.col("id").cast("string").alias("item"),
-        "score",
+    bm25_all = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            ((F.col("query_id") == 2) & (F.col("_rn") <= 10))
+            | ((F.col("query_id") < 2) & (F.col("_rn") <= 5))
+        )
+        .select(
+            F.when(F.col("query_id") == 2, F.lit("bm25"))
+            .otherwise(
+                F.concat(F.lit("bm25b:"), F.col("query_id").cast("string"))
+            )
+            .alias("kind"),
+            F.col("id").cast("string").alias("item"),
+            "score",
+        )
     )
-    return bigram_leg.unionByName(bm25_leg).unionByName(bm25b_leg)
+    return bigram_leg.unionByName(bm25_all)
 
 
 @query(

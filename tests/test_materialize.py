@@ -95,7 +95,41 @@ def test_release_uncaches_persist_disk(spark):
     out = M.persist_disk(df)
     assert out.storageLevel.useDisk
     M.release(out)
+    M.flush_releases()  # non-blocking release defers to the next drain (r15)
     assert not out.storageLevel.useDisk and not out.storageLevel.useMemory
+
+
+def test_release_is_deferred_one_generation(spark):
+    """The r15 race fix: release(blocking=False) must NOT drop blocks
+    until a LATER materialize (started after the release) completes —
+    a frame read by anything still in flight at release time keeps its
+    blocks for a full extra job. blocking=True stays immediate."""
+    base = _memstore_bytes(spark)
+    ck = M.local_checkpoint(
+        spark.range(200_000).selectExpr("id", "repeat(cast(id as string), 20) AS s")
+    )
+    held = _memstore_bytes(spark) - base
+    assert held > 1_000_000
+    M.release(ck)  # queued, not dropped
+    assert _memstore_bytes(spark) - base > held * 0.9
+    # the frame is still fully readable in this generation
+    assert ck.count() == 200_000
+    # a materialize that STARTED after the release drains it
+    nxt = M.materialize(spark.range(10).selectExpr("id"))
+    assert _memstore_bytes(spark) - base < held // 10
+    M.release(nxt, blocking=True)
+
+
+def test_flush_releases_drains_queue(spark):
+    base = _memstore_bytes(spark)
+    ck = M.local_checkpoint(
+        spark.range(200_000).selectExpr("id", "repeat(cast(id as string), 20) AS s")
+    )
+    held = _memstore_bytes(spark) - base
+    M.release(ck)
+    assert _memstore_bytes(spark) - base > held * 0.9
+    M.flush_releases()
+    assert _memstore_bytes(spark) - base < held // 10
 
 
 def test_release_is_safe_on_plain_frames(spark):
@@ -134,6 +168,9 @@ def test_connected_components_releases_iteration_frames(spark):
     )
     labels = connected_components(e)
     assert labels.filter(F.col("comp") != 0).count() == 0  # one 0-rooted chain
+    # deferred releases (r15) keep the tail frames queued until the next
+    # materialize; flush to assert the leak-free end state
+    M.flush_releases()
     assert len(sc.getRDDStorageInfo()) - base <= 1  # just the result's frame
 
 
@@ -153,5 +190,6 @@ def test_k_hop_releases_edge_copy_and_empty_probe(spark):
     src = spark.createDataFrame([(0,)], "id long")
     out = {(r["id"], r["dist"]) for r in k_hop_distances(edges, src, k=5).collect()}
     assert out == {(0, 0), (1, 1), (2, 2)}
+    M.flush_releases()  # drain the deferred edge-copy/probe releases (r15)
     # persisted: exactly the 3 level frames (dist 0, 1, 2) the result reads
     assert len(sc.getRDDStorageInfo()) - base <= 3
